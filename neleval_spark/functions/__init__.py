@@ -1,0 +1,2 @@
+from .assignment import max_weight_assignment_total  # noqa: F401
+from .unionfind import UnionFind  # noqa: F401

@@ -1,0 +1,252 @@
+"""Contingency dispatch + evaluation orchestration.
+
+Mirrors the reference control flow: ``Measure.contingency``
+(neleval/annotation.py:503-521) dispatches sets / overlap-** /
+clustering; ``Matrix`` (neleval/evaluate.py:233-292) is the additive
+(ptp, fp, rtp, fn) monoid with derived P/R/F and the zero-denominator
+→ 0.0 + warning rule (:279-286); ``Evaluate.__call__``
+(neleval/evaluate.py:70-140) adds group-by with per-field macro/micro
+averages (:122-138).
+
+The heavy lifting happens in generated DataFrame plans; only the tiny
+per-(measure, group) result table is collected.
+"""
+
+from __future__ import annotations
+
+import itertools
+import warnings
+from collections import OrderedDict, defaultdict
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from .catalog import MeasureSpec, get_measure, parse_measures
+from .clustering import CLUSTERING_FNS
+from .overlap import overlap_contingency
+from .sets import project_measure, sets_contingency, expand_key
+
+
+class StrictMetricWarning(Warning):
+    pass
+
+
+METRICS = ["ptp", "fp", "rtp", "fn", "precision", "recall", "fscore"]
+
+
+@dataclass
+class Matrix:
+    """Additive contingency monoid (neleval/evaluate.py:233-292)."""
+
+    ptp: float = 0
+    fp: float = 0
+    rtp: float = 0
+    fn: float = 0
+
+    def __add__(self, other: "Matrix") -> "Matrix":
+        return Matrix(self.ptp + other.ptp, self.fp + other.fp,
+                      self.rtp + other.rtp, self.fn + other.fn)
+
+    def __iadd__(self, other: "Matrix") -> "Matrix":
+        self.ptp += other.ptp
+        self.fp += other.fp
+        self.rtp += other.rtp
+        self.fn += other.fn
+        return self
+
+    @staticmethod
+    def _div(n, d):
+        if d == 0:
+            warnings.warn(
+                "Strict P/R defaulting to zero score for zero denominator",
+                StrictMetricWarning,
+            )
+            return 0.0
+        return n / float(d)
+
+    @property
+    def precision(self):
+        return self._div(self.ptp, self.ptp + self.fp)
+
+    @property
+    def recall(self):
+        return self._div(self.rtp, self.rtp + self.fn)
+
+    @property
+    def fscore(self):
+        p = self.precision
+        r = self.recall
+        return self._div(2 * p * r, p + r)
+
+    @property
+    def results(self) -> dict:
+        return {
+            "precision": self.precision,
+            "recall": self.recall,
+            "fscore": self.fscore,
+            "ptp": self.ptp,
+            "fp": self.fp,
+            "rtp": self.rtp,
+            "fn": self.fn,
+        }
+
+
+def prf(p_num, p_den, r_num, r_den):
+    """(neleval/coref_metrics.py:253-262)"""
+    p = p_num / p_den if p_den > 0 else 0.0
+    r = r_num / r_den if r_den > 0 else 0.0
+    f = 2 * p * r / (p + r) if p + r else 0.0
+    return p, r, f
+
+
+def contingency_df(
+    sys_df: DataFrame,
+    gold_df: DataFrame,
+    spec: MeasureSpec,
+    gcols: list[str] | None = None,
+) -> DataFrame:
+    """→ (gcols..., ptp, fp, rtp, fn) — the measure's generated plan."""
+    gcols = list(gcols or [])
+    if spec.is_clustering:
+        try:
+            fn = CLUSTERING_FNS[spec.agg]
+        except KeyError:
+            raise ValueError(f"Invalid aggregation: {spec.agg!r}")
+        key = [k for k in expand_key(spec.key) if k not in gcols]
+        # clusters = distinct (eid, key) pairs after filter
+        # (neleval/annotation.py:317-331)
+        gold = project_measure(gold_df, spec, gcols,
+                               extra=["eid"]).dropDuplicates()
+        pred = project_measure(sys_df, spec, gcols,
+                               extra=["eid"]).dropDuplicates()
+        out = fn(gold, pred, key, gcols)
+        from pyspark.sql import functions as F
+
+        return out.select(
+            *gcols,
+            F.col("p_num").alias("ptp"),
+            (F.col("p_den") - F.col("p_num")).alias("fp"),
+            F.col("r_num").alias("rtp"),
+            (F.col("r_den") - F.col("r_num")).alias("fn"),
+        )
+    elif spec.agg == "sets":
+        return sets_contingency(sys_df, gold_df, spec, gcols)
+    elif spec.agg.startswith("overlap-"):
+        return overlap_contingency(sys_df, gold_df, spec, gcols)
+    raise ValueError(f"Unexpected value for agg: {spec.agg!r}")
+
+
+def _group_values(df: DataFrame, fields: list[str]) -> list[list]:
+    """Sorted distinct values per group field from GOLD annotations
+    (reference uses the gold side only, neleval/evaluate.py:100-103)."""
+    from ..operators.normalize import field_col
+
+    out = []
+    for f in fields:
+        vals = [r[0] for r in
+                df.select(field_col(f).alias(f)).distinct().collect()]
+        out.append(sorted(vals, key=lambda v: (v is None, v)))
+    return out
+
+
+def macro_average(results_iter) -> dict:
+    """(neleval/evaluate.py:295-303) — mean of every metric, counts
+    included."""
+    out: dict = defaultdict(float)
+    i = -1
+    for i, results in enumerate(results_iter):
+        if isinstance(results, Matrix):
+            results = results.results
+        for k, v in results.items():
+            out[k] += v
+    return {k: v / (i + 1) for k, v in out.items()}
+
+
+def evaluate(
+    sys_df: DataFrame,
+    gold_df: DataFrame,
+    measures="all",
+    group_by: list[str] | None = None,
+    overall: bool = False,
+    weighting: dict | None = None,
+) -> "OrderedDict[str, dict]":
+    """Distributed analogue of ``neleval evaluate``.
+
+    Returns {measure_name[;field=value...] → {ptp, fp, rtp, fn,
+    precision, recall, fscore}} exactly like the reference's
+    fmt='none' output (neleval/evaluate.py:70-140).
+    """
+    names = parse_measures(measures)
+    results: "OrderedDict[str, dict]" = OrderedDict()
+    gcols = list(group_by or [])
+
+    if gcols:
+        group_vals = _group_values(gold_df, gcols)
+        product = list(itertools.product(*group_vals))
+
+    for name in names:
+        spec = get_measure(name, weighting=weighting)
+        cdf = contingency_df(sys_df, gold_df, spec, gcols)
+        rows = cdf.collect()
+
+        if not gcols:
+            row = rows[0] if rows else None
+            mat = (Matrix(row["ptp"], row["fp"], row["rtp"], row["fn"])
+                   if row is not None else Matrix())
+            results[str_name(name)] = mat.results
+            continue
+
+        by_group = {
+            tuple(r[c] for c in gcols):
+                Matrix(r["ptp"], r["fp"], r["rtp"], r["fn"])
+            for r in rows
+        }
+        name_fmt = str_name(name) + "".join(
+            ";{}={{group[{}]}}".format(f, i) for i, f in enumerate(gcols))
+
+        measure_mats = []
+        for group in product:
+            # sys-only groups outside the gold product are ignored,
+            # as in the reference (evaluate.py:107-115 only indexes
+            # product groups)
+            mat = by_group.get(tuple(group), Matrix())
+            measure_mats.append((group, mat))
+            if not overall:
+                import json as _json
+
+                label = name_fmt.format(
+                    group=[_json.dumps(v) for v in group])
+                results[label] = mat.results
+
+        micro_labels = ["<micro>"] * len(gcols)
+        constituents: dict = {}
+        for i in range(len(gcols)):
+            constituents = defaultdict(Matrix)
+            for group, mat in measure_mats:
+                constituents[group[i]] += mat
+            labels = micro_labels[:]
+            labels[i] = "<macro>"
+            results[name_fmt.format(group=labels)] = macro_average(
+                constituents.values())
+        results[name_fmt.format(group=micro_labels)] = sum(
+            constituents.values(), Matrix()).results
+
+    return results
+
+
+def str_name(name) -> str:
+    return name if isinstance(name, str) else str(name)
+
+
+def tab_format(results: dict, num_fmt="{:.3f}", delimiter="\t") -> str:
+    """(neleval/evaluate.py:185-206)"""
+    lines = [delimiter.join([m[:6] for m in METRICS] + ["measure"])]
+    for measure, mres in sorted(results.items()):
+        row = []
+        for metric in METRICS:
+            val = mres.get(metric, 0)
+            row.append(num_fmt.format(val) if isinstance(val, float)
+                       else str(val))
+        row.append(measure)
+        lines.append(delimiter.join(row))
+    return "\n".join(lines)

