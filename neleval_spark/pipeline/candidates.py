@@ -1,0 +1,82 @@
+"""Alias-dictionary candidate generation + vectorized link scoring.
+
+Candidate generation is a broadcast hash join of mentions against the
+alias dim table (the same primitive as the reference's redirect
+mapping, neleval/tac.py:83-103) — the fact side never shuffles.
+
+Scoring: features (alias prior, context-keyword hit) are computed as
+JVM columns; the score combination runs in an Arrow-batched pandas UDF
+(the designated vectorized-UDF surface per BASELINE.json input_hint —
+no per-row Python). Top-1 selection = max_by over the mention key,
+no window shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+def generate_candidates(mentions: DataFrame, kb: DataFrame) -> DataFrame:
+    """mention rows × broadcast alias dict → one row per candidate;
+    mentions with no alias hit keep a single null candidate row
+    (the NIL path)."""
+    alias = F.broadcast(kb)
+    return mentions.join(alias, mentions["surface"] == alias["alias"],
+                         "left")
+
+
+def _link_score(prior: pd.Series, kw_hit: pd.Series) -> pd.Series:
+    """score = prior + 2·(context contains candidate keyword) —
+    vectorized arithmetic over Arrow batches."""
+    return prior.fillna(0.0) + 2.0 * kw_hit.fillna(0.0)
+
+
+# explicit DataType so the module imports on executors (no session)
+link_score_udf = pandas_udf(_link_score, returnType=DoubleType())
+
+
+def score_and_select(cands: DataFrame) -> DataFrame:
+    """Score candidates, keep the argmax per mention, carry the full
+    sorted candidate list for the mentions table."""
+    kw_hit = F.when(
+        F.col("keyword").isNotNull()
+        & F.col("context").contains(F.col("keyword")), 1.0
+    ).otherwise(0.0)
+    scored = cands.withColumn(
+        "score", link_score_udf(F.col("prior"), kw_hit))
+
+    cand_struct = F.struct(
+        F.col("eid"), F.col("score"), F.col("type"),
+        F.lit(None).cast("map<string,string>").alias("attrs"))
+    mkey = ["url", "start", "end"]
+    agg = (
+        scored.groupBy(*mkey)
+        .agg(
+            F.first("surface").alias("surface"),
+            F.first("sent_uid").alias("sent_uid"),
+            F.first("context").alias("context"),
+            F.max_by(cand_struct, F.col("score")).alias("top"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("score"), F.col("eid"), F.col("type"))),
+                asc=False,
+            ).alias("ranked"),
+        )
+    )
+    return agg.select(
+        *mkey, "surface", "sent_uid", "context",
+        F.col("top")["eid"].alias("eid"),
+        F.col("top")["score"].alias("score"),
+        F.col("top")["type"].alias("type"),
+        F.transform(
+            F.col("ranked"),
+            lambda r: F.struct(
+                r["eid"].alias("eid"), r["score"].alias("score"),
+                r["type"].alias("type"),
+                F.lit(None).cast("map<string,string>").alias("attrs")),
+        ).alias("candidates"),
+    )

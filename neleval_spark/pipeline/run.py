@@ -1,0 +1,112 @@
+"""End-to-end construction pipeline orchestration + evaluation hook.
+
+    web_pages ──extract──▶ text ──NER──▶ mentions
+      ──broadcast-join alias dict──▶ candidates
+      ──vectorized scoring──▶ linked mentions
+      ──connected-components──▶ NIL-canonicalized mentions
+      ──▶ (subj, pred, obj) triples ──▶ partitioned parquet + manifests
+
+Every stage is a DataFrame transform; the only Python surfaces are the
+Arrow-batched UDFs (extraction, NER, score combination) mandated by
+BASELINE.json input_hint. The evaluation closes the loop with the
+measure engine from ``neleval_spark.measures`` (the reference's own
+metrics re-expressed as distributed aggregations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .candidates import generate_candidates, score_and_select
+from .canonicalize import canonicalize_nils
+from .extract import with_extracted_text
+from .ner import detect_mentions
+from .triples import emit_triples
+
+
+def build_mentions(pages: DataFrame, kb: DataFrame,
+                   use_stored_text: bool = False) -> DataFrame:
+    """web_pages + alias dict → linked, canonicalized mentions."""
+    pages = pages.where(F.col("lang") == "en")
+    if not use_stored_text:
+        pages = with_extracted_text(pages.select("url", "html", "lang"))
+    mentions = detect_mentions(pages)
+    cands = generate_candidates(mentions, kb)
+    linked = score_and_select(cands)
+    return canonicalize_nils(linked)
+
+
+def to_neleval_mentions(mentions: DataFrame) -> DataFrame:
+    """Project pipeline mentions into the normalized evaluation schema
+    (docid = url; derived columns as in the measure engine)."""
+    from ..operators.normalize import with_is_first
+
+    out = mentions.select(
+        F.col("url").alias("docid"),
+        "start", "end", "eid", "score", "type",
+        F.lit(None).cast("map<string,string>").alias("attrs"),
+        "candidates",
+    )
+    out = (
+        out.withColumn(
+            "is_nil",
+            F.col("eid").isNull() | F.col("eid").startswith("NIL"))
+        .withColumn("is_linked", ~F.col("is_nil"))
+        .withColumn("kbid", F.when(F.col("is_linked"), F.col("eid")))
+    )
+    return with_is_first(out)
+
+
+def run_pipeline(
+    pages: DataFrame,
+    kb: DataFrame,
+    out_dir: str | None = None,
+    n_buckets: int = 64,
+    resume: bool = True,
+) -> dict:
+    """Run construction end-to-end; optionally materialize triples.
+
+    Returns {'mentions': DF, 'triples': DF, 'manifest': DF|None}.
+    """
+    mentions = build_mentions(pages, kb)
+    triples = emit_triples(mentions, n_buckets=n_buckets)
+    manifest = None
+    if out_dir is not None:
+        from .triples import read_triples, write_triples
+
+        manifest = write_triples(triples, out_dir, resume=resume)
+        triples = read_triples(pages.sparkSession, out_dir)
+    return {"mentions": mentions, "triples": triples, "manifest": manifest}
+
+
+def triple_prf(sys_triples: DataFrame, gold_triples: DataFrame) -> dict:
+    """Set P/R/F over (subj, pred, obj) — the BASELINE.json gate
+    (P/R ≥ 0.95 vs the reference triple set)."""
+    key = ["subj", "pred", "obj"]
+    s = sys_triples.select(*key).distinct().withColumn("_s", F.lit(1))
+    g = gold_triples.select(*key).distinct().withColumn("_g", F.lit(1))
+    row = (
+        s.join(g, key, "full_outer")
+        .agg(
+            F.sum(F.col("_s") * F.col("_g")).alias("tp"),
+            F.sum(F.when(F.col("_g").isNull(), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(F.col("_s").isNull(), 1).otherwise(0)).alias("fn"),
+        )
+        .collect()[0]
+    )
+    tp = row["tp"] or 0
+    fp = row["fp"] or 0
+    fn = row["fn"] or 0
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    f = 2 * p * r / (p + r) if p + r else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn,
+            "precision": p, "recall": r, "fscore": f}
+
+
+def gold_triples_from_mentions(gold_mentions: DataFrame,
+                               n_buckets: int = 64) -> DataFrame:
+    """Derive the reference triple set from gold mentions with the
+    same emission rules."""
+    return emit_triples(gold_mentions, n_buckets=n_buckets)

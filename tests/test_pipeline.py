@@ -1,0 +1,150 @@
+"""Construction pipeline (BASELINE.json north_rule): extraction
+byte-identity, end-to-end triple P/R ≥ 0.95 vs the constructed gold,
+neleval-measure agreement, NIL canonicalization stability, and
+checkpoint-resume."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from neleval_spark.pipeline import synth_corpus
+
+    return synth_corpus(spark, N_DOCS).cache()
+
+
+@pytest.fixture(scope="module")
+def gold(spark):
+    from neleval_spark.pipeline import synth_gold_mentions
+
+    return synth_gold_mentions(spark, N_DOCS).cache()
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus):
+    from neleval_spark.pipeline import kb_table
+    from neleval_spark.pipeline.run import build_mentions
+
+    return build_mentions(corpus, kb_table(spark)).cache()
+
+
+def test_extraction_byte_identical(spark, corpus):
+    """UDF-extracted text equals the stored per-url text byte-for-byte
+    (the input_hint invariant)."""
+    from neleval_spark.pipeline.extract import with_extracted_text
+
+    re_extracted = with_extracted_text(
+        corpus.select("url", "html", F.col("text").alias("stored")),
+        out_col="roundtrip",
+    )
+    mismatches = re_extracted.where(
+        F.col("roundtrip") != F.col("stored")).count()
+    assert mismatches == 0
+
+
+def test_extraction_pure_function(corpus):
+    """Driver-side pure function agrees with the distributed UDF on a
+    sample (locale/batching independence)."""
+    from neleval_spark.pipeline.extract import extract_text
+
+    for row in corpus.limit(20).collect():
+        assert extract_text(row["html"]) == row["text"]
+
+
+def test_ner_finds_exactly_gold_spans(spark, corpus, gold):
+    from neleval_spark.pipeline.ner import detect_mentions
+
+    found = detect_mentions(
+        corpus.where(F.col("lang") == "en")).select(
+        "url", "start", "end", "surface")
+    exp = gold.select("url", "start", "end", "surface")
+    assert found.exceptAll(exp).count() == 0
+    assert exp.exceptAll(found).count() == 0
+
+
+def test_triple_prf_gate(spark, built, gold):
+    """North-rule gate: P/R ≥ 0.95 vs the reference triple set."""
+    from neleval_spark.pipeline.run import (
+        gold_triples_from_mentions, triple_prf)
+    from neleval_spark.pipeline.triples import emit_triples
+
+    sys_t = emit_triples(built)
+    gold_t = gold_triples_from_mentions(gold)
+    res = triple_prf(sys_t, gold_t)
+    assert res["precision"] >= 0.95, res
+    assert res["recall"] >= 0.95, res
+
+
+def test_neleval_measures_on_pipeline(spark, built, gold):
+    """Evaluate the pipeline with the measure engine: the distributed
+    strong_link_match / strong_typed_all_match / mention_ceaf / b_cubed
+    must be perfect on the constructed corpus (the system resolves all
+    planted ambiguity by context)."""
+    from neleval_spark.measures import evaluate
+    from neleval_spark.pipeline.run import to_neleval_mentions
+
+    sys_m = to_neleval_mentions(built)
+    gold_m = to_neleval_mentions(
+        gold.select("url", "start", "end", "eid", "type", "sent_uid")
+        .withColumn("score", F.lit(1.0))
+        .withColumn(
+            "candidates",
+            F.array(
+                F.struct(
+                    F.col("eid"), F.col("score"), F.col("type"),
+                    F.lit(None).cast("map<string,string>").alias("attrs"),
+                )
+            ),
+        )
+    )
+    res = evaluate(
+        sys_m, gold_m,
+        measures=["strong_link_match", "strong_typed_all_match",
+                  "mention_ceaf", "b_cubed"],
+    )
+    for name, r in res.items():
+        assert r["fscore"] == 1.0, (name, r)
+
+
+def test_nil_ids_match_gold_labels(spark, built, gold):
+    """Canonicalizer emits the same deterministic NIL labels as the
+    gold generator (pure function of the cluster's surfaces)."""
+    sys_nils = built.where(F.col("eid").startswith("NIL")) \
+        .select("url", "start", "eid")
+    gold_nils = gold.where(F.col("eid").startswith("NIL")) \
+        .select("url", "start", F.col("eid").alias("gold_eid"))
+    j = sys_nils.join(gold_nils, ["url", "start"], "full_outer")
+    assert j.where(
+        F.col("eid").isNull() | F.col("gold_eid").isNull()
+        | (F.col("eid") != F.col("gold_eid"))).count() == 0
+
+
+def test_write_resume(spark, built, tmp_path):
+    """Checkpoint-resume: a partial write (half the partitions'
+    manifests) resumed to completion equals a single-shot write."""
+    from neleval_spark.pipeline.triples import (
+        emit_triples, read_triples, write_triples)
+
+    triples = emit_triples(built, n_buckets=8).cache()
+
+    full_dir = str(tmp_path / "full")
+    write_triples(triples, full_dir, resume=False)
+    full = read_triples(spark, full_dir)
+
+    part_dir = str(tmp_path / "partial")
+    first_half = triples.where(F.col("part_id") < 4)
+    write_triples(first_half, part_dir, resume=False)
+    # resume with the complete dataset: parts 0-3 must be skipped
+    manifest = write_triples(triples, part_dir, resume=True)
+    resumed = read_triples(spark, part_dir)
+
+    assert resumed.count() == full.count()
+    assert resumed.exceptAll(full).count() == 0
+    # manifest covers every bucket exactly once
+    counts = manifest.groupBy("part_id").count().collect()
+    assert all(r["count"] == 1 for r in counts)
+    assert len(counts) == triples.select("part_id").distinct().count()
