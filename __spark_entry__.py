@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: run the full KG-construction pipeline on a
+deterministic synthetic corpus and return the emitted triples.
+
+``queries()`` / ``oracle_sql()`` — one pair per implemented operator
+from SURVEY.md §2, evaluated over the driver's TPC-H-ish tables at
+sf0.01 and cross-checked against DuckDB. Annotation/mention inputs are
+derived deterministically from the ``events`` table with IDENTICAL
+arithmetic in both engines, so every measure is oracle-checkable.
+Non-SQL-expressible ops (CEAF's Hungarian assignment, the construction
+pipeline) have no oracle entry → driver records the weaker rows-only
+check.
+
+All aggregates are rounded to 6 dp on both sides so value-hashes are
+insensitive to summation order.
 """
 
 from __future__ import annotations
@@ -12,27 +21,718 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+# ---------------------------------------------------------------------------
+# shared derivations (Spark side)
+# ---------------------------------------------------------------------------
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _mentions(spark, sf_dir, side: str) -> DataFrame:
+    """Deterministic gold/system mention tables derived from events.
+
+    system differs from gold: wrong entity when event_id%7==0, span
+    end shifted when event_id%11==0, NIL relabelled when event_id%9==0.
+    """
+    ev = _events(spark, sf_dir)
+    uid = F.col("user_id")
+    eid_ = F.col("event_id")
+    docid = F.concat(F.lit("d"), (uid % 50).cast("string"))
+    start = (eid_ % 997).cast("long")
+    end_g = start + (eid_ % 7) + 1
+    is_nil = (uid % 10) == 0
+    gold_ent = F.concat(F.lit("E"), (uid % 23).cast("string"))
+    gold_nil = F.concat(F.lit("NIL"), (uid % 5).cast("string"))
+    gold_eid = F.when(is_nil, gold_nil).otherwise(gold_ent)
+    if side == "gold":
+        eid = gold_eid
+        end = end_g
+    else:
+        wrong_ent = F.concat(F.lit("E"), ((uid + 1) % 23).cast("string"))
+        relab_nil = F.concat(F.lit("NIL"), ((uid + 1) % 5).cast("string"))
+        eid = (
+            F.when(is_nil & ((eid_ % 9) == 0), relab_nil)
+            .when(is_nil, gold_nil)
+            .when((eid_ % 7) == 0, wrong_ent)
+            .otherwise(gold_ent)
+        )
+        end = end_g + F.when((eid_ % 11) == 0, 1).otherwise(0)
+    out = ev.select(
+        docid.alias("docid"),
+        start.alias("start"),
+        end.cast("long").alias("end"),
+        eid.alias("eid"),
+        F.col("event_type").alias("type"),
+        F.lit(1.0).alias("score"),
+        F.col("event_id").alias("evt"),
+    )
+    return (
+        out.withColumn("is_nil", F.col("eid").startswith("NIL"))
+        .withColumn("is_linked", ~F.col("is_nil"))
+        .withColumn("kbid", F.when(F.col("is_linked"), F.col("eid")))
+        .withColumn("attrs", F.lit(None).cast("map<string,string>"))
+        .withColumn("is_first", F.lit(True))
+    )
+
+
+_MENTIONS_SQL = """
+WITH ev AS (SELECT * FROM events),
+gold AS (
+  SELECT 'd' || CAST(user_id % 50 AS VARCHAR) AS docid,
+         CAST(event_id % 997 AS BIGINT) AS start,
+         CAST(event_id % 997 + event_id % 7 + 1 AS BIGINT) AS "end",
+         CASE WHEN user_id % 10 = 0
+              THEN 'NIL' || CAST(user_id % 5 AS VARCHAR)
+              ELSE 'E' || CAST(user_id % 23 AS VARCHAR) END AS eid,
+         event_type AS type,
+         event_id AS evt
+  FROM ev),
+sys AS (
+  SELECT 'd' || CAST(user_id % 50 AS VARCHAR) AS docid,
+         CAST(event_id % 997 AS BIGINT) AS start,
+         CAST(event_id % 997 + event_id % 7 + 1
+              + CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS "end",
+         CASE WHEN user_id % 10 = 0 AND event_id % 9 = 0
+              THEN 'NIL' || CAST((user_id + 1) % 5 AS VARCHAR)
+              WHEN user_id % 10 = 0
+              THEN 'NIL' || CAST(user_id % 5 AS VARCHAR)
+              WHEN event_id % 7 = 0
+              THEN 'E' || CAST((user_id + 1) % 23 AS VARCHAR)
+              ELSE 'E' || CAST(user_id % 23 AS VARCHAR) END AS eid,
+         event_type AS type,
+         event_id AS evt
+  FROM ev),
+gold_d AS (SELECT *, eid LIKE 'NIL%' AS is_nil,
+                  CASE WHEN eid NOT LIKE 'NIL%' THEN eid END AS kbid
+           FROM gold),
+sys_d AS (SELECT *, eid LIKE 'NIL%' AS is_nil,
+                 CASE WHEN eid NOT LIKE 'NIL%' THEN eid END AS kbid
+          FROM sys)
+"""
+
+
+def _sets_oracle(key_cols: str, filt: str = "TRUE") -> str:
+    """INTERSECT-based set contingency (NULL-safe by set semantics)."""
+    return (
+        _MENTIONS_SQL
+        + f"""
+, gk AS (SELECT DISTINCT {key_cols} FROM gold_d WHERE {filt}),
+sk AS (SELECT DISTINCT {key_cols} FROM sys_d WHERE {filt}),
+tp AS (SELECT COUNT(*) AS c FROM
+        (SELECT * FROM gk INTERSECT SELECT * FROM sk)),
+gn AS (SELECT COUNT(*) AS c FROM gk),
+sn AS (SELECT COUNT(*) AS c FROM sk)
+SELECT CAST(tp.c AS DOUBLE) AS ptp,
+       CAST(sn.c - tp.c AS DOUBLE) AS fp,
+       CAST(tp.c AS DOUBLE) AS rtp,
+       CAST(gn.c - tp.c AS DOUBLE) AS fn
+FROM tp, gn, sn
+"""
+    )
+
+
+_CLUSTER_SQL = (
+    _MENTIONS_SQL
+    + """
+, G AS (SELECT DISTINCT eid, docid, start, "end" FROM gold_d),
+S AS (SELECT DISTINCT eid, docid, start, "end" FROM sys_d),
+I AS (SELECT g.eid AS eid_g, s.eid AS eid_s, COUNT(*) AS i
+      FROM G g JOIN S s USING (docid, start, "end")
+      GROUP BY 1, 2),
+ng AS (SELECT eid AS eid_g, COUNT(*) AS n FROM G GROUP BY 1),
+ns AS (SELECT eid AS eid_s, COUNT(*) AS n FROM S GROUP BY 1)
+"""
+)
+
+
+def _measure_query(name: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from neleval_spark.measures import get_measure
+        from neleval_spark.measures.contingency import contingency_df
+
+        gold = _mentions(spark, sf_dir, "gold")
+        sys_ = _mentions(spark, sf_dir, "sys")
+        out = contingency_df(sys_, gold, get_measure(name))
+        return out.select(
+            F.round("ptp", 6).alias("ptp"),
+            F.round("fp", 6).alias("fp"),
+            F.round("rtp", 6).alias("rtp"),
+            F.round("fn", 6).alias("fn"),
+        )
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# non-measure operator demos
+# ---------------------------------------------------------------------------
+
+def q_is_first(spark, sf_dir):
+    """P2/§2.9: first mention of each eid per document (window)."""
+    from pyspark.sql import Window
+
+    m = _mentions(spark, sf_dir, "gold")
+    w = Window.partitionBy("docid", "eid").orderBy(
+        F.col("start").asc(), F.col("end").desc(), F.col("evt").asc())
+    out = m.withColumn("rn", F.row_number().over(w))
+    return (
+        out.where(F.col("rn") == 1)
+        .groupBy("type")
+        .agg(F.count(F.lit(1)).alias("n_first"))
+        .orderBy("type")
+    )
+
+
+Q_IS_FIRST_SQL = _MENTIONS_SQL + """
+, r AS (SELECT type, ROW_NUMBER() OVER
+          (PARTITION BY docid, eid
+           ORDER BY start ASC, "end" DESC, evt ASC) AS rn
+        FROM gold_d)
+SELECT type, COUNT(*) AS n_first FROM r WHERE rn = 1
+GROUP BY type ORDER BY type
+"""
+
+
+def q_top_candidate(spark, sf_dir):
+    """P5/O2: best-scored candidate per span (events as candidates)."""
+    ev = _events(spark, sf_dir)
+    cand = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 40).cast("string"))
+        .alias("docid"),
+        (F.col("event_id") % 211).cast("long").alias("start"),
+        F.concat(F.lit("E"), (F.col("event_id") % 17).cast("string"))
+        .alias("eid"),
+        F.col("value").alias("score"),
+    )
+    top = cand.groupBy("docid", "start").agg(
+        F.max_by(F.col("eid"),
+                 F.struct(F.col("score"), F.col("eid"))).alias("top_eid"),
+        F.round(F.max("score"), 6).alias("top_score"),
+    )
+    return top.orderBy("docid", "start")
+
+
+Q_TOP_CANDIDATE_SQL = """
+WITH cand AS (
+  SELECT 'd' || CAST(user_id % 40 AS VARCHAR) AS docid,
+         CAST(event_id % 211 AS BIGINT) AS start,
+         'E' || CAST(event_id % 17 AS VARCHAR) AS eid,
+         value AS score
+  FROM events),
+r AS (SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY docid, start
+         ORDER BY score DESC, eid DESC) AS rn
+      FROM cand)
+SELECT docid, start, eid AS top_eid,
+       ROUND(MAX(score) OVER (PARTITION BY docid, start), 6) AS top_score
+FROM r WHERE rn = 1 ORDER BY docid, start
+"""
+
+
+def q_normalise_link(spark, sf_dir):
+    """P3: wikipedia-prefix strip + space→underscore over part names."""
+    from neleval_spark.operators.normalize import normalise_link_col
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    links = part.select(
+        F.concat(F.lit("http://en.wikipedia.org/wiki/"), F.col("p_name"))
+        .alias("link"),
+        F.col("p_brand"),
+    )
+    return (
+        links.select(normalise_link_col(F.col("link")).alias("kbid"),
+                     "p_brand")
+        .groupBy("p_brand")
+        .agg(F.countDistinct("kbid").alias("n_titles"))
+        .orderBy("p_brand")
+    )
+
+
+Q_NORMALISE_LINK_SQL = """
+SELECT p_brand,
+       COUNT(DISTINCT replace(regexp_replace(
+         'http://en.wikipedia.org/wiki/' || p_name,
+         '^http://[^.]+\\.wikipedia\\.org/wiki/', ''), ' ', '_'))
+         AS n_titles
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_redirect_mapping(spark, sf_dir):
+    """P4/S8: broadcast redirect mapping + coalesce."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    mapping = nation.select(
+        F.col("n_name").alias("alias"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string"))
+        .alias("canonical"),
+    ).where(F.col("n_nationkey") % 2 == 0)
+    cust = customer.join(
+        nation, customer["c_nationkey"] == nation["n_nationkey"]
+    ).select(F.col("n_name").alias("raw"))
+    out = (
+        cust.join(F.broadcast(mapping), cust["raw"] == mapping["alias"],
+                  "left")
+        .select(F.coalesce("canonical", "raw").alias("resolved"))
+        .groupBy("resolved")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("resolved")
+    )
+    return out
+
+
+Q_REDIRECT_MAPPING_SQL = """
+WITH mapping AS (
+  SELECT n_name AS alias, 'R' || CAST(n_regionkey AS VARCHAR) AS canonical
+  FROM nation WHERE n_nationkey % 2 = 0),
+cust AS (
+  SELECT n.n_name AS raw FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+SELECT COALESCE(m.canonical, cust.raw) AS resolved, COUNT(*) AS n
+FROM cust LEFT JOIN mapping m ON cust.raw = m.alias
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_weak_explode(spark, sf_dir):
+    """P6: char-level span explode (weak evaluation)."""
+    m = _mentions(spark, sf_dir, "gold").where(F.col("evt") % 37 == 0)
+    out = m.select(
+        "docid", F.explode(F.sequence("start", "end")).alias("pos"))
+    return out.groupBy("docid").agg(
+        F.count(F.lit(1)).alias("n_chars"),
+        F.count_distinct(F.col("pos")).alias("n_distinct"),
+    ).orderBy("docid")
+
+
+Q_WEAK_EXPLODE_SQL = _MENTIONS_SQL + """
+, e AS (SELECT docid, UNNEST(generate_series(start, "end")) AS pos
+        FROM gold_d WHERE evt % 37 = 0)
+SELECT docid, COUNT(*) AS n_chars, COUNT(DISTINCT pos) AS n_distinct
+FROM e GROUP BY docid ORDER BY docid
+"""
+
+
+def q_span_dedup(spark, sf_dir):
+    """S2/tac prepare span-dedup: group candidates by span."""
+    m = _mentions(spark, sf_dir, "sys")
+    return (
+        m.groupBy("docid", "start", "end")
+        .agg(F.count(F.lit(1)).alias("n_cands"),
+             F.count_distinct("eid").alias("n_eids"))
+        .groupBy("n_cands")
+        .agg(F.count(F.lit(1)).alias("n_spans"),
+             F.sum("n_eids").alias("sum_eids"))
+        .orderBy("n_cands")
+    )
+
+
+Q_SPAN_DEDUP_SQL = _MENTIONS_SQL + """
+, spans AS (SELECT docid, start, "end", COUNT(*) AS n_cands,
+                   COUNT(DISTINCT eid) AS n_eids
+            FROM sys_d GROUP BY 1, 2, 3)
+SELECT n_cands, COUNT(*) AS n_spans,
+       CAST(SUM(n_eids) AS BIGINT) AS sum_eids
+FROM spans GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_excluded_spans(spark, sf_dir):
+    """S9: range anti-join against excluded spans."""
+    from neleval_spark.sources.tac import filter_excluded_spans
+
+    m = _mentions(spark, sf_dir, "gold")
+    excluded = m.where(F.col("evt") % 101 == 0).select(
+        "docid", "start", "end")
+    kept = filter_excluded_spans(m, excluded)
+    return kept.groupBy("type").agg(
+        F.count(F.lit(1)).alias("n_kept")).orderBy("type")
+
+
+Q_EXCLUDED_SPANS_SQL = _MENTIONS_SQL + """
+, x AS (SELECT docid, start AS xs, "end" AS xe FROM gold_d
+        WHERE evt % 101 = 0)
+SELECT type, COUNT(*) AS n_kept FROM gold_d g
+WHERE NOT EXISTS (
+  SELECT 1 FROM x WHERE x.docid = g.docid
+    AND (g.start BETWEEN x.xs AND x.xe OR g."end" BETWEEN x.xs AND x.xe))
+GROUP BY type ORDER BY type
+"""
+
+
+def q_overlap_pairs(spark, sf_dir):
+    """J5: interval-overlap join with same-key predicate."""
+    g = _mentions(spark, sf_dir, "gold").select(
+        "docid", F.col("start").alias("g_start"),
+        F.col("end").alias("g_end"), F.col("evt"))
+    s = _mentions(spark, sf_dir, "sys").select(
+        "docid", F.col("start").alias("s_start"),
+        F.col("end").alias("s_end"), F.col("evt"))
+    pairs = s.join(g, ["docid", "evt"]).where(
+        (F.col("s_start") <= F.col("g_end"))
+        & (F.col("g_start") <= F.col("s_end")))
+    frac = (
+        (F.least("s_end", "g_end") - F.greatest("s_start", "g_start") + 1)
+        .cast("double")
+        / (F.col("s_end") - F.col("s_start") + 1).cast("double")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum(frac), 6).alias("sum_frac"),
+    )
+
+
+Q_OVERLAP_PAIRS_SQL = _MENTIONS_SQL + """
+, p AS (
+  SELECT s.start AS s_start, s."end" AS s_end,
+         g.start AS g_start, g."end" AS g_end
+  FROM sys_d s JOIN gold_d g USING (docid, evt)
+  WHERE s.start <= g."end" AND g.start <= s."end")
+SELECT COUNT(*) AS n_pairs,
+       ROUND(SUM(CAST(LEAST(s_end, g_end) - GREATEST(s_start, g_start) + 1
+                 AS DOUBLE)
+             / CAST(s_end - s_start + 1 AS DOUBLE)), 6) AS sum_frac
+FROM p
+"""
+
+
+# --- clustering measure oracles -------------------------------------------
+
+Q_MUC_SQL = _CLUSTER_SQL + """
+, num AS (SELECT CAST(COALESCE(SUM(i), 0) - COUNT(*) AS DOUBLE) AS v
+          FROM I),
+pd AS (SELECT CAST(SUM(n - 1) AS DOUBLE) AS v FROM ns),
+rd AS (SELECT CAST(SUM(n - 1) AS DOUBLE) AS v FROM ng)
+SELECT ROUND(num.v, 6) AS ptp, ROUND(pd.v - num.v, 6) AS fp,
+       ROUND(num.v, 6) AS rtp, ROUND(rd.v - num.v, 6) AS fn
+FROM num, pd, rd
+"""
+
+Q_B_CUBED_SQL = _CLUSTER_SQL + """
+, nums AS (
+  SELECT SUM(CAST(i.i * i.i AS DOUBLE) / ns.n) AS p_num,
+         SUM(CAST(i.i * i.i AS DOUBLE) / ng.n) AS r_num
+  FROM I i JOIN ns USING (eid_s) JOIN ng USING (eid_g)),
+pd AS (SELECT CAST(SUM(n) AS DOUBLE) AS v FROM ns),
+rd AS (SELECT CAST(SUM(n) AS DOUBLE) AS v FROM ng)
+SELECT ROUND(nums.p_num, 6) AS ptp, ROUND(pd.v - nums.p_num, 6) AS fp,
+       ROUND(nums.r_num, 6) AS rtp, ROUND(rd.v - nums.r_num, 6) AS fn
+FROM nums, pd, rd
+"""
+
+Q_PAIRWISE_SQL = _CLUSTER_SQL + """
+, num AS (SELECT CAST(COALESCE(SUM(i * (i - 1) / 2), 0) AS DOUBLE) AS v
+          FROM I),
+pd AS (SELECT CAST(SUM(n * (n - 1) / 2) AS DOUBLE) AS v FROM ns),
+rd AS (SELECT CAST(SUM(n * (n - 1) / 2) AS DOUBLE) AS v FROM ng)
+SELECT ROUND(num.v, 6) AS ptp, ROUND(pd.v - num.v, 6) AS fp,
+       ROUND(num.v, 6) AS rtp, ROUND(rd.v - num.v, 6) AS fn
+FROM num, pd, rd
+"""
+
+
+# --- TPC-H-ish + training-data ops ----------------------------------------
+
+def q_lineitem_pricing(spark, sf_dir):
+    """A2/A11-style additive aggregation (TPC-H Q1 shape)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_quantity") > 5)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 6)
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q_LINEITEM_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 6) AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)
+         AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_quantity > 5
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_rank_systems(spark, sf_dir):
+    """A14: rank-with-ties (dense rank over scores)."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+    return (
+        per_cust.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .orderBy("rnk")
+    )
+
+
+Q_RANK_SYSTEMS_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS revenue
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, revenue,
+       ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey ASC) AS rnk
+FROM per_cust QUALIFY rnk <= 10 ORDER BY rnk
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy over document text."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("doc_id").alias("keeper"))
+        .where(F.col("n") > 1)
+        .orderBy("h")
+    )
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY h
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Text analysis: token counting + quality ratios per lang."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    stops = (
+        F.size(F.split(F.col("text"), r"\bthe\b")) - 1
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("total_tokens"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+            F.sum(stops).alias("the_count"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_TOKEN_STATS_SQL = r"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+            AS BIGINT) AS total_tokens,
+       ROUND(AVG(length(text)), 6) AS avg_chars,
+       CAST(SUM(len(regexp_split_to_array(text, '\bthe\b')) - 1)
+            AS BIGINT) AS the_count
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Similarity search: brute-force cosine top-3 per query vector."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = F.col("embedding").cast("array<double>")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), emb.alias("qv"))
+    c = e.select(F.col("vec_id").alias("cid"), emb.alias("cv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x), F.lit(0.0),
+        lambda acc, x: acc + x))
+    pairs = q.crossJoin(c).where(F.col("qid") != F.col("cid"))
+    sim = pairs.select(
+        "qid", "cid",
+        F.round(dot / (norm(F.col("qv")) * norm(F.col("cv"))), 6)
+        .alias("cos"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("cid").asc())
+    return (
+        sim.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .orderBy("qid", "rk")
+    )
+
+
+Q_COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+sim AS (
+  SELECT qid, cid,
+         ROUND(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))), 6) AS cos
+  FROM q, c WHERE qid != cid),
+r AS (SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rk
+      FROM sim)
+SELECT qid, cid, cos, rk FROM r WHERE rk <= 3 ORDER BY qid, rk
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Stateful-style sessionization (30-min gap) via window + cumsum."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet carries TIMESTAMP_NTZ; session TZ is pinned UTC so the
+    # epoch matches DuckDB's epoch() of the naive timestamp
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = marked.withColumn(
+        "sess", F.sum("new_s").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", "sess")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_sessions"),
+             F.round(F.avg("n_events"), 6).alias("avg_len"),
+             F.max("n_events").alias("max_len"))
+    )
+
+
+Q_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR LAG(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g),
+per AS (SELECT user_id, sess, COUNT(*) AS n_events
+        FROM s GROUP BY 1, 2)
+SELECT COUNT(*) AS n_sessions, ROUND(AVG(n_events), 6) AS avg_len,
+       MAX(n_events) AS max_len
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG-construction pipeline on a deterministic
+    synthetic corpus; returns emitted (subj, pred, obj) triples."""
+    from neleval_spark.pipeline import kb_table, synth_corpus
+    from neleval_spark.pipeline.run import run_pipeline
+
+    pages = synth_corpus(spark, 200)
+    res = run_pipeline(pages, kb_table(spark), out_dir=None)
+    return res["triples"].select("subj", "pred", "obj", "url")
+
+
+def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule pipeline, rows-only check (not SQL-expressible:
+    pandas-UDF extraction + NER + iterative connected components)."""
+    from neleval_spark.pipeline import kb_table, synth_corpus
+    from neleval_spark.pipeline.run import run_pipeline
+
+    pages = synth_corpus(spark, 100)
+    res = run_pipeline(pages, kb_table(spark), out_dir=None)
+    return (
+        res["triples"].groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pred")
+    )
+
+
+def q_mention_ceaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEAF (optimal 1:1 cluster alignment) — Hungarian assignment is
+    not SQL-expressible; rows-only check."""
+    return _measure_query("mention_ceaf")(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # sets measures (J1/A1)
+        "strong_mention_match": _measure_query("strong_mention_match"),
+        "strong_all_match": _measure_query("strong_all_match"),
+        "strong_link_match": _measure_query("strong_link_match"),
+        "strong_typed_all_match": _measure_query("strong_typed_all_match"),
+        "strong_nil_match": _measure_query("strong_nil_match"),
+        "entity_match": _measure_query("entity_match"),
+        # clustering measures (A4-A6)
+        "muc": _measure_query("muc"),
+        "b_cubed": _measure_query("b_cubed"),
+        "pairwise": _measure_query("pairwise"),
+        "mention_ceaf": q_mention_ceaf,
+        # row transforms / joins / windows
+        "is_first": q_is_first,
+        "top_candidate": q_top_candidate,
+        "normalise_link": q_normalise_link,
+        "redirect_mapping": q_redirect_mapping,
+        "weak_explode": q_weak_explode,
+        "span_dedup": q_span_dedup,
+        "excluded_spans": q_excluded_spans,
+        "overlap_pairs": q_overlap_pairs,
+        # aggregation / ranking
+        "lineitem_pricing": q_lineitem_pricing,
+        "rank_systems": q_rank_systems,
+        # training-data ops
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "cosine_topk": q_cosine_topk,
+        "sessionize": q_sessionize,
+        # construction pipeline (rows-only)
+        "pipeline_triples": q_pipeline_triples,
+    }
+    return qs
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "strong_mention_match": _sets_oracle('docid, start, "end"'),
+        "strong_all_match": _sets_oracle('docid, start, "end", kbid'),
+        "strong_link_match": _sets_oracle(
+            'docid, start, "end", kbid', "NOT is_nil"),
+        "strong_typed_all_match": _sets_oracle(
+            'docid, start, "end", type, kbid'),
+        "strong_nil_match": _sets_oracle('docid, start, "end"', "is_nil"),
+        "entity_match": _sets_oracle("docid, kbid", "NOT is_nil"),
+        "muc": Q_MUC_SQL,
+        "b_cubed": Q_B_CUBED_SQL,
+        "pairwise": Q_PAIRWISE_SQL,
+        # mention_ceaf: omitted (Hungarian assignment — rows-only)
+        "is_first": Q_IS_FIRST_SQL,
+        "top_candidate": Q_TOP_CANDIDATE_SQL,
+        "normalise_link": Q_NORMALISE_LINK_SQL,
+        "redirect_mapping": Q_REDIRECT_MAPPING_SQL,
+        "weak_explode": Q_WEAK_EXPLODE_SQL,
+        "span_dedup": Q_SPAN_DEDUP_SQL,
+        "excluded_spans": Q_EXCLUDED_SPANS_SQL,
+        "overlap_pairs": Q_OVERLAP_PAIRS_SQL,
+        "lineitem_pricing": Q_LINEITEM_PRICING_SQL,
+        "rank_systems": Q_RANK_SYSTEMS_SQL,
+        "dedup_exact": Q_DEDUP_EXACT_SQL,
+        "token_stats": Q_TOKEN_STATS_SQL,
+        "cosine_topk": Q_COSINE_TOPK_SQL,
+        "sessionize": Q_SESSIONIZE_SQL,
+        # pipeline_triples: omitted (pandas UDFs + iterative CC)
+    }

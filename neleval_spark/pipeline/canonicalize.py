@@ -1,54 +1,99 @@
 """Cross-document NIL canonicalization.
 
 Mentions with no KB candidate must share a cluster id across the whole
-corpus when they refer to the same unseen entity. Relational form: a
-bipartite graph mention-node ↔ surface-key-node, clustered with the
-shared distributed connected-components utility (salted/star-contracted
-— the same machinery CEAF uses, SURVEY.md §2.4 A8). The emitted label
-is ``NIL`` + sha1(min surface key of the component), so the id is a
-pure function of the cluster contents — stable across runs, cluster
-sizes and executor counts (and equal to the gold generator's label for
-single-surface clusters).
+corpus when they refer to the same unseen entity.
+
+Scale design (contract-then-iterate): per-mention work is ONE hash
+aggregation — each mention contributes its normalized blocking keys
+(surface form + acronym by default). The iterative connected-components
+run happens on the *key graph* (key ↔ key edges for keys co-occurring
+on a mention), whose size scales with the number of distinct surfaces,
+not the number of mentions — at 10^12 documents the mention table never
+enters the CC loop. The CC utility is the same star-contraction
+machinery CEAF uses (SURVEY.md §2.4 A8), with AQE skew-join handling
+for hub surfaces.
+
+The emitted label is ``NIL`` + sha1(min normalized surface of the
+component) — a pure function of the cluster contents, stable across
+runs, partitionings and executor counts.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import connected_components
 
 
-def surface_key(col):
+def surface_key(col: Column) -> Column:
     return F.replace(F.lower(F.trim(col)), F.lit(" "), F.lit("_"))
 
 
-def canonicalize_nils(mentions: DataFrame) -> DataFrame:
+def acronym_key(col: Column) -> Column:
+    """First letters of the surface words ('Red Sable Group' → 'rsg');
+    a second blocking key so distinct spellings of the same unseen
+    entity can merge — and so the key graph is a real graph."""
+    return F.lower(
+        F.concat_ws(
+            "", F.transform(F.split(F.trim(col), " "),
+                            lambda w: F.substring(w, 1, 1))))
+
+
+DEFAULT_KEYS = (("s", surface_key), ("a", acronym_key))
+
+
+def canonicalize_nils(
+    mentions: DataFrame,
+    key_fns=DEFAULT_KEYS,
+) -> DataFrame:
     """Assign NIL cluster ids to unlinked mentions.
 
     Input: mentions with (url, start, end, surface, eid, ...) where
     eid IS NULL marks the NIL path. Output: same rows with eid
-    replaced by the cluster label and type defaulted.
+    replaced by the cluster label and type/score defaulted.
     """
+    # The input fans out (nil branch, linked branch, key graph);
+    # callers must pass a MATERIALIZED table (build_mentions
+    # localCheckpoints the scored mentions) — re-caching here through
+    # the columnar InMemoryRelation is prohibitively expensive for
+    # rows with nested candidate arrays.
     nils = mentions.where(F.col("eid").isNull())
     linked = mentions.where(F.col("eid").isNotNull())
 
-    mkey = F.concat_ws("\x01", F.lit("m"), F.col("url"),
-                       F.col("start").cast("string"))
-    skey = F.concat_ws("\x01", F.lit("s"), surface_key(F.col("surface")))
-    edges = nils.select(mkey.alias("src"), skey.alias("dst"))
+    kinds = list(key_fns)
+    vertex_cols = [
+        F.concat_ws("\x01", F.lit(kind), fn(F.col("surface")))
+        .alias(f"_k_{kind}")
+        for kind, fn in kinds
+    ]
+    keyed = nils.select(*vertex_cols).distinct()
+
+    # key graph: chain the keys of each mention (k0-k1, k1-k2, ...)
+    first = f"_k_{kinds[0][0]}"
+    edge_parts = []
+    for (kind, _), (nkind, _) in zip(kinds, kinds[1:]):
+        edge_parts.append(
+            keyed.select(F.col(f"_k_{kind}").alias("src"),
+                         F.col(f"_k_{nkind}").alias("dst")))
+    if edge_parts:
+        edges = edge_parts[0]
+        for e in edge_parts[1:]:
+            edges = edges.union(e)
+    else:
+        # single key: degenerate self-edges, CC is a no-op pass-through
+        edges = keyed.select(F.col(first).alias("src"),
+                             F.col(first).alias("dst"))
 
     comps = connected_components(edges)
-    # component label → NIL id derived from the minimum surface key in
-    # the component ("s\x01..." sorts after "m\x01...", so recover the
-    # min surface by joining surface vertices)
-    surf_vertices = (
-        nils.select(skey.alias("vertex"),
-                    surface_key(F.col("surface")).alias("sk"))
-        .distinct()
-        .join(comps, "vertex")
+
+    # component label = sha1 of the minimum normalized *surface* key
+    surf_prefix = "s\x01"
+    labels = (
+        comps.where(F.col("vertex").startswith(surf_prefix))
         .groupBy("component")
-        .agg(F.min("sk").alias("min_sk"))
+        .agg(F.min(F.expr(f"substring(vertex, {len(surf_prefix) + 1})"))
+             .alias("min_sk"))
         .select(
             "component",
             F.concat(F.lit("NIL"),
@@ -56,15 +101,17 @@ def canonicalize_nils(mentions: DataFrame) -> DataFrame:
             .alias("nil_id"),
         )
     )
-    mention_comp = comps.join(surf_vertices, "component").select(
-        F.col("vertex"), F.col("nil_id"))
+    key_to_nil = (
+        comps.join(labels, "component")
+        .select(F.col("vertex").alias(first), "nil_id")
+    )
 
     nils_labelled = (
-        nils.withColumn("vertex", mkey)
-        .join(mention_comp, "vertex", "left")
+        nils.withColumn(first, vertex_cols[0])
+        .join(key_to_nil, first, "left")
         .withColumn("eid", F.coalesce(F.col("nil_id"), F.lit("NIL")))
         .withColumn("type", F.coalesce(F.col("type"), F.lit("ORG")))
         .withColumn("score", F.coalesce(F.col("score"), F.lit(1.0)))
-        .drop("vertex", "nil_id")
+        .drop(first, "nil_id")
     )
     return linked.unionByName(nils_labelled.select(*linked.columns))

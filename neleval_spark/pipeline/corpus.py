@@ -82,7 +82,8 @@ def _entity_index():
     return by_eid
 
 
-def gen_doc(doc_id: int, seed: int = SEED) -> dict:
+def gen_doc(doc_id: int, seed: int = SEED, min_sents: int = 2,
+            max_sents: int = 4) -> dict:
     """Generate one document (pure, deterministic).
 
     Returns url/warc_ts/html/text/lang plus the gold mention list
@@ -99,7 +100,7 @@ def gen_doc(doc_id: int, seed: int = SEED) -> dict:
     mentions = []  # (start, end, surface, eid, type, sent_uid)
     offset = len(lines[0])  # position AFTER the first line (before \n)
 
-    n_sents = rng.randint(2, 4)
+    n_sents = rng.randint(min_sents, max_sents)
     sents = []
     for s in range(n_sents):
         kind = rng.random()
@@ -194,12 +195,18 @@ GOLD_SCHEMA = ("url string, start long, end long, surface string, "
 
 
 def synth_corpus(spark: SparkSession, n_docs: int, seed: int = SEED,
-                 partitions: int | None = None) -> DataFrame:
-    """Distributed deterministic corpus: one row per doc."""
+                 partitions: int | None = None, min_sents: int = 2,
+                 max_sents: int = 4) -> DataFrame:
+    """Distributed deterministic corpus: one row per doc.
+
+    ``min_sents``/``max_sents`` control document weight — benchmark
+    corpora use Common-Crawl-like sizes (tens of paragraphs), tests
+    use small ones."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [gen_doc(int(i), seed) for i in pdf["id"]]
+            rows = [gen_doc(int(i), seed, min_sents, max_sents)
+                    for i in pdf["id"]]
             yield pd.DataFrame(
                 [
                     {k: r[k] for k in
@@ -214,14 +221,16 @@ def synth_corpus(spark: SparkSession, n_docs: int, seed: int = SEED,
 
 def synth_gold_mentions(spark: SparkSession, n_docs: int,
                         seed: int = SEED,
-                        partitions: int | None = None) -> DataFrame:
+                        partitions: int | None = None,
+                        min_sents: int = 2,
+                        max_sents: int = 4) -> DataFrame:
     """Gold mentions for the same corpus (en docs only)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for i in pdf["id"]:
-                d = gen_doc(int(i), seed)
+                d = gen_doc(int(i), seed, min_sents, max_sents)
                 for start, end, surface, eid, etype, s in d["mentions"]:
                     out.append(
                         {"url": d["url"], "start": start, "end": end,

@@ -49,3 +49,28 @@ def detect_mentions(pages: DataFrame) -> DataFrame:
                               "sent_uid", "context"])
 
     return pages.select("url", "text").mapInPandas(gen, schema=NER_SCHEMA)
+
+
+def extract_and_detect(pages: DataFrame) -> DataFrame:
+    """url+html → mention rows, extraction and NER fused into ONE
+    Python hop.
+
+    Chaining two Python operators inside one Spark stage (extract UDF
+    feeding mapInPandas) costs ~5× in per-batch JVM↔Python round trips;
+    fusing them keeps a single Arrow boundary and no extra shuffle —
+    the per-document text never crosses back into the JVM.
+    """
+    from .extract import extract_text
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = extract_text(html)
+                for s, e, surf, li, line in detect_mentions_text(text):
+                    out.append((url, s, e, surf, li, line))
+            yield pd.DataFrame(
+                out, columns=["url", "start", "end", "surface",
+                              "sent_uid", "context"])
+
+    return pages.select("url", "html").mapInPandas(gen, schema=NER_SCHEMA)

@@ -28,12 +28,26 @@ from .triples import emit_triples
 def build_mentions(pages: DataFrame, kb: DataFrame,
                    use_stored_text: bool = False) -> DataFrame:
     """web_pages + alias dict → linked, canonicalized mentions."""
+    from .ner import extract_and_detect
+
     pages = pages.where(F.col("lang") == "en")
-    if not use_stored_text:
-        pages = with_extracted_text(pages.select("url", "html", "lang"))
-    mentions = detect_mentions(pages)
+    if use_stored_text:
+        mentions = detect_mentions(pages)
+    else:
+        # extraction + NER fused into one Python hop (see ner.py)
+        mentions = extract_and_detect(pages)
+    # the scoring UDF needs a mention-key shuffle for its top-1
+    # aggregation anyway; placing it BEFORE the broadcast join keeps
+    # the NER and scoring Python stages in separate Spark stages
+    # (chained Python operators in one stage serialize badly) at zero
+    # extra shuffle cost — hash(url) satisfies the later
+    # groupBy(url, start, end) clustering
+    mentions = mentions.repartition(F.col("url"))
     cands = generate_candidates(mentions, kb)
-    linked = score_and_select(cands)
+    # materialize the scored mention table once: canonicalization fans
+    # out into ≥3 consumers (nil branch, linked branch, key graph) and
+    # a live plan with Python stages would re-run per consumer
+    linked = score_and_select(cands).localCheckpoint(eager=True)
     return canonicalize_nils(linked)
 
 
@@ -69,7 +83,9 @@ def run_pipeline(
 
     Returns {'mentions': DF, 'triples': DF, 'manifest': DF|None}.
     """
-    mentions = build_mentions(pages, kb)
+    # triples fan out (mentioned_in + self-joined cooccurs): truncate
+    # lineage so the UDF stages run exactly once
+    mentions = build_mentions(pages, kb).localCheckpoint(eager=True)
     triples = emit_triples(mentions, n_buckets=n_buckets)
     manifest = None
     if out_dir is not None:
