@@ -633,6 +633,290 @@ FROM per
 """
 
 
+# --- training-data dedup / analysis ops -------------------------------------
+
+_TOK_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            t -> t != '')) AS token
+  FROM documents),
+dict AS (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS token_id
+  FROM (SELECT DISTINCT token FROM tok)),
+tid AS (SELECT DISTINCT doc_id, token_id
+        FROM tok JOIN dict USING (token))
+"""
+
+
+def q_minhash(spark, sf_dir):
+    """MinHash signatures (dedup building block) over documents."""
+    from neleval_spark.functions.textops import minhash_signatures
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_signatures(d, n_hashes=4).orderBy("doc_id")
+
+
+Q_MINHASH_SQL = _TOK_SQL + """
+SELECT doc_id,
+  CAST(MIN((token_id * 1299721 + 104729) % 2147483647) AS BIGINT) AS h0,
+  CAST(MIN((token_id * 1299743 + 104743) % 2147483647) AS BIGINT) AS h1,
+  CAST(MIN((token_id * 1299763 + 104759) % 2147483647) AS BIGINT) AS h2,
+  CAST(MIN((token_id * 1299791 + 104773) % 2147483647) AS BIGINT) AS h3
+FROM tid GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """Banded-LSH candidate pair counts (near-dup dedup)."""
+    from neleval_spark.functions.textops import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(d, n_hashes=4, band_size=2)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum("n_bands"), F.lit(0)).cast("long")
+        .alias("total_band_hits"),
+    )
+
+
+Q_MINHASH_PAIRS_SQL = _TOK_SQL + """
+, sig AS (
+  SELECT doc_id,
+    CAST(MIN((token_id * 1299721 + 104729) % 2147483647) AS VARCHAR)
+      || '_' ||
+    CAST(MIN((token_id * 1299743 + 104743) % 2147483647) AS VARCHAR)
+      AS b0,
+    CAST(MIN((token_id * 1299763 + 104759) % 2147483647) AS VARCHAR)
+      || '_' ||
+    CAST(MIN((token_id * 1299791 + 104773) % 2147483647) AS VARCHAR)
+      AS b1
+  FROM tid GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, b0 AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, b1 AS bucket FROM sig),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT COUNT(*) AS n_pairs,
+       CAST(COALESCE(SUM(n_bands), 0) AS BIGINT) AS total_band_hits
+FROM pairs
+"""
+
+
+def q_simhash(spark, sf_dir):
+    from neleval_spark.functions.textops import simhash
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(d, n_bits=12).orderBy("doc_id")
+
+
+Q_SIMHASH_SQL = _TOK_SQL + """
+, bits AS (SELECT UNNEST(generate_series(0, 11)) AS bit),
+votes AS (
+  SELECT doc_id, bit,
+         CASE WHEN CAST(FLOOR(((token_id * 2654435761) % 4294967296)
+                    / CAST(pow(2, bit) AS BIGINT)) AS BIGINT) % 2 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM tid, bits),
+per_bit AS (SELECT doc_id, bit, SUM(vote) AS v
+            FROM votes GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN CAST(pow(2, bit) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS simhash
+FROM per_bit GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Token-3-gram Jaccard for adjacent doc-id pairs."""
+    from neleval_spark.functions.textops import ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = d.select("doc_id")
+    pairs = ids.select(F.col("doc_id").alias("doc_a")).join(
+        ids.select(F.col("doc_id").alias("doc_b")),
+        F.col("doc_b") == F.col("doc_a") + 1,
+    ).where(F.col("doc_a") % 10 == 0)
+    return ngram_jaccard_pairs(d, pairs, n=3).orderBy("doc_a")
+
+
+Q_NGRAM_JACCARD_SQL = r"""
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t != '') AS arr
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
+  FROM arrs, UNNEST(generate_series(1, len(arr) - 2)) AS t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 10 = 0),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b,
+       ROUND(COALESCE(i.i, 0)
+             / (sa.sz + sb.sz - COALESCE(i.i, 0)), 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter i USING (doc_a, doc_b)
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+ORDER BY p.doc_a
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from neleval_spark.functions.textops import doc_fingerprint
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_fingerprint(d).orderBy("doc_id")
+
+
+Q_DOC_FINGERPRINT_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, t.token, t.ord - 1 AS pos
+  FROM documents,
+       UNNEST(list_filter(regexp_split_to_array(lower(text),
+                                                '[^a-z0-9]+'),
+                          x -> x != ''))
+       WITH ORDINALITY AS t(token, ord)),
+dict AS (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS token_id
+  FROM (SELECT DISTINCT token FROM tok))
+SELECT doc_id,
+       CAST(SUM(token_id * (pos + 1)) % 2147483647 AS BIGINT)
+         AS fingerprint
+FROM tok JOIN dict USING (token)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    from neleval_spark.functions.textops import lang_id
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        lang_id(d).groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+def _stop_sql(lang, words):
+    arr = ("list_filter(regexp_split_to_array(lower(text), "
+           "'[^a-z0-9]+'), t -> t != '')")
+    wl = ", ".join(f"'{w}'" for w in words)
+    return (f"len(list_filter({arr}, t -> list_contains([{wl}], t)))"
+            f" AS s_{lang}")
+
+
+Q_LANG_ID_SQL = (
+    "WITH scored AS (SELECT lang, "
+    + ", ".join(
+        _stop_sql(lg, ws)
+        for lg, ws in {
+            "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+            "de": ["der", "die", "das", "und", "ist", "nicht", "mit",
+                   "ein"],
+            "fr": ["le", "la", "les", "des", "est", "dans", "pour",
+                   "une"],
+        }.items()
+    )
+    + """ FROM documents),
+guessed AS (
+  SELECT lang,
+         CASE WHEN GREATEST(s_en, s_de, s_fr) <= 0 THEN 'und'
+              WHEN s_en = GREATEST(s_en, s_de, s_fr) THEN 'en'
+              WHEN s_de = GREATEST(s_en, s_de, s_fr) THEN 'de'
+              ELSE 'fr' END AS lang_guess
+  FROM scored)
+SELECT lang, lang_guess, COUNT(*) AS n
+FROM guessed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+)
+
+
+def q_quality(spark, sf_dir):
+    from neleval_spark.functions.textops import quality_features
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_features(d)
+    return q.groupBy("lang").agg(
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct"),
+        F.round(F.avg("stopword_ratio"), 6).alias("avg_stop"),
+        F.round(F.avg("mean_token_len"), 6).alias("avg_tok_len"),
+        F.sum("n_tokens").alias("tokens"),
+    ).orderBy("lang")
+
+
+Q_QUALITY_SQL = r"""
+WITH feats AS (
+  SELECT lang,
+         length(text) AS n_chars,
+         len(list_filter(regexp_split_to_array(lower(text),
+                                               '[^a-z0-9]+'),
+                         t -> t != '')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+           AS n_punct,
+         len(list_filter(regexp_split_to_array(lower(text),
+                                               '[^a-z0-9]+'),
+             t -> list_contains(['the','and','of','to','in','is',
+                                 'that','for'], t))) AS n_stop,
+         list_aggregate(
+           list_transform(
+             list_filter(regexp_split_to_array(lower(text),
+                                               '[^a-z0-9]+'),
+                         t -> t != ''),
+             t -> length(t)), 'sum') AS tok_chars
+  FROM documents),
+per_doc AS (
+  SELECT lang, n_tokens,
+         ROUND(n_punct / GREATEST(n_chars, 1), 6) AS punct_ratio,
+         ROUND(CASE WHEN n_tokens > 0
+                    THEN n_stop / CAST(n_tokens AS DOUBLE)
+                    ELSE 0.0 END, 6) AS stopword_ratio,
+         ROUND(CASE WHEN n_tokens > 0
+                    THEN tok_chars / CAST(n_tokens AS DOUBLE)
+                    ELSE 0.0 END, 6) AS mean_token_len
+  FROM feats)
+SELECT lang,
+       ROUND(AVG(punct_ratio), 6) AS avg_punct,
+       ROUND(AVG(stopword_ratio), 6) AS avg_stop,
+       ROUND(AVG(mean_token_len), 6) AS avg_tok_len,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing (decode stubbed, deterministic fake
+    features) — rows-only check."""
+    from neleval_spark.functions.multimodal import (
+        bucketed, extract_features, synth_assets)
+
+    assets = bucketed(synth_assets(spark, 200))
+    feats = extract_features(assets.drop("bucket"))
+    return (
+        feats.groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum(F.element_at("feature", 1)), 4)
+             .alias("f0_sum"))
+        .orderBy("kind")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -700,6 +984,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "cosine_topk": q_cosine_topk,
         "sessionize": q_sessionize,
+        # dedup / similarity / text analysis
+        "minhash": q_minhash,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "doc_fingerprint": q_doc_fingerprint,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        # multimodal plumbing (rows-only)
+        "multimodal_features": q_multimodal_features,
         # construction pipeline (rows-only)
         "pipeline_triples": q_pipeline_triples,
     }
@@ -734,5 +1028,13 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": Q_TOKEN_STATS_SQL,
         "cosine_topk": Q_COSINE_TOPK_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
+        "minhash": Q_MINHASH_SQL,
+        "minhash_pairs": Q_MINHASH_PAIRS_SQL,
+        "simhash": Q_SIMHASH_SQL,
+        "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
+        "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,
+        "lang_id": Q_LANG_ID_SQL,
+        "quality": Q_QUALITY_SQL,
+        # multimodal_features: omitted (binary decode stubs)
         # pipeline_triples: omitted (pandas UDFs + iterative CC)
     }

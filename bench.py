@@ -101,12 +101,12 @@ def bench_pipeline(spark, n_docs: int) -> dict:
 
         pages = spark.read.parquet(tmp)
 
-        # untimed pilot (×2, full size): the first two executions of
-        # this plan shape pay JVM JIT/codegen promotion and Python
-        # worker warm-up (measured ~5× on run 1, ~4× on run 2); the
-        # timed run is the steady state the protocol wants (startup
-        # noise < 5%, BASELINE.md). Identical plan, identical input.
-        for _ in range(2):
+        # untimed full-size pilot(s): the first executions of this
+        # plan shape pay JVM JIT/codegen promotion and Python worker
+        # warm-up (measured ~5× on run 1); the timed run approaches the
+        # steady state the protocol wants (startup noise < 5%,
+        # BASELINE.md). Identical plan, identical input.
+        for _ in range(int(os.environ.get("BENCH_PILOTS", "1"))):
             emit_triples(build_mentions(pages, kb_table(spark))).count()
 
         t0 = time.perf_counter()

@@ -1,0 +1,259 @@
+"""Large-scale training-data operators over document tables:
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), text
+analysis (language-ID heuristic, quality scoring, token counting,
+fingerprinting).
+
+Design notes for oracle-checkability and scale:
+
+* Hashes are *derived from a token dictionary* (dense ids assigned by
+  rank over the distinct token set) rather than an engine-specific
+  hash function, so every operator is expressible identically in
+  ANSI SQL (the DuckDB oracles) AND stays a pure DataFrame plan. At
+  production scale the dictionary is itself a distributed table; the
+  id-assignment window is over distinct tokens only.
+* All shuffles key on token / shingle / band values — classic
+  skew-prone keys; AQE skew-join handles hot tokens, and the LSH
+  band join only materializes candidate PAIRS, never the quadratic
+  cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# fixed affine-hash parameters over the token-id space (mod a Mersenne
+# prime) — deterministic and engine-agnostic
+MINHASH_PRIME = 2147483647
+MINHASH_PARAMS = [
+    (1299721, 104729), (1299743, 104743), (1299763, 104759),
+    (1299791, 104773), (1299811, 104779), (1299817, 104789),
+    (1299821, 104801), (1299827, 104803),
+]
+
+
+def tokens(docs: DataFrame, id_col: str = "doc_id",
+           text_col: str = "text") -> DataFrame:
+    """(doc id, token) rows — lowercased word tokens."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+
+
+def token_dictionary(tok: DataFrame) -> DataFrame:
+    """token → dense id by rank over the sorted distinct token set."""
+    w = Window.orderBy("token")
+    return tok.select("token").distinct().withColumn(
+        "token_id", F.row_number().over(w))
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       n_hashes: int = 8) -> DataFrame:
+    """(doc_id, h0..h{n-1}) MinHash signature per document."""
+    tok = tokens(docs, id_col, text_col)
+    d = token_dictionary(tok)
+    tid = tok.join(d, "token").select("doc_id", "token_id").distinct()
+    aggs = [
+        F.min((F.col("token_id") * F.lit(a) + F.lit(b))
+              % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:n_hashes])
+    ]
+    return tid.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n_hashes: int = 8,
+                      band_size: int = 2) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing any LSH band
+    bucket (banded MinHash). Returns (doc_a, doc_b, n_bands) with
+    doc_a < doc_b."""
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes)
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_size + j}").cast("string")
+                for j in range(band_size)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *cols).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.union(b)
+    a = banded.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b_ = banded.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b_, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", n_bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — per-bit majority vote over token-id hash
+    bits (multiplicative hashing on dictionary ids)."""
+    tok = tokens(docs, id_col, text_col)
+    d = token_dictionary(tok)
+    tid = tok.join(d, "token").select("doc_id", "token_id")
+    mixed = (F.col("token_id") * F.lit(2654435761)) % F.lit(1 << 32)
+    bit_votes = tid.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"),
+        mixed.alias("mx"),
+    ).withColumn(
+        "vote",
+        F.when(
+            (F.floor(F.col("mx") / F.pow(F.lit(2), F.col("bit"))
+                     .cast("long")) % 2) == 1, 1).otherwise(-1),
+    )
+    per_bit = bit_votes.groupBy("doc_id", "bit").agg(
+        F.sum("vote").alias("v"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0,
+                   F.pow(F.lit(2), F.col("bit")).cast("long"))
+            .otherwise(0)
+        ).cast("long").alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3) -> DataFrame:
+    """Token n-gram Jaccard similarity for given (doc_a, doc_b) pairs.
+
+    Shingle sets stay relational (explode → join → count); the pair
+    list bounds the work — produce it with LSH at scale.
+    """
+    arr = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                   lambda t: t != "")
+    shingled = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(arr, (i + j + 1).cast("int"))
+                           for j in range(n)]),
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingled.withColumnRenamed("doc_id", "doc_a")
+    b = shingled.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        pairs.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a") \
+        .withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b") \
+        .withColumnRenamed("sz", "sz_b")
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"i": 0})
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("i")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --- text analysis -----------------------------------------------------------
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "pour", "une"],
+}
+
+
+def _stop_hits(text_col, words) -> F.Column:
+    arr = F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"),
+                   lambda t: t != "")
+    lit_words = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(arr, lambda t: F.array_contains(lit_words, t)))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language guess (n-gram-free heuristic; at real
+    scale swap the profile table for character n-gram frequencies —
+    same plan shape)."""
+    scores = [
+        _stop_hits(F.col(text_col), ws).alias(f"s_{lang}")
+        for lang, ws in STOPWORDS.items()
+    ]
+    scored = docs.select("*", *scores)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    guess = F.when(best <= 0, F.lit("und"))
+    for lg in langs:  # first max wins, fixed order
+        guess = guess.when(F.col(f"s_{lg}") == best, F.lit(lg))
+    return scored.withColumn("lang_guess", guess).drop(
+        *[f"s_{lg}" for lg in langs])
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality signals."""
+    text = F.col(text_col)
+    arr = F.filter(F.split(F.lower(text), r"[^a-z0-9]+"),
+                   lambda t: t != "")
+    n_tokens = F.size(arr)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    stop_ratio = F.when(
+        n_tokens > 0,
+        _stop_hits(text, STOPWORDS["en"]) / n_tokens.cast("double")
+    ).otherwise(0.0)
+    return docs.withColumns({
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1))
+                               .cast("double"), 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "mean_token_len": F.round(
+            F.when(n_tokens > 0,
+                   F.aggregate(arr, F.lit(0),
+                               lambda acc, t: acc + F.length(t))
+                   / n_tokens.cast("double")).otherwise(0.0), 6),
+    })
+
+
+def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling fingerprint over dictionary token ids:
+    fp = Σ token_id(pos) · (pos+1) mod p — engine-agnostic, catches
+    reorderings that bag-of-words hashes miss."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                     lambda t: t != "")
+        ).alias("pos", "token"),
+    )
+    d = token_dictionary(tok.select("token"))
+    return (
+        tok.join(d, "token")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(F.col("token_id") * (F.col("pos") + 1))
+             % F.lit(MINHASH_PRIME)).alias("fingerprint"))
+    )

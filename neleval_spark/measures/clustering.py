@@ -183,6 +183,13 @@ def pairwise(gold: DataFrame, pred: DataFrame, key: list[str],
 # components and solve Hungarian per block.
 DRIVER_SOLVE_MAX_EDGES = 100_000
 
+# Hungarian is O(n³) per component; a pathological all-overlapping
+# component would stall an executor. The reference used a 900 s
+# SIGALRM returning zeros (coref_metrics.py:443-471); here oversized
+# components are skipped with a warning and contribute 0 to the
+# assignment total — a per-component guard instead of a global timer.
+MAX_COMPONENT_EDGES = 2_000_000
+
 
 def _solve_edge_list(eid_g, eid_s, sims) -> float:
     """Component-decomposed max-weight assignment over an edge list
@@ -304,6 +311,8 @@ def _assignment_totals_distributed(sim: DataFrame,
     rest = sim.where(~F.col("trivial"))
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import warnings
+
         import numpy as np
 
         from neleval_spark.functions.assignment import (
@@ -311,6 +320,15 @@ def _assignment_totals_distributed(sim: DataFrame,
 
         out = []
         for comp, grp in pdf.groupby("comp", sort=False):
+            if len(grp) > MAX_COMPONENT_EDGES:
+                warnings.warn(
+                    f"CEAF component with {len(grp)} edges exceeds "
+                    f"guard ({MAX_COMPONENT_EDGES}); contributing 0 "
+                    "(reference analogue: 900s timeout -> zeros)")
+                first = grp.iloc[0]
+                out.append({**{c: first[c] for c in gcols},
+                            "comp": comp, "total": 0.0})
+                continue
             gids = {v: i for i, v in enumerate(pd.unique(grp["eid_g"]))}
             sids = {v: i for i, v in enumerate(pd.unique(grp["eid_s"]))}
             X = np.zeros((len(gids), len(sids)))

@@ -250,3 +250,19 @@ def tab_format(results: dict, num_fmt="{:.3f}", delimiter="\t") -> str:
         row.append(measure)
         lines.append(delimiter.join(row))
     return "\n".join(lines)
+
+
+def read_tab_format(lines) -> dict:
+    """Re-ingest ``tab_format`` output (reference:
+    Evaluate.read_tab_format, evaluate.py:208-218)."""
+    it = iter(lines)
+    header = next(it).rstrip()
+    expected = "\t".join([m[:6] for m in METRICS] + ["measure"])
+    assert header == expected, (
+        f"Differing headers: expected {expected!r}, got {header!r}")
+    results = {}
+    for line in it:
+        row = line.rstrip().split("\t")
+        measure = row.pop()
+        results[measure] = dict(zip(METRICS, map(float, row)))
+    return results

@@ -1,0 +1,221 @@
+"""Statistical machinery: paired permutation significance tests and
+percentile-bootstrap confidence intervals.
+
+Reference semantics (neleval/significance.py):
+
+* permutation test (:52-70): n trials; each trial flips each document's
+  (sys1, sys2) contingency matrices with p=.5, sums them, and counts
+  trials whose pseudo-difference is at least as extreme as the base
+  difference; p = (better + 1) / (n + 1);
+* percentile bootstrap (:224-248): resample documents with
+  replacement, recompute P/R/F per trial, NIST-interpolated percentile
+  bounds (exactly :237-248 — ``percentile_approx`` is NOT equivalent).
+
+Scale design: the reference materializes per-doc Matrix lists on one
+machine and joblib-forks trials. Here the per-doc contingency table is
+a DataFrame (one row per doc, additive by construction — the whole
+reason the measures distribute, SURVEY.md §1.1 'Matrix'), and the
+trial loop is ONE ``mapInPandas`` pass over doc partitions: each
+partition computes, vectorized in numpy, its partial contribution to
+every trial's pseudo-sums simultaneously (O(docs × trials) flops, no
+driver materialization of the doc table). Randomness is a
+deterministic mix of (doc hash, trial id) — reproducible regardless of
+partitioning or executor count. The per-trial resampling is the
+Poisson bootstrap (the standard bootstrap-at-scale construction) for
+CIs, and multiply-shift hash bits for permutation flips.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MIX = np.uint64(0x9E3779B97F4A7C15)
+MIX2 = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def per_doc_contingency(sys_df: DataFrame, gold_df: DataFrame,
+                        measure) -> DataFrame:
+    """(docid, ptp, fp, rtp, fn) — reference: Evaluate.count
+    (evaluate.py:173-181) over iter_pairs' docid union."""
+    from ..measures.catalog import get_measure
+    from ..measures.contingency import contingency_df
+
+    spec = get_measure(measure)
+    return contingency_df(sys_df, gold_df, spec, gcols=["docid"])
+
+
+def _doc_hashes(docids: pd.Series) -> np.ndarray:
+    # FNV-1a over utf-8 bytes, vectorized enough for batch sizes
+    out = np.empty(len(docids), dtype=np.uint64)
+    for i, d in enumerate(docids):
+        h = np.uint64(0xCBF29CE484222325)
+        for b in str(d).encode("utf-8"):
+            h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def _trial_partials(joined: DataFrame, n_trials: int, seed: int,
+                    mode: str) -> np.ndarray:
+    """One distributed pass: per partition, vectorized partial sums for
+    all trials. Returns [n_trials, 8] (sys1 ptp,fp,rtp,fn, sys2 ...).
+    """
+    cols = ["ptp1", "fp1", "rtp1", "fn1", "ptp2", "fp2", "rtp2", "fn2"]
+    tseed = np.uint64(seed)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            h = _doc_hashes(pdf["docid"])
+            m1 = pdf[cols[:4]].to_numpy(dtype=np.float64)
+            m2 = pdf[cols[4:]].to_numpy(dtype=np.float64)
+            t = np.arange(n_trials, dtype=np.uint64)
+            # mix(doc, trial): multiply-shift hash bits
+            mixed = (h[:, None] ^ ((t[None, :] + tseed) * MIX)) * MIX2
+            if mode == "permute":
+                flip = (mixed >> np.uint64(63)).astype(bool)  # [docs, trials]
+                # pseudo1 = flip ? m2 : m1 ; pseudo2 = flip ? m1 : m2
+                p1 = np.einsum("dt,dk->tk", (~flip).astype(np.float64), m1) \
+                    + np.einsum("dt,dk->tk", flip.astype(np.float64), m2)
+                p2 = np.einsum("dt,dk->tk", (~flip).astype(np.float64), m2) \
+                    + np.einsum("dt,dk->tk", flip.astype(np.float64), m1)
+            elif mode == "poisson":
+                # Poisson(1) weights from the mixed hash (inverse CDF
+                # over a uniform derived from the top 53 bits)
+                u = (mixed >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+                w = _poisson_icdf(u).astype(np.float64)
+                p1 = np.einsum("dt,dk->tk", w, m1)
+                p2 = np.einsum("dt,dk->tk", w, m2)
+            else:
+                raise ValueError(mode)
+            out = np.hstack([p1, p2]).reshape(n_trials * 8)
+            yield pd.DataFrame({"partial": [out.tolist()]})
+
+    parts = joined.mapInPandas(gen, schema="partial array<double>")
+    rows = parts.collect()
+    total = np.zeros(n_trials * 8)
+    for r in rows:
+        total += np.asarray(r["partial"])
+    return total.reshape(n_trials, 8)
+
+
+_POISSON_CDF = None
+
+
+def _poisson_icdf(u: np.ndarray) -> np.ndarray:
+    """Inverse CDF of Poisson(1) via table lookup (k ≤ 12 covers
+    1 - 1e-13 of the mass)."""
+    global _POISSON_CDF
+    if _POISSON_CDF is None:
+        import math
+
+        pmf = [math.exp(-1) / math.factorial(k) for k in range(13)]
+        _POISSON_CDF = np.cumsum(pmf)
+    return np.searchsorted(_POISSON_CDF, u).astype(np.int64)
+
+
+def _metrics_from(mat: np.ndarray) -> dict[str, np.ndarray]:
+    """Vectorized P/R/F over [n, 4] (ptp, fp, rtp, fn) arrays with the
+    reference's zero-denominator → 0 rule (evaluate.py:279-286)."""
+    ptp, fp, rtp, fn = mat[:, 0], mat[:, 1], mat[:, 2], mat[:, 3]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = np.where(ptp + fp > 0, ptp / (ptp + fp), 0.0)
+        r = np.where(rtp + fn > 0, rtp / (rtp + fn), 0.0)
+        f = np.where(p + r > 0, 2 * p * r / (p + r), 0.0)
+    return {"precision": p, "recall": r, "fscore": f,
+            "ptp": ptp, "fp": fp, "rtp": rtp, "fn": fn}
+
+
+def _join_per_doc(pd1: DataFrame, pd2: DataFrame) -> DataFrame:
+    a = pd1.select(
+        "docid", F.col("ptp").alias("ptp1"), F.col("fp").alias("fp1"),
+        F.col("rtp").alias("rtp1"), F.col("fn").alias("fn1"))
+    b = pd2.select(
+        "docid", F.col("ptp").alias("ptp2"), F.col("fp").alias("fp2"),
+        F.col("rtp").alias("rtp2"), F.col("fn").alias("fn2"))
+    return a.join(b, "docid", "full_outer").na.fill(0.0)
+
+
+def permutation_test(
+    per_doc1: DataFrame,
+    per_doc2: DataFrame,
+    n_trials: int = 2500,
+    metrics: tuple[str, ...] = ("precision", "recall", "fscore"),
+    seed: int = 42,
+) -> dict:
+    """Paired permutation test between two systems' per-doc
+    contingency tables. Returns {metric: {'diff': .., 'p': ..}}."""
+    joined = _join_per_doc(per_doc1, per_doc2)
+
+    base = joined.agg(
+        *[F.sum(c).alias(c)
+          for c in ("ptp1", "fp1", "rtp1", "fn1",
+                    "ptp2", "fp2", "rtp2", "fn2")]).collect()[0]
+    b1 = np.array([[base["ptp1"], base["fp1"], base["rtp1"], base["fn1"]]],
+                  dtype=float)
+    b2 = np.array([[base["ptp2"], base["fp2"], base["rtp2"], base["fn2"]]],
+                  dtype=float)
+    base1 = _metrics_from(b1)
+    base2 = _metrics_from(b2)
+    base_diff = {m: float(base1[m][0] - base2[m][0]) for m in metrics}
+
+    partials = _trial_partials(joined, n_trials, seed, "permute")
+    t1 = _metrics_from(partials[:, :4])
+    t2 = _metrics_from(partials[:, 4:])
+
+    out = {}
+    for m in metrics:
+        diffs = t1[m] - t2[m]
+        if base_diff[m] < 0:
+            better = int((diffs <= base_diff[m]).sum())
+        else:
+            better = int((diffs >= base_diff[m]).sum())
+        out[m] = {"diff": base_diff[m],
+                  "p": (better + 1) / (n_trials + 1)}
+    return out
+
+
+def nist_percentile(ordered, p: float) -> float:
+    """Exact NIST interpolated percentile
+    (reference: neleval/significance.py:237-248)."""
+    k, d = divmod(p / 100 * (len(ordered) + 1), 1)
+    k = int(k)
+    if 0 < k < len(ordered):
+        lo, hi = ordered[k - 1:k + 1]
+        return lo + d * (hi - lo)
+    elif k == 0:
+        return ordered[0]
+    return ordered[-1]
+
+
+def bootstrap_confidence(
+    per_doc: DataFrame,
+    n_trials: int = 2500,
+    percentiles: tuple[int, ...] = (90, 95, 99),
+    metrics: tuple[str, ...] = ("precision", "recall", "fscore"),
+    seed: int = 42,
+) -> dict:
+    """Percentile-bootstrap CIs for one system (Poisson bootstrap over
+    documents; NIST percentile interpolation on the collected 2,500
+    trial scores — tiny, driver-side, exactly like the reference)."""
+    joined = per_doc.select(
+        "docid",
+        F.col("ptp").alias("ptp1"), F.col("fp").alias("fp1"),
+        F.col("rtp").alias("rtp1"), F.col("fn").alias("fn1"),
+    ).withColumns({"ptp2": F.lit(0.0), "fp2": F.lit(0.0),
+                   "rtp2": F.lit(0.0), "fn2": F.lit(0.0)})
+    partials = _trial_partials(joined, n_trials, seed, "poisson")
+    t = _metrics_from(partials[:, :4])
+    out = {}
+    for m in metrics:
+        values = sorted(t[m].tolist())
+        out[m] = {
+            p: (nist_percentile(values, (100 - p) / 2),
+                nist_percentile(values, 100 - (100 - p) / 2))
+            for p in percentiles
+        }
+    return out

@@ -25,7 +25,8 @@ def _cc_oracle(edges):
 
 def _cc_spark(spark, edges):
     df = spark.createDataFrame(edges, "src string, dst string")
-    rows = connected_components(df).collect()
+    # driver_max_edges=0 forces the distributed star-contraction path
+    rows = connected_components(df, driver_max_edges=0).collect()
     comps = {}
     for r in rows:
         comps.setdefault(r["component"], set()).add(r["vertex"])

@@ -1,0 +1,149 @@
+"""Training-data operators: dedup family, text analysis, similarity
+search (brute force vs LSH recall), multimodal plumbing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="testdata not present")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_minhash_near_dups_found(spark):
+    """Near-identical docs must collide in every band; unrelated docs
+    in none."""
+    from neleval_spark.functions.textops import minhash_lsh_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely different content about spark engines"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_bands"]
+             for r in minhash_lsh_pairs(d).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_similar_docs_close(spark):
+    from neleval_spark.functions.textops import simhash
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    s = {r["doc_id"]: r["simhash"] for r in simhash(d).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(s[1], s[2]) < ham(s[1], s[3])
+
+
+def test_ngram_jaccard(spark):
+    from neleval_spark.functions.textops import ngram_jaccard_pairs
+
+    rows = [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3)],
+                                  "doc_a long, doc_b long")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(d, pairs).collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.0
+
+
+def test_fingerprint_order_sensitive(spark):
+    from neleval_spark.functions.textops import doc_fingerprint
+
+    rows = [(1, "alpha beta gamma"), (2, "gamma beta alpha"),
+            (3, "alpha beta gamma")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: r["fingerprint"]
+          for r in doc_fingerprint(d).collect()}
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[2]  # same bag of words, different order
+
+
+def test_lang_id_heuristic(spark):
+    """The testdata documents table carries random lang labels over
+    English-ish token salads, so lang-ID is tested on real snippets."""
+    from neleval_spark.functions.textops import lang_id
+
+    rows = [
+        (1, "the cat sat on the mat and looked to the door", "en"),
+        (2, "der hund ist nicht mit der katze und das haus", "de"),
+        (3, "le chat est dans la maison pour les vacances", "fr"),
+        (4, "zzz qqq xxx", "und"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, "
+                              "expected string")
+    got = {r["doc_id"]: r["lang_guess"] for r in lang_id(d).collect()}
+    exp = {r[0]: r[2] for r in rows}
+    assert got == exp
+
+
+def test_quality_features(spark):
+    from neleval_spark.functions.textops import quality_features
+
+    d = spark.createDataFrame(
+        [(1, "The cat, and the dog!"), (2, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in quality_features(d).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 5
+    assert r1["stopword_ratio"] == 0.6  # the, and, the
+    assert r1["punct_ratio"] > 0
+    r2 = rows[2]
+    assert r2["n_tokens"] == 0 and r2["stopword_ratio"] == 0.0
+
+
+def test_ann_lsh_recall(spark):
+    """LSH top-k must recover most of the exact top-k (the scale
+    path's recall contract)."""
+    from neleval_spark.functions.similarity import ann_lsh_topk, cosine_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb = F.col("embedding").cast("array<double>")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), emb.alias("qv"))
+    c = e.select(F.col("vec_id").alias("cid"), emb.alias("cv"))
+
+    exact = {(r["qid"], r["cid"])
+             for r in cosine_topk(q, c, k=5).collect()}
+    approx = {(r["qid"], r["cid"])
+              for r in ann_lsh_topk(q, c, k=5, n_tables=12,
+                                    n_planes=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    # recall/candidate-count tradeoff is tunable via tables/planes;
+    # 12x4 on 64-dim uniform-ish vectors must recover the majority
+    assert recall >= 0.6, recall
+
+
+def test_multimodal_plumbing(spark):
+    from neleval_spark.functions.multimodal import (
+        FEATURE_DIM, bucketed, decode_stub, extract_features,
+        synth_assets)
+
+    assets = synth_assets(spark, 50)
+    feats = extract_features(assets).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert r["n_bytes"] > 0
+    # deterministic: same bytes → same feature
+    f2 = extract_features(synth_assets(spark, 50)).collect()
+    assert sorted((r["asset_id"], tuple(r["feature"])) for r in feats) \
+        == sorted((r["asset_id"], tuple(r["feature"])) for r in f2)
+    # bucketing is stable
+    b = bucketed(synth_assets(spark, 50))
+    assert b.select("bucket").distinct().count() <= 64
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"x", "image")
