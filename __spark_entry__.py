@@ -716,13 +716,15 @@ def q_simhash(spark, sf_dir):
 
 
 Q_SIMHASH_SQL = _TOK_SQL + """
-, bits AS (SELECT UNNEST(generate_series(0, 11)) AS bit),
+, tid_tf AS (SELECT doc_id, token_id
+             FROM tok JOIN dict USING (token)),
+bits AS (SELECT UNNEST(generate_series(0, 11)) AS bit),
 votes AS (
   SELECT doc_id, bit,
          CASE WHEN CAST(FLOOR(((token_id * 2654435761) % 4294967296)
                     / CAST(pow(2, bit) AS BIGINT)) AS BIGINT) % 2 = 1
               THEN 1 ELSE -1 END AS vote
-  FROM tid, bits),
+  FROM tid_tf, bits),
 per_bit AS (SELECT doc_id, bit, SUM(vote) AS v
             FROM votes GROUP BY 1, 2)
 SELECT doc_id,
@@ -785,13 +787,15 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 Q_DOC_FINGERPRINT_SQL = r"""
-WITH tok AS (
-  SELECT doc_id, t.token, t.ord - 1 AS pos
-  FROM documents,
-       UNNEST(list_filter(regexp_split_to_array(lower(text),
-                                                '[^a-z0-9]+'),
-                          x -> x != ''))
-       WITH ORDINALITY AS t(token, ord)),
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS arr
+  FROM documents),
+tok AS (
+  SELECT doc_id, UNNEST(arr) AS token,
+         generate_subscripts(arr, 1) - 1 AS pos
+  FROM arrs),
 dict AS (
   SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS token_id
   FROM (SELECT DISTINCT token FROM tok))
