@@ -162,9 +162,14 @@ def run_scaling() -> None:
             capture_output=True, text=True, env=env, cwd=REPO,
             timeout=3600,
         )
-        line = [ln for ln in out.stdout.strip().splitlines()
-                if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        lines = [ln for ln in out.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        if not lines:
+            sys.stderr.write(
+                f"pipeline-only@{cpus} produced no result; stderr tail:\n"
+                + "\n".join(out.stderr.splitlines()[-30:]) + "\n")
+            raise RuntimeError(f"scaling subprocess failed at {cpus}")
+        results[cpus] = json.loads(lines[-1])
 
     t8 = results[8]["docs_per_sec"]
     t32 = results[32]["docs_per_sec"]

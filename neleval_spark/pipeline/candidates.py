@@ -53,12 +53,14 @@ def score_and_select(cands: DataFrame) -> DataFrame:
         F.col("eid"), F.col("score"), F.col("type"),
         F.lit(None).cast("map<string,string>").alias("attrs"))
     mkey = ["url", "start", "end"]
+    # context is a scoring feature only — dropping it here halves the
+    # width of everything downstream (materialization, canonicalize,
+    # triples)
     agg = (
         scored.groupBy(*mkey)
         .agg(
             F.first("surface").alias("surface"),
             F.first("sent_uid").alias("sent_uid"),
-            F.first("context").alias("context"),
             F.max_by(cand_struct, F.col("score")).alias("top"),
             F.sort_array(
                 F.collect_list(
@@ -68,7 +70,7 @@ def score_and_select(cands: DataFrame) -> DataFrame:
         )
     )
     return agg.select(
-        *mkey, "surface", "sent_uid", "context",
+        *mkey, "surface", "sent_uid",
         F.col("top")["eid"].alias("eid"),
         F.col("top")["score"].alias("score"),
         F.col("top")["type"].alias("type"),

@@ -44,11 +44,21 @@ def build_mentions(pages: DataFrame, kb: DataFrame,
     # groupBy(url, start, end) clustering
     mentions = mentions.repartition(F.col("url"))
     cands = generate_candidates(mentions, kb)
-    # materialize the scored mention table once: canonicalization fans
-    # out into ≥3 consumers (nil branch, linked branch, key graph) and
-    # a live plan with Python stages would re-run per consumer
-    linked = score_and_select(cands).localCheckpoint(eager=True)
+    # materialize the scored mention table once (canonicalization fans
+    # out into ≥3 consumers — nil branch, linked branch, key graph —
+    # and a live plan with Python stages would re-run per consumer).
+    # DISK_ONLY serialized: deserialized in-heap caching of tens of
+    # millions of nested rows is a GC death spiral at high parallelism.
+    linked = _materialize(score_and_select(cands))
     return canonicalize_nils(linked)
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.DISK_ONLY)
+    df.count()
+    return df
 
 
 def to_neleval_mentions(mentions: DataFrame) -> DataFrame:
@@ -83,9 +93,9 @@ def run_pipeline(
 
     Returns {'mentions': DF, 'triples': DF, 'manifest': DF|None}.
     """
-    # triples fan out (mentioned_in + self-joined cooccurs): truncate
-    # lineage so the UDF stages run exactly once
-    mentions = build_mentions(pages, kb).localCheckpoint(eager=True)
+    # triples fan out (mentioned_in + self-joined cooccurs): the
+    # canonicalized mentions are materialized once, serialized on disk
+    mentions = _materialize(build_mentions(pages, kb))
     triples = emit_triples(mentions, n_buckets=n_buckets)
     manifest = None
     if out_dir is not None:
