@@ -635,6 +635,14 @@ FROM per
 
 # --- training-data dedup / analysis ops -------------------------------------
 
+# token id = polynomial 31-fold over ascii codes mod 2^31-1 — the exact
+# expression neleval_spark.functions.textops.token_hash computes JVM-side
+_TOKEN_HASH_SQL = """list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(token) + 1),
+               i -> CAST(ascii(substring(token, i, 1)) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 2147483647)"""
+
 _TOK_SQL = r"""
 WITH tok AS (
   SELECT doc_id,
@@ -642,11 +650,10 @@ WITH tok AS (
                                                   '[^a-z0-9]+'),
                             t -> t != '')) AS token
   FROM documents),
-dict AS (
-  SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS token_id
-  FROM (SELECT DISTINCT token FROM tok)),
-tid AS (SELECT DISTINCT doc_id, token_id
-        FROM tok JOIN dict USING (token))
+hashed AS (
+  SELECT doc_id, """ + _TOKEN_HASH_SQL + r""" AS token_id
+  FROM tok),
+tid AS (SELECT DISTINCT doc_id, token_id FROM hashed)
 """
 
 
@@ -716,8 +723,7 @@ def q_simhash(spark, sf_dir):
 
 
 Q_SIMHASH_SQL = _TOK_SQL + """
-, tid_tf AS (SELECT doc_id, token_id
-             FROM tok JOIN dict USING (token)),
+, tid_tf AS (SELECT doc_id, token_id FROM hashed),
 bits AS (SELECT UNNEST(generate_series(0, 11)) AS bit),
 votes AS (
   SELECT doc_id, bit,
@@ -796,13 +802,13 @@ tok AS (
   SELECT doc_id, UNNEST(arr) AS token,
          generate_subscripts(arr, 1) - 1 AS pos
   FROM arrs),
-dict AS (
-  SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS token_id
-  FROM (SELECT DISTINCT token FROM tok))
+terms AS (
+  SELECT doc_id,
+         (""" + _TOKEN_HASH_SQL + r""" * (pos + 1)) % 2147483647 AS term
+  FROM tok)
 SELECT doc_id,
-       CAST(SUM(token_id * (pos + 1)) % 2147483647 AS BIGINT)
-         AS fingerprint
-FROM tok JOIN dict USING (token)
+       CAST(SUM(term) % 2147483647 AS BIGINT) AS fingerprint
+FROM terms
 GROUP BY doc_id ORDER BY doc_id
 """
 

@@ -5,12 +5,14 @@ fingerprinting).
 
 Design notes for oracle-checkability and scale:
 
-* Hashes are *derived from a token dictionary* (dense ids assigned by
-  rank over the distinct token set) rather than an engine-specific
-  hash function, so every operator is expressible identically in
-  ANSI SQL (the DuckDB oracles) AND stays a pure DataFrame plan. At
-  production scale the dictionary is itself a distributed table; the
-  id-assignment window is over distinct tokens only.
+* Token ids are a *direct polynomial hash over the token's bytes*
+  (h = fold(h*31 + ascii(c)) mod 2^31-1) — a pure per-row column
+  expression both engines compute identically (Spark `aggregate`
+  over chars / DuckDB `list_reduce`). No dictionary table, no join,
+  and crucially no global id-assignment window: the round-1 design
+  ranked distinct tokens with `Window.orderBy(...)`, which funnels
+  the whole vocabulary through ONE partition — a guaranteed stall at
+  web scale. Hashing is embarrassingly parallel and ships zero state.
 * All shuffles key on token / shingle / band values — classic
   skew-prone keys; AQE skew-join handles hot tokens, and the LSH
   band join only materializes candidate PAIRS, never the quadratic
@@ -19,7 +21,7 @@ Design notes for oracle-checkability and scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # fixed affine-hash parameters over the token-id space (mod a Mersenne
@@ -46,20 +48,29 @@ def tokens(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def token_dictionary(tok: DataFrame) -> DataFrame:
-    """token → dense id by rank over the sorted distinct token set."""
-    w = Window.orderBy("token")
-    return tok.select("token").distinct().withColumn(
-        "token_id", F.row_number().over(w))
+def token_hash(col: F.Column) -> F.Column:
+    """Engine-agnostic token id: polynomial 31-fold over the token's
+    ascii codes, mod 2^31-1. Pure column expression — no dictionary,
+    no shuffle, no driver state; DuckDB computes the identical value
+    via list_reduce (see Q_MINHASH_SQL)."""
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars, F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(MINHASH_PRIME))
+
+
+def token_ids(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(doc_id, token_id) rows — hashed word tokens."""
+    return tokens(docs, id_col, text_col).select(
+        "doc_id", token_hash(F.col("token")).alias("token_id"))
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        n_hashes: int = 8) -> DataFrame:
     """(doc_id, h0..h{n-1}) MinHash signature per document."""
-    tok = tokens(docs, id_col, text_col)
-    d = token_dictionary(tok)
-    tid = tok.join(d, "token").select("doc_id", "token_id").distinct()
+    tid = token_ids(docs, id_col, text_col).distinct()
     aggs = [
         F.min((F.col("token_id") * F.lit(a) + F.lit(b))
               % F.lit(MINHASH_PRIME)).alias(f"h{i}")
@@ -103,10 +114,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 def simhash(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text", n_bits: int = 16) -> DataFrame:
     """(doc_id, simhash) — per-bit majority vote over token-id hash
-    bits (multiplicative hashing on dictionary ids)."""
-    tok = tokens(docs, id_col, text_col)
-    d = token_dictionary(tok)
-    tid = tok.join(d, "token").select("doc_id", "token_id")
+    bits (multiplicative mixing on hashed token ids)."""
+    tid = token_ids(docs, id_col, text_col)
     mixed = (F.col("token_id") * F.lit(2654435761)) % F.lit(1 << 32)
     bit_votes = tid.select(
         "doc_id",
@@ -239,9 +248,10 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
-    """Order-sensitive rolling fingerprint over dictionary token ids:
-    fp = Σ token_id(pos) · (pos+1) mod p — engine-agnostic, catches
-    reorderings that bag-of-words hashes miss."""
+    """Order-sensitive rolling fingerprint over hashed token ids:
+    fp = Σ (token_id(pos) · (pos+1) mod p) mod p — engine-agnostic,
+    catches reorderings that bag-of-words hashes miss. Per-term mod
+    keeps every partial sum < p·n_tokens, ANSI-overflow-safe."""
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
@@ -249,11 +259,10 @@ def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id",
                      lambda t: t != "")
         ).alias("pos", "token"),
     )
-    d = token_dictionary(tok.select("token"))
+    term = (token_hash(F.col("token")) * (F.col("pos") + 1)) \
+        % F.lit(MINHASH_PRIME)
     return (
-        tok.join(d, "token")
+        tok.select("doc_id", term.alias("term"))
         .groupBy("doc_id")
-        .agg(
-            (F.sum(F.col("token_id") * (F.col("pos") + 1))
-             % F.lit(MINHASH_PRIME)).alias("fingerprint"))
+        .agg((F.sum("term") % F.lit(MINHASH_PRIME)).alias("fingerprint"))
     )
