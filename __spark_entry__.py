@@ -401,6 +401,71 @@ FROM p
 """
 
 
+def q_overlap_sumsum(spark, sf_dir):
+    """A10: full overlap-sumsum contingency — interval-union credit per
+    ref annotation on both sides (neleval/annotation.py:437-465)."""
+    from neleval_spark.measures.catalog import MeasureSpec
+    from neleval_spark.measures.overlap import overlap_contingency
+
+    out = overlap_contingency(
+        _mentions(spark, sf_dir, "sys"),
+        _mentions(spark, sf_dir, "gold"),
+        MeasureSpec(("span",), None, "overlap-sumsum"))
+    return out.select(*[F.round(c, 6).alias(c)
+                        for c in ("ptp", "fp", "rtp", "fn")])
+
+
+def _union_credit_sql(ref: str, cand: str) -> str:
+    """Per-distinct-ref interval-union credit (gaps-and-islands over
+    unclipped candidate spans, clipped per merged run — mirrors the
+    reference's paren sweep and textops' JVM fold)."""
+    return f"""
+SELECT SUM(credit) AS credit FROM (
+  WITH p AS (
+    SELECT r.docid, r.start AS rs, r."end" AS re,
+           c.start AS cs, c."end" AS ce
+    FROM {ref} r JOIN {cand} c USING (docid)
+    WHERE c.start <= r."end" AND r.start <= c."end"),
+  -- dedup: union credit is duplicate-invariant, and distinct rows make
+  -- the two island windows' tie order deterministic
+  pd AS (SELECT DISTINCT * FROM p),
+  w AS (
+    SELECT *, CASE WHEN cs > COALESCE(MAX(ce) OVER (
+                 PARTITION BY docid, rs, re ORDER BY cs, ce
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 cs - 1) THEN 1 ELSE 0 END AS new_run
+    FROM pd),
+  runs AS (
+    SELECT docid, rs, re,
+           SUM(new_run) OVER (PARTITION BY docid, rs, re
+                              ORDER BY cs, ce
+                              ROWS UNBOUNDED PRECEDING) AS run_id,
+           cs, ce
+    FROM w),
+  merged AS (
+    SELECT docid, rs, re, run_id,
+           MIN(cs) AS o, MAX(ce) AS c
+    FROM runs GROUP BY 1, 2, 3, 4)
+  SELECT docid, rs, re,
+         SUM(CAST(LEAST(c, re) - GREATEST(o, rs) + 1 AS DOUBLE))
+           / CAST(re - rs + 1 AS DOUBLE) AS credit
+  FROM merged GROUP BY 1, 2, 3)
+"""
+
+
+Q_OVERLAP_SUMSUM_SQL = _MENTIONS_SQL + f"""
+, sc AS ({_union_credit_sql('sys_d', 'gold_d')}),
+gc AS ({_union_credit_sql('gold_d', 'sys_d')}),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM sys_d),
+ng AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM gold_d)
+SELECT ROUND(COALESCE(sc.credit, 0), 6) AS ptp,
+       ROUND(ns.n - COALESCE(sc.credit, 0), 6) AS fp,
+       ROUND(COALESCE(gc.credit, 0), 6) AS rtp,
+       ROUND(ng.n - COALESCE(gc.credit, 0), 6) AS fn
+FROM sc, gc, ns, ng
+"""
+
+
 # --- clustering measure oracles -------------------------------------------
 
 Q_MUC_SQL = _CLUSTER_SQL + """
@@ -423,6 +488,27 @@ rd AS (SELECT CAST(SUM(n) AS DOUBLE) AS v FROM ng)
 SELECT ROUND(nums.p_num, 6) AS ptp, ROUND(pd.v - nums.p_num, 6) AS fp,
        ROUND(nums.r_num, 6) AS rtp, ROUND(rd.v - nums.r_num, 6) AS fn
 FROM nums, pd, rd
+"""
+
+Q_PAIRWISE_NEGATIVE_SQL = _CLUSTER_SQL + """
+, A AS (SELECT CAST(COALESCE(SUM(i * (i - 1) / 2), 0) AS DOUBLE) AS v
+        FROM I),
+cg AS (SELECT eid_g, SUM(i) AS c FROM I GROUP BY 1),
+cs AS (SELECT eid_s, SUM(i) AS c FROM I GROUP BY 1),
+PG AS (SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS DOUBLE) AS v
+       FROM cg),
+PS AS (SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS DOUBLE) AS v
+       FROM cs),
+M AS (SELECT CAST(COALESCE(SUM(i), 0) AS DOUBLE) AS v FROM I),
+pden AS (SELECT CAST(SUM(n) * (SUM(n) - 1) / 2 - SUM(n * (n - 1) / 2)
+              AS DOUBLE) AS v FROM ns),
+rden AS (SELECT CAST(SUM(n) * (SUM(n) - 1) / 2 - SUM(n * (n - 1) / 2)
+              AS DOUBLE) AS v FROM ng),
+num AS (SELECT M.v * (M.v - 1) / 2 - PG.v - PS.v + A.v AS v
+        FROM M, PG, PS, A)
+SELECT ROUND(num.v, 6) AS ptp, ROUND(pden.v - num.v, 6) AS fp,
+       ROUND(num.v, 6) AS rtp, ROUND(rden.v - num.v, 6) AS fn
+FROM num, pden, rden
 """
 
 Q_PAIRWISE_SQL = _CLUSTER_SQL + """
@@ -976,6 +1062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "muc": _measure_query("muc"),
         "b_cubed": _measure_query("b_cubed"),
         "pairwise": _measure_query("pairwise"),
+        # reference exposes this via custom measure strings only
+        "pairwise_negative": _measure_query("pairwise_negative:None:span"),
         "mention_ceaf": q_mention_ceaf,
         # row transforms / joins / windows
         "is_first": q_is_first,
@@ -986,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "excluded_spans": q_excluded_spans,
         "overlap_pairs": q_overlap_pairs,
+        "overlap_sumsum": q_overlap_sumsum,
         # aggregation / ranking
         "lineitem_pricing": q_lineitem_pricing,
         "rank_systems": q_rank_systems,
@@ -1023,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
         "muc": Q_MUC_SQL,
         "b_cubed": Q_B_CUBED_SQL,
         "pairwise": Q_PAIRWISE_SQL,
+        "pairwise_negative": Q_PAIRWISE_NEGATIVE_SQL,
         # mention_ceaf: omitted (Hungarian assignment — rows-only)
         "is_first": Q_IS_FIRST_SQL,
         "top_candidate": Q_TOP_CANDIDATE_SQL,
@@ -1032,6 +1122,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": Q_SPAN_DEDUP_SQL,
         "excluded_spans": Q_EXCLUDED_SPANS_SQL,
         "overlap_pairs": Q_OVERLAP_PAIRS_SQL,
+        "overlap_sumsum": Q_OVERLAP_SUMSUM_SQL,
         "lineitem_pricing": Q_LINEITEM_PRICING_SQL,
         "rank_systems": Q_RANK_SYSTEMS_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,

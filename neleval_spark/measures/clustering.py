@@ -175,6 +175,68 @@ def pairwise(gold: DataFrame, pred: DataFrame, key: list[str],
     )
 
 
+def pairwise_negative(gold: DataFrame, pred: DataFrame, key: list[str],
+                      gcols: list[str]) -> DataFrame:
+    """Agreement over NON-coreferent mention pairs (BLANC's negative
+    half; reference coref_metrics.py:574-602).
+
+    Relational form from the same intersection table:
+
+        A  = Σ_I C(i,2)                 positive agreements
+        PG = Σ_g C(Σ_s i, 2)            common-mention pairs co-gold
+        PS = Σ_s C(Σ_g i, 2)            common-mention pairs co-sys
+        M  = Σ_I i                      common mention count
+        p_num = r_num = C(M,2) − PG − PS + A
+        p_den = C(|sys mentions|,2) − Σ_s C(n_s,2)
+        r_den = C(|gold mentions|,2) − Σ_g C(n_g,2)
+
+    (the C(M,2) − A − disagreements form of the reference, with
+    disagreements = (PG − A) + (PS − A).)
+    """
+    I = intersections(gold, pred, key, gcols)
+    tri = lambda c: (c * (c - 1) / 2)  # noqa: E731
+
+    cg = I.groupBy(*(gcols + ["eid_g"])).agg(F.sum("i").alias("c"))
+    cs = I.groupBy(*(gcols + ["eid_s"])).agg(F.sum("i").alias("c"))
+    pieces = [
+        (I, F.sum(tri(F.col("i"))), "A"),
+        (cg, F.sum(tri(F.col("c"))), "PG"),
+        (cs, F.sum(tri(F.col("c"))), "PS"),
+        (I, F.sum("i").cast("double"), "M"),
+    ]
+    parts = {}
+    for df, agg, label in pieces:
+        parts[label] = _grouped(df, gcols, [agg.alias(label)])
+
+    def side_den(side, name):
+        sizes = cluster_sizes(side, gcols)
+        return _grouped(
+            sizes, gcols,
+            [(tri(F.sum("n")) - F.sum(tri(F.col("n")))).alias(name)])
+
+    p_den = side_den(pred, "p_den")
+    r_den = side_den(gold, "r_den")
+
+    if gcols:
+        out = p_den.join(r_den, gcols, "full_outer")
+        for label in ("A", "PG", "PS", "M"):
+            out = out.join(parts[label], gcols, "left")
+    else:
+        out = p_den.crossJoin(r_den)
+        for label in ("A", "PG", "PS", "M"):
+            out = out.crossJoin(parts[label])
+
+    z = lambda c: F.coalesce(F.col(c), F.lit(0.0))  # noqa: E731
+    num = tri(z("M")) - z("PG") - z("PS") + z("A")
+    return _fill_zero(
+        out.select(
+            *gcols,
+            num.alias("p_num"), F.col("p_den").cast("double").alias("p_den"),
+            num.alias("r_num"), F.col("r_den").cast("double").alias("r_den"),
+        )
+    )
+
+
 # Below this many similarity edges the whole assignment problem is
 # collected and solved on the driver (exactly the reference's own
 # local scipy path, coref_metrics.py:392-440); above it, the
@@ -411,6 +473,7 @@ CLUSTERING_FNS = {
     "muc": muc,
     "b_cubed": b_cubed,
     "pairwise": pairwise,
+    "pairwise_negative": pairwise_negative,
     "mention_ceaf": mention_ceaf,
     "entity_ceaf": entity_ceaf,
 }

@@ -93,14 +93,22 @@ def _union_credit(ref_start, ref_end, spans_col):
     return total_chars / (ref_end - ref_start + 1).cast("double")
 
 
-def _credits(pairs: DataFrame, gcols: list[str], ref_side: str,
-             mode: str) -> DataFrame:
+def _credits(pairs: DataFrame, gcols: list[str], keycols: list[str],
+             ref_side: str, mode: str) -> DataFrame:
     """Per-group total credit for one side ('s' = precision refs,
-    'g' = recall refs)."""
+    'g' = recall refs).
+
+    A 'ref' is one annotation = one (non-span key, span) tuple — two
+    same-span annotations with different types are distinct refs, each
+    earning up to 1.0 credit (reference measure_overlap iterates the
+    per-annotation index, annotation.py:436-479), so the non-span key
+    columns participate in the per-ref groupBy."""
     other = "g" if ref_side == "s" else "s"
     rs, re_ = F.col(f"{ref_side}_start"), F.col(f"{ref_side}_end")
     os_, oe = F.col(f"{other}_start"), F.col(f"{other}_end")
-    ref_key = gcols + ["docid", f"{ref_side}_start", f"{ref_side}_end"]
+    ref_key = list(dict.fromkeys(
+        gcols + keycols + ["docid", f"{ref_side}_start",
+                           f"{ref_side}_end"]))
 
     if mode == "max":
         frac = (
@@ -144,10 +152,11 @@ def overlap_contingency(
 
     pairs = _pair_overlaps(sys_df, gold_df, spec, gcols)
     pairs = pairs.localCheckpoint(eager=False)  # reused by both sides
+    keycols = expand_key(tuple(f for f in spec.key if f != "span"))
 
-    s_credit = _credits(pairs, gcols, "s", sys_mode) \
+    s_credit = _credits(pairs, gcols, keycols, "s", sys_mode) \
         .withColumnRenamed("credit", "s_credit")
-    g_credit = _credits(pairs, gcols, "g", gold_mode) \
+    g_credit = _credits(pairs, gcols, keycols, "g", gold_mode) \
         .withColumnRenamed("credit", "g_credit")
 
     def total(df, name):

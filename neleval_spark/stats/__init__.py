@@ -3,4 +3,5 @@ from .significance import (  # noqa: F401
     per_doc_contingency,
     permutation_test,
     bootstrap_confidence,
+    calibrate_trials,
 )

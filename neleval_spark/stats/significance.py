@@ -47,30 +47,26 @@ def per_doc_contingency(sys_df: DataFrame, gold_df: DataFrame,
     return contingency_df(sys_df, gold_df, spec, gcols=["docid"])
 
 
-def _doc_hashes(docids: pd.Series) -> np.ndarray:
-    # FNV-1a over utf-8 bytes, vectorized enough for batch sizes
-    out = np.empty(len(docids), dtype=np.uint64)
-    for i, d in enumerate(docids):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in str(d).encode("utf-8"):
-            h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
-
-
 def _trial_partials(joined: DataFrame, n_trials: int, seed: int,
                     mode: str) -> np.ndarray:
     """One distributed pass: per partition, vectorized partial sums for
     all trials. Returns [n_trials, 8] (sys1 ptp,fp,rtp,fn, sys2 ...).
+
+    Per-doc randomness seeds from ``xxhash64(docid)`` computed JVM-side
+    before entering Python — no per-row (let alone per-byte) Python
+    anywhere in the stats path; determinism is independent of
+    partitioning and executor count.
     """
     cols = ["ptp1", "fp1", "rtp1", "fn1", "ptp2", "fp2", "rtp2", "fn2"]
     tseed = np.uint64(seed)
+    joined = joined.withColumn(
+        "doc_hash", F.xxhash64(F.col("docid").cast("string")))
 
     def gen(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            h = _doc_hashes(pdf["docid"])
+            h = pdf["doc_hash"].to_numpy(dtype=np.int64).view(np.uint64)
             m1 = pdf[cols[:4]].to_numpy(dtype=np.float64)
             m2 = pdf[cols[4:]].to_numpy(dtype=np.float64)
             t = np.arange(n_trials, dtype=np.uint64)
@@ -190,6 +186,54 @@ def nist_percentile(ordered, p: float) -> float:
     elif k == 0:
         return ordered[0]
     return ordered[-1]
+
+
+def calibrate_trials(
+    per_doc: DataFrame,
+    trials: tuple[int, ...] = (100, 250, 500, 1000, 2500, 5000, 10000),
+    max_trials: int = 20000,
+    percentiles: tuple[int, ...] = (90, 95, 99),
+    metrics: tuple[str, ...] = ("precision", "recall", "fscore"),
+    n_resamples: int = 100,
+    seed: int = 42,
+) -> list[dict]:
+    """How many bootstrap trials are enough? (reference
+    Confidence.calibrate_trials, significance.py:272-288).
+
+    Runs ONE distributed bootstrap of ``max_trials``, then — driver-side
+    on the tiny trial-score vectors — estimates, for each
+    (metric, percentile, n), the stdev of the CI bound over
+    ``n_resamples`` subsamples of n trials (sampled without
+    replacement, as the reference's ``random.sample``).
+
+    Returns rows {metric, pct, trials, stdev}.
+    """
+    joined = per_doc.select(
+        "docid",
+        F.col("ptp").alias("ptp1"), F.col("fp").alias("fp1"),
+        F.col("rtp").alias("rtp1"), F.col("fn").alias("fn1"),
+    ).withColumns({"ptp2": F.lit(0.0), "fp2": F.lit(0.0),
+                   "rtp2": F.lit(0.0), "fn2": F.lit(0.0)})
+    partials = _trial_partials(joined, max_trials, seed, "poisson")
+    history = _metrics_from(partials[:, :4])
+
+    rng = np.random.default_rng(seed)
+    out = []
+    for m in metrics:
+        X = history[m]
+        for p in percentiles:
+            v = (100 - p) / 2
+            for n in trials:
+                if n > max_trials:
+                    continue
+                stats = [
+                    nist_percentile(
+                        np.sort(rng.choice(X, size=n, replace=False)), v)
+                    for _ in range(n_resamples)
+                ]
+                out.append({"metric": m, "pct": p, "trials": n,
+                            "stdev": float(np.std(stats))})
+    return out
 
 
 def bootstrap_confidence(

@@ -122,3 +122,53 @@ def test_pairwise_doctest(spark):
     res = CLUSTERING_FNS["pairwise"](gdf, sdf, ["item"], []).collect()[0]
     assert (res["p_num"], res["p_den"], res["r_num"], res["r_den"]) == \
         (1.0, 2.0, 1.0, 3.0)
+
+
+def test_pairwise_negative_doctest(spark):
+    """(neleval/coref_metrics.py:574-585 doctest)"""
+    gold = {1: {"a", "b", "c"}, 2: {"d"}}
+    resp = {1: {"b", "c"}, 2: {"d", "e"}}
+    gdf = _sets_to_df(spark, gold)
+    sdf = _sets_to_df(spark, resp)
+    res = CLUSTERING_FNS["pairwise_negative"](
+        gdf, sdf, ["item"], []).collect()[0]
+    assert (res["p_num"], res["p_den"], res["r_num"], res["r_den"]) == \
+        (2.0, 4.0, 2.0, 3.0)
+
+
+def test_pairwise_negative_vs_reference(spark):
+    """Fuzz against the reference implementation imported as an oracle
+    (coref_metrics.pairwise_negative) on random clusterings."""
+    import random
+    import sys
+
+    import numpy as np
+    np.bool = bool  # py2-era reference shim
+    sys.path.insert(0, "/root/reference")
+    try:
+        from neleval.coref_metrics import pairwise_negative as ref_pn
+    finally:
+        sys.path.remove("/root/reference")
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n_items = rng.randint(2, 14)
+        items = [f"m{i}" for i in range(n_items)]
+        # gold/sys each cluster a random subset of items
+        def clustering():
+            ks = rng.randint(1, 4)
+            out = {}
+            for m in items:
+                if rng.random() < 0.8:
+                    out.setdefault(rng.randint(0, ks - 1), set()).add(m)
+            return {k: v for k, v in out.items() if v}
+        gold, resp = clustering(), clustering()
+        if not gold or not resp:
+            continue
+        exp = ref_pn(gold, resp)
+        res = CLUSTERING_FNS["pairwise_negative"](
+            _sets_to_df(spark, gold), _sets_to_df(spark, resp),
+            ["item"], []).collect()[0]
+        got = tuple(int(res[c]) for c in ("p_num", "p_den",
+                                          "r_num", "r_den"))
+        assert got == exp, (trial, gold, resp, got, exp)

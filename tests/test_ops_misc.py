@@ -283,3 +283,44 @@ def test_conll_coref_matches_reference(spark):
     ref = ref_parse(io.StringIO(CONLL_COREF))
     ours = parse_conll_coref_lines(CONLL_COREF.splitlines())
     assert {str(k): v for k, v in ref.items()} == ours
+
+
+def test_calibrate_trials(spark):
+    """R3 (reference significance.py:272-288): stdev of the CI bound
+    shrinks with trial count; values recompute exactly from the trial
+    history with plain numpy."""
+    import numpy as np
+
+    from neleval_spark.stats import calibrate_trials, per_doc_contingency
+    from neleval_spark.stats.significance import (
+        _metrics_from, _trial_partials, nist_percentile)
+    import pyspark.sql.functions as F
+
+    gold = _read(spark, f"{EXAMPLES}/tac_gold.combined.tsv")
+    sys_ = _read(spark, f"{EXAMPLES}/tac_system.combined.tsv")
+    pdc = per_doc_contingency(sys_, gold, "strong_all_match")
+
+    rows = calibrate_trials(pdc, trials=(50, 200, 800), max_trials=1000,
+                            percentiles=(90,), metrics=("fscore",),
+                            n_resamples=50, seed=7)
+    by_n = {r["trials"]: r["stdev"] for r in rows}
+    assert set(by_n) == {50, 200, 800}
+    # more trials -> tighter percentile estimate
+    assert by_n[800] <= by_n[50]
+
+    # independent numpy recomputation from the same trial history
+    joined = pdc.select(
+        "docid", F.col("ptp").alias("ptp1"), F.col("fp").alias("fp1"),
+        F.col("rtp").alias("rtp1"), F.col("fn").alias("fn1"),
+    ).withColumns({"ptp2": F.lit(0.0), "fp2": F.lit(0.0),
+                   "rtp2": F.lit(0.0), "fn2": F.lit(0.0)})
+    X = _metrics_from(_trial_partials(joined, 1000, 7, "poisson")[:, :4])[
+        "fscore"]
+    rng = np.random.default_rng(7)
+    exp = {}
+    for n in (50, 200, 800):
+        stats = [nist_percentile(np.sort(rng.choice(X, size=n,
+                                                    replace=False)), 5.0)
+                 for _ in range(50)]
+        exp[n] = float(np.std(stats))
+    assert by_n == pytest.approx(exp)
