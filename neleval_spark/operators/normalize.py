@@ -84,8 +84,17 @@ def derive_mention_columns(df: DataFrame, sort: bool = True) -> DataFrame:
     out = df
     if sort:
         out = out.withColumn("candidates", sort_candidates(F.col("candidates")))
-    # try_element_at: empty candidate lists are legal (bare-span rows)
-    top = F.try_element_at(F.col("candidates"), F.lit(1))
+    # F.get (0-based, NULL out-of-bounds): empty candidate lists are
+    # legal (bare-span rows).  NOT try_element_at — its codegen declares
+    # the isNull temp non-assignably inside fused projections and every
+    # task falls back to interpreted mode (observed on 4.1.2).
+    top = F.get(F.col("candidates"), F.lit(0))
+    # Bare spans (no candidates) get NULL is_nil/is_linked, not booleans:
+    # the reference's Annotation.__getattr__ returns None when there is
+    # no top candidate (neleval/annotation.py:91-99), so boolean measure
+    # filters (e.g. strong_nil_match) silently drop bare-span rows —
+    # NULL-in-filter gives the identical drop here.
+    has_cand = F.size(F.col("candidates")) > 0
     out = (
         out.withColumn("eid", top["eid"])
         .withColumn("score", top["score"])
@@ -93,11 +102,13 @@ def derive_mention_columns(df: DataFrame, sort: bool = True) -> DataFrame:
         .withColumn("attrs", top["attrs"])
         .withColumn(
             "is_nil",
-            F.col("eid").isNull() | F.col("eid").startswith("NIL"),
+            F.when(has_cand,
+                   F.col("eid").isNull() | F.col("eid").startswith("NIL")),
         )
-        .withColumn("is_linked", ~F.col("is_nil"))
+        .withColumn("is_linked", F.when(has_cand, ~F.col("is_nil")))
         .withColumn(
-            "kbid", F.when(F.col("is_linked"), F.col("eid")))
+            "kbid", F.when(F.coalesce(F.col("is_linked"), F.lit(False)),
+                           F.col("eid")))
     )
     return out
 

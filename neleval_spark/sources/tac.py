@@ -23,7 +23,7 @@ import xml.etree.ElementTree as ET
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    DoubleType, StringType, StructField, StructType)
+    DoubleType, LongType, StringType, StructField, StructType)
 
 from ..operators.normalize import (
     derive_mention_columns, normalise_link_col, with_is_first)
@@ -49,23 +49,36 @@ LINKS_SCHEMA = StructType(
 
 
 def read_tac_queries(spark: SparkSession, path: str) -> DataFrame:
-    "Parse the kbpentlink queries XML (reference: neleval/tac.py:151-167)."
+    """Parse the kbpentlink queries XML (reference: neleval/tac.py:151-167).
+
+    ``q_pos`` is the query's XML document position: within a span group
+    the reference concatenates candidates in query iteration order
+    (tac.py:126-129, stable sort), so q_pos is the first tie-break."""
     rows = []
     for _, elem in ET.iterparse(path):
         if elem.tag == "query":
             d = {child.tag: child.text for child in elem}
             rows.append(
                 (elem.get("id"), d.get("docid"), d.get("beg"),
-                 d.get("end"), d.get("name"))
+                 d.get("end"), d.get("name"), len(rows))
             )
-    return spark.createDataFrame(rows, QUERIES_SCHEMA)
+    schema = StructType(
+        QUERIES_SCHEMA.fields + [StructField("q_pos", LongType())])
+    return spark.createDataFrame(rows, schema)
 
 
 def read_tac_links(spark: SparkSession, path: str) -> DataFrame:
     """Read the links tab file; score defaults to 1.0 when absent and
-    header/short rows are dropped (reference: neleval/tac.py:137-149)."""
+    header/short rows are dropped (reference: neleval/tac.py:137-149).
+
+    ``line_ord`` preserves file order (monotonically_increasing_id is
+    ordered within and across the ordered file splits) so equal-score
+    candidates tie-break on link-file position exactly as the
+    reference's stable ``sorted(..., reverse=True)`` does (tac.py:130).
+    """
     raw = spark.read.csv(path, sep="\t", header=False,
                          schema="c0 string, c1 string, c2 string, c3 string")
+    raw = raw.withColumn("line_ord", F.monotonically_increasing_id())
     return (
         raw.where(F.col("c2").isNotNull() & (F.col("c0") != "query_id"))
         .select(
@@ -73,7 +86,41 @@ def read_tac_links(spark: SparkSession, path: str) -> DataFrame:
             F.col("c1").alias("eid"),
             F.col("c2").alias("type"),
             F.coalesce(F.col("c3").cast("double"), F.lit(1.0)).alias("score"),
+            F.col("line_ord"),
         )
+    )
+
+
+def read_mapping_file(spark: SparkSession, path: str) -> DataFrame:
+    """Redirect-mapping TSV → (alias, canonical) rows (reference:
+    read_mapping, neleval/tac.py:83-95): first column is the canonical
+    title, remaining columns its aliases; spaces → underscores; the
+    title maps to itself; later lines overwrite earlier duplicates
+    (dict semantics), replicated with ``max_by`` on line order."""
+    raw = spark.read.text(path).withColumn(
+        "line_ord", F.monotonically_increasing_id())
+    bits = F.split(F.regexp_replace(F.col("value"), r"[\r\n]+$", ""), "\t")
+    under = lambda c: F.replace(c, F.lit(" "), F.lit("_"))  # noqa: E731
+    rows = raw.select(
+        under(F.element_at(bits, 1)).alias("canonical"),
+        F.explode(F.transform(bits, under)).alias("alias"),
+        F.col("line_ord"),
+    )
+    return rows.groupBy("alias").agg(
+        F.max_by("canonical", "line_ord").alias("canonical"))
+
+
+def read_excluded_spans_file(spark: SparkSession, path: str) -> DataFrame:
+    """Excluded-spans TSV → (docid, start, end) rows (reference:
+    read_excluded_spans, neleval/tac.py:106-116 — which explodes to
+    per-offset sets; here the span row feeds a range anti-join)."""
+    raw = spark.read.csv(
+        path, sep="\t", header=False,
+        schema="docid string, start string, end string")
+    return raw.select(
+        "docid",
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
     )
 
 
@@ -100,22 +147,47 @@ def filter_excluded_spans(df: DataFrame,
     return df.join(x, cond, "left_anti")
 
 
+def _validate_alignment(queries: DataFrame, links: DataFrame) -> None:
+    """Raise as the reference does on misaligned inputs: every query
+    must have ≥1 candidate link (neleval/tac.py:72-73) and every link
+    row must align to a known query (tac.py:133-135)."""
+    no_cand = [r["qid"] for r in
+               queries.join(links, "qid", "left_anti")
+               .select("qid").limit(5).collect()]
+    if no_cand:
+        raise ValueError(
+            "No candidates found for query " + ", ".join(map(str, no_cand)))
+    unaligned = [r["qid"] for r in
+                 links.join(queries, "qid", "left_anti")
+                 .select("qid").distinct().limit(5).collect()]
+    if unaligned:
+        raise ValueError(
+            "Remaining annotations unaligned to queries: "
+            + ", ".join(map(str, unaligned)))
+
+
 def prepare_tac(
     spark: SparkSession,
     links_path: str,
     queries_path: str,
     excluded: DataFrame | None = None,
     mapping: DataFrame | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """TAC queries+links → normalized mentions DataFrame.
 
     Candidate lists for queries sharing a span are concatenated then
     sorted by descending score (stable on link-file order), replicating
     neleval/tac.py:126-131 where grouped query qids ``pop`` their
-    candidates in qid-sorted span groups.
+    candidates in qid-sorted span groups.  Pre-sort order inside a span
+    group is (query XML position, link-file line) — the two ordinals
+    carried by the readers — so equal-score tie-breaking is
+    byte-identical to the reference's stable sort.
     """
     queries = read_tac_queries(spark, queries_path)
     links = read_tac_links(spark, links_path)
+    if strict:
+        _validate_alignment(queries, links)
 
     if mapping is not None:
         m = F.broadcast(mapping.select(
@@ -129,22 +201,21 @@ def prepare_tac(
     else:
         links = links.withColumn("eid", normalise_link_col(F.col("eid")))
 
-    # inner join on qid; queries with no candidates are an error in the
-    # reference (tac.py:72-73) — surfaced here via an assertion count
     joined = queries.join(links, "qid", "inner")
 
     # span-dedup: reference sorts queries by (docid, beg, end) and
     # groups (tac.py:157-159); candidate order within a span group is
-    # (qid order, link-file order), then sorted by -score stably —
-    # sorted here by qid (maps can't be ordered, so attrs is attached
-    # after the sort; TAC candidates carry no dynamic attrs anyway)
+    # (query position, link-file order) — sort_array over the leading
+    # ordinal fields — then the stable -score sort in
+    # derive_mention_columns finishes the reference's ordering
     grouped = (
         joined.groupBy("docid", "start", "end")
         .agg(
             F.sort_array(
                 F.collect_list(
                     F.struct(
-                        F.col("qid"),
+                        F.col("q_pos"),
+                        F.col("line_ord"),
                         F.col("eid"),
                         F.col("score"),
                         F.col("type"),
@@ -197,6 +268,9 @@ def prepare_tac15(
         F.col(cols[4]).alias("eid"),
         F.concat_ws("/", F.col(cols[5]), F.col(cols[6])).alias("type"),
         F.col(cols[7]).cast("double").alias("score"),
+        # file order: equal-score tie-break matches the reference's
+        # stable sorted(cand_data, key=-score) (tac.py:222-224)
+        F.monotonically_increasing_id().alias("line_ord"),
     )
     if mapping is not None:
         m = F.broadcast(mapping.select(
@@ -211,12 +285,26 @@ def prepare_tac15(
         df = df.withColumn("eid", normalise_link_col(F.col("eid")))
 
     grouped = df.groupBy("docid", "start", "end").agg(
-        F.collect_list(
-            F.struct(
-                F.col("eid"), F.col("score"), F.col("type"),
-                F.lit(None).cast("map<string,string>").alias("attrs"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("score")).alias("neg_score"),
+                    F.col("line_ord"),
+                    F.col("eid"), F.col("score"), F.col("type"),
+                )
             )
-        ).alias("candidates")
+        ).alias("scands")
+    ).select(
+        "docid", "start", "end",
+        F.transform(
+            F.col("scands"),
+            lambda x: F.struct(
+                x["eid"].alias("eid"),
+                x["score"].alias("score"),
+                x["type"].alias("type"),
+                F.lit(None).cast("map<string,string>").alias("attrs"),
+            ),
+        ).alias("candidates"),
     )
     out = filter_excluded_spans(grouped, excluded)
     out = derive_mention_columns(out, sort=True)

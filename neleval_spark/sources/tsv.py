@@ -69,15 +69,24 @@ def _candidates_expr(colname: str):
     many = F.transform(
         F.sequence(F.lit(0), (n / 3).cast("int") - 1), lambda i: triple(i * 3)
     )
-    empty = F.expr(
-        "cast(array() as "
-        "array<struct<eid:string,score:double,type:string,attrs:map<string,string>>>)"
+    cand_array_t = (
+        "array<struct<eid:string,score:double,type:string,attrs:map<string,string>>>"
     )
+    empty = F.expr(f"cast(array() as {cand_array_t})")
+    # >2 columns whose count is not a multiple of 3 is undefined format:
+    # the reference raises SyntaxError (neleval/annotation.py:228-235)
+    malformed = F.raise_error(
+        F.concat(
+            F.lit("Need id, score and type when >1 candidates: "),
+            F.col(colname),
+        )
+    ).cast(cand_array_t)
     return (
         F.when(F.col(colname).isNull() | (F.col(colname) == ""), empty)
         .when(n == 1, one)
         .when(n == 2, two)
-        .otherwise(many)
+        .when(n % 3 == 0, many)
+        .otherwise(malformed)
     )
 
 
@@ -96,17 +105,50 @@ def read_annotations_tsv(spark: SparkSession, path: str) -> DataFrame:
     return with_is_first(df)
 
 
+def _json_scalar(c):
+    """JSON-escape+quote a string column (via ``to_json(array(x))``
+    minus the brackets) so multi-attr rendering matches json.dumps."""
+    j = F.to_json(F.array(c))
+    return j.substr(F.lit(2), F.length(j) - F.lit(2))
+
+
 def _candidate_str(c):
     """Render one candidate as ``eid TAB score TAB type`` matching
     Candidate.__unicode__ (neleval/annotation.py:195-206):
-    score None → '', single 'type' attr → bare string, multi-attr →
-    JSON (the JSON path is handled upstream for fixture parity)."""
+
+    * score: ``self.score or ''`` in the reference — None AND 0.0 both
+      render empty (0.0 is falsy); any other float as-is;
+    * attrs empty/absent → '';
+    * exactly one attr named 'type' → its bare value ('' for None);
+    * multiple attrs → ``json.dumps(dict)`` with ', '/': ' separators,
+      insertion (= input JSON) key order.
+    """
     score = F.when(c["score"].isNull() | (c["score"] == 0.0), F.lit("")) \
         .otherwise(
             F.when(c["score"] == c["score"].cast("long").cast("double"),
                    F.concat(c["score"].cast("long").cast("string"), F.lit(".0")))
             .otherwise(c["score"].cast("string")))
-    type_ = F.coalesce(c["type"], F.lit(""))
+    attrs = c["attrs"]
+    multi = attrs.isNotNull() & (
+        (F.size(attrs) > 1)
+        | ((F.size(attrs) == 1) & ~F.map_contains_key(attrs, "type"))
+    )
+    as_json = F.concat(
+        F.lit("{"),
+        F.concat_ws(
+            ", ",
+            F.transform(
+                F.map_entries(attrs),
+                lambda e: F.concat(
+                    _json_scalar(e["key"]), F.lit(": "),
+                    F.when(e["value"].isNull(), F.lit("null"))
+                    .otherwise(_json_scalar(e["value"])),
+                ),
+            ),
+        ),
+        F.lit("}"),
+    )
+    type_ = F.when(multi, as_json).otherwise(F.coalesce(c["type"], F.lit("")))
     return F.concat_ws("\t", c["eid"], score, type_)
 
 

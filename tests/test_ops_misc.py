@@ -235,7 +235,10 @@ def test_brat_reader(spark, tmp_path):
     assert alice["eid"] == "Alice_Smith"  # unquoted + normalized
     assert alice["type"] == "PER"
     acme = rows[("docA", 10, 18)]
-    assert acme["eid"] is None and acme["is_nil"]
+    # bare span (no normalization): reference Annotation.__getattr__
+    # yields None for is_nil/is_linked (annotation.py:91-99)
+    assert acme["eid"] is None and acme["is_nil"] is None
+    assert acme["is_linked"] is None and acme["kbid"] is None
 
 
 CONLL_COREF = textwrap.dedent("""\

@@ -45,3 +45,96 @@ def test_evaluation_tab_roundtrip(spark):
     for name, res in results.items():
         for metric, val in res.items():
             assert abs(back[name][metric] - round(val, 3)) < 1e-3
+
+
+# --- round 2: CoNLL coref end-to-end -----------------------------------------
+#
+# Expected lines produced by executing the reference PrepareConllCoref
+# (neleval/import_.py:37-110, shimmed for py3) on the same input.
+
+CONLL_COREF_DOC = (
+    "#begin document (docX); part 000\n"
+    "a\t(1\n" "b\t1)\n" "c\t(2)\n" "d\t(1(3\n" "e\t3)\n" "f\t1)\n"
+    "#end document\n"
+    "#begin document (docY)\n"
+    "x\t(1)|(4\n" "y\t-\n" "z\t4)|(NIL7)\n"
+    "#end document\n"
+    "#begin document \n"
+    "q\t(E55)\n"
+    "#end document\n"
+)
+
+_X = "(docX);_part_000"
+_Y = "(docY)"
+
+PREPARE_CONLL_EXPECTED = {
+    (): [
+        f"{_X}\t1\t2\tNIL1:{_X}\t\t",
+        f"{_X}\t3\t3\tNIL2:{_X}\t\t",
+        f"{_X}\t4\t5\tNIL3:{_X}\t\t",
+        f"{_X}\t4\t6\tNIL1:{_X}\t\t",
+        f"{_Y}\t1\t1\tNIL1:{_Y}\t\t",
+        f"{_Y}\t1\t3\tNIL4:{_Y}\t\t",
+        f"{_Y}\t3\t3\tNILNIL7:{_Y}\t\t",
+        "doc2\t1\t1\tNILE55:doc2\t\t",
+    ],
+    ("with_kb",): [
+        f"{_X}\t1\t2\t1\t\t",
+        f"{_X}\t3\t3\t2\t\t",
+        f"{_X}\t4\t5\t3\t\t",
+        f"{_X}\t4\t6\t1\t\t",
+        f"{_Y}\t1\t1\t1\t\t",
+        f"{_Y}\t1\t3\t4\t\t",
+        f"{_Y}\t3\t3\tNIL7:{_Y}\t\t",
+        "doc2\t1\t1\tE55\t\t",
+    ],
+    ("cross_doc",): [
+        f"{_X}\t1\t2\tNIL1\t\t",
+        f"{_X}\t3\t3\tNIL2\t\t",
+        f"{_X}\t4\t5\tNIL3\t\t",
+        f"{_X}\t4\t6\tNIL1\t\t",
+        f"{_Y}\t1\t1\tNIL1\t\t",
+        f"{_Y}\t1\t3\tNIL4\t\t",
+        f"{_Y}\t3\t3\tNILNIL7\t\t",
+        "doc2\t1\t1\tNILE55\t\t",
+    ],
+    ("with_kb", "cross_doc"): [
+        f"{_X}\t1\t2\t1\t\t",
+        f"{_X}\t3\t3\t2\t\t",
+        f"{_X}\t4\t5\t3\t\t",
+        f"{_X}\t4\t6\t1\t\t",
+        f"{_Y}\t1\t1\t1\t\t",
+        f"{_Y}\t1\t3\t4\t\t",
+        f"{_Y}\t3\t3\tNIL7\t\t",
+        "doc2\t1\t1\tE55\t\t",
+    ],
+}
+
+
+@pytest.mark.parametrize("flags", list(PREPARE_CONLL_EXPECTED))
+def test_prepare_conll_coref_golden(spark, tmp_path, flags):
+    from neleval_spark.sources.conll import prepare_conll_coref
+    from neleval_spark.sources.tsv import annotations_to_tsv_lines
+
+    p = tmp_path / "coref.txt"
+    p.write_text(CONLL_COREF_DOC)
+    df = prepare_conll_coref(spark, str(p), **{f: True for f in flags})
+    lines = sorted(r["value"]
+                   for r in annotations_to_tsv_lines(df).collect())
+    assert lines == PREPARE_CONLL_EXPECTED[flags]
+
+
+def test_prepare_conll_coref_evaluate_roundtrip(spark, tmp_path):
+    """Prepared CoNLL coref self-evaluates perfectly through the full
+    evaluate path (mirrors reference test.py conll self-eval intent)."""
+    from neleval_spark.measures import evaluate
+    from neleval_spark.sources.conll import prepare_conll_coref
+
+    p = tmp_path / "coref.txt"
+    p.write_text(CONLL_COREF_DOC)
+    df = prepare_conll_coref(spark, str(p))
+    res = evaluate(df, df, measures=["mention_ceaf", "muc", "b_cubed",
+                                     "strong_mention_match"])
+    for m, v in res.items():
+        assert v["fscore"] == 1.0, (m, v)
+    assert res["strong_mention_match"]["ptp"] == 8

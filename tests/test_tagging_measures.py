@@ -64,7 +64,11 @@ def test_tac_eval(spark):
 EXPECTED_CONLL_SELFEVAL = {
     "entity_match": _perfect(1),
     "strong_link_match": _perfect(1),
-    "strong_nil_match": _perfect(1),
+    # bare spans are dropped by boolean filters (is_nil is None when
+    # there are no candidates, annotation.py:91-99) → empty NIL sets;
+    # verified against the live reference code (test.py's table is stale)
+    "strong_nil_match": {"fn": 0, "fp": 0, "fscore": 0.0, "precision": 0.0,
+                         "recall": 0.0, "ptp": 0, "rtp": 0},
     "strong_all_match": _perfect(2),
     "strong_typed_link_match": _perfect(1),
     "strong_mention_match": _perfect(2),
@@ -88,7 +92,7 @@ EXPECTED_CONLL_SYSA = {
     "strong_link_match": {"fn": 0, "fp": 1, "fscore": 2 / 3,
                           "precision": 0.5, "recall": 1.0, "ptp": 1,
                           "rtp": 1},
-    "strong_nil_match": {"fn": 1, "fp": 0, "fscore": 0.0, "precision": 0.0,
+    "strong_nil_match": {"fn": 0, "fp": 0, "fscore": 0.0, "precision": 0.0,
                          "recall": 0.0, "ptp": 0, "rtp": 0},
     "strong_all_match": {"fn": 1, "fp": 1, "fscore": 0.5, "precision": 0.5,
                          "recall": 0.5, "ptp": 1, "rtp": 1},
@@ -115,7 +119,8 @@ def test_conll_sysa(spark):
 EXPECTED_CONLL_MULTI_SELFEVAL = {
     "entity_match": _perfect(3),
     "strong_link_match": _perfect(3),
-    "strong_nil_match": _perfect(1),
+    "strong_nil_match": {"fn": 0, "fp": 0, "fscore": 0.0, "precision": 0.0,
+                         "recall": 0.0, "ptp": 0, "rtp": 0},
     "strong_all_match": _perfect(4),
     "strong_typed_link_match": _perfect(3),
     "strong_mention_match": _perfect(4),
@@ -139,7 +144,7 @@ EXPECTED_CONLL_MULTI_SYSA = {
     "strong_link_match": {"fn": 2, "fp": 2, "fscore": 1 / 3,
                           "precision": 1 / 3, "recall": 1 / 3,
                           "ptp": 1, "rtp": 1},
-    "strong_nil_match": {"fn": 1, "fp": 1, "fscore": 0.0, "precision": 0.0,
+    "strong_nil_match": {"fn": 0, "fp": 0, "fscore": 0.0, "precision": 0.0,
                          "recall": 0.0, "ptp": 0, "rtp": 0},
     "strong_all_match": {"fn": 3, "fp": 3, "fscore": 0.25,
                          "precision": 0.25, "recall": 0.25,
