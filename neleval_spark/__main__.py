@@ -29,6 +29,21 @@ def _spark():
     return get_spark(app_name="neleval_spark_cli")
 
 
+def _load_type_weights(spark, path):
+    """Type-weights TSV → weight table (gold_type, sys_type, weight),
+    max on duplicates (reference: TypeWeighting, configs.py:276-289)."""
+    values = {}
+    with open(path) as f:
+        for line in f:
+            gold, sys_, weight = line.split("\t")
+            weight = float(weight)
+            values[gold, sys_] = max(weight, values.get((gold, sys_),
+                                                        weight))
+    return spark.createDataFrame(
+        [(g, s, w) for (g, s), w in values.items()],
+        "gold_type string, sys_type string, weight double")
+
+
 def cmd_evaluate(args):
     from .measures import evaluate
     from .measures.contingency import tab_format
@@ -37,13 +52,28 @@ def cmd_evaluate(args):
     spark = _spark()
     sys_df = read_annotations_tsv(spark, args.system)
     gold_df = read_annotations_tsv(spark, args.gold)
+    weighting = None
+    if args.type_weights:
+        weighting = {"type": _load_type_weights(spark, args.type_weights)}
     res = evaluate(sys_df, gold_df,
                    measures=args.measures or "all",
-                   group_by=args.group_by or None)
+                   group_by=args.group_by or None,
+                   overall=args.overall,
+                   weighting=weighting)
     if args.fmt == "json":
         print(json.dumps(res, indent=4, sort_keys=True))
     else:
         print(tab_format(res))
+
+
+def _excluded_mapping(spark, args):
+    from .sources.tac import read_excluded_spans_file, read_mapping_file
+
+    excluded = (read_excluded_spans_file(spark, args.excluded)
+                if getattr(args, "excluded", None) else None)
+    mapping = (read_mapping_file(spark, args.mapping)
+               if getattr(args, "mapping", None) else None)
+    return excluded, mapping
 
 
 def cmd_prepare_tac(args):
@@ -51,7 +81,9 @@ def cmd_prepare_tac(args):
     from .sources.tsv import annotations_to_tsv_lines
 
     spark = _spark()
-    df = prepare_tac(spark, args.system, args.queries)
+    excluded, mapping = _excluded_mapping(spark, args)
+    df = prepare_tac(spark, args.system, args.queries,
+                     excluded=excluded, mapping=mapping)
     for r in annotations_to_tsv_lines(df).orderBy(
             "docid", "start", "end").collect():
         print(r["value"])
@@ -62,7 +94,9 @@ def cmd_prepare_tac15(args):
     from .sources.tsv import annotations_to_tsv_lines
 
     spark = _spark()
-    df = prepare_tac15(spark, args.system)
+    excluded, mapping = _excluded_mapping(spark, args)
+    df = prepare_tac15(spark, args.system,
+                       excluded=excluded, mapping=mapping)
     for r in annotations_to_tsv_lines(df).orderBy(
             "docid", "start", "end").collect():
         print(r["value"])
@@ -73,7 +107,8 @@ def cmd_prepare_brat(args):
     from .sources.tsv import annotations_to_tsv_lines
 
     spark = _spark()
-    df = read_brat(spark, args.dir)
+    _, mapping = _excluded_mapping(spark, args)
+    df = read_brat(spark, args.dir, mapping=mapping)
     for r in annotations_to_tsv_lines(df).orderBy(
             "docid", "start", "end").collect():
         print(r["value"])
@@ -122,6 +157,8 @@ def cmd_confidence(args):
     measure = (args.measures or ["strong_all_match"])[0]
     pdc = per_doc_contingency(sys_df, gold, measure)
     res = bootstrap_confidence(pdc, n_trials=args.trials)
+    res = {m: {str(k): v for k, v in d.items()}
+           for m, d in res.items()}
     print(json.dumps({measure: res}, indent=4, sort_keys=True,
                      default=str))
 
@@ -152,7 +189,9 @@ def cmd_weights(args):
     from .operators.weights import weights_for_hierarchy
 
     spark = _spark()
-    df = weights_for_hierarchy(spark, args.hierarchy, decay=args.decay)
+    with open(args.hierarchy) as f:
+        hierarchy = f.read()
+    df = weights_for_hierarchy(spark, hierarchy, decay=args.decay)
     for r in df.collect():
         print(f"{r['gold_type']}\t{r['sys_type']}\t{r['weight']:f}")
 
@@ -169,6 +208,258 @@ def cmd_select_alternatives(args):
     for r in annotations_to_tsv_lines(out).orderBy(
             "docid", "start", "end").collect():
         print(r["value"])
+
+
+def cmd_prepare_conll_coref(args):
+    from pyspark.sql import functions as F
+
+    from .sources.conll import prepare_conll_coref
+    from .sources.tsv import annotations_to_tsv_lines
+
+    spark = _spark()
+    df = prepare_conll_coref(spark, args.system, with_kb=args.with_kb,
+                             cross_doc=args.cross_doc)
+    # reference sorts by Annotation.__lt__ = (start, -end)
+    # (import_.py:73-75, annotation.py:60-62); docid is a stable third
+    for r in annotations_to_tsv_lines(df).orderBy(
+            F.col("start"), F.col("end").desc(), "docid").collect():
+        print(r["value"])
+
+
+def cmd_to_weak(args):
+    from .operators.validate import to_weak
+    from .sources.tsv import annotations_to_tsv_lines, read_annotations_tsv
+
+    spark = _spark()
+    df = to_weak(read_annotations_tsv(spark, args.system))
+    for r in annotations_to_tsv_lines(df).orderBy(
+            "docid", "start", "end").collect():
+        print(r["value"])
+
+
+def _read_results_files(paths):
+    from .measures.contingency import read_tab_format
+
+    out = {}
+    for path in paths:
+        with open(path) as f:
+            out[path] = read_tab_format(f)
+    return out
+
+
+def _short_names(systems):
+    """Strip common path prefix/suffix (reference: _get_system_names,
+    summary.py:86-92)."""
+    import os.path
+
+    prefix = os.path.commonprefix(systems)
+    if os.path.sep in prefix:
+        prefix = os.path.dirname(prefix) + os.path.sep
+    suffix = os.path.commonprefix([s[::-1] for s in systems])
+    return [s[len(prefix):len(s) - len(suffix)] for s in systems]
+
+
+def cmd_rank_systems(args):
+    import re as _re
+
+    from .measures.catalog import parse_measures
+    from .summary import rank_system_tuples
+
+    group_re = _re.compile(args.group_re) if args.group_re else None
+    measures = set(parse_measures(args.measures or "all",
+                                  allow_unknown=True))
+    metrics = args.metrics or ["fscore"]
+    results = _read_results_files(args.systems)
+    shorts = dict(zip(args.systems, _short_names(args.systems)))
+    tuples = []
+    for path, rdict in results.items():
+        system = shorts[path] if args.short_names else path
+        group = group_re.search(path).group() if group_re else None
+        tuples.extend(
+            (system, group, measure, metric, score)
+            for measure, mres in rdict.items() if measure in measures
+            for metric, score in mres.items() if metric in metrics)
+    ranked = rank_system_tuples(
+        tuples, group_re=group_re, limit=args.limit, max_rank=args.max,
+        group_limit=args.group_limit, group_max=args.group_max)
+    if group_re:
+        print("measure\tmetric\trank\tgroup rank\tscore\tgroup\tsystem")
+        for t, ranks in ranked:
+            print(f"{t[2]}\t{t[3]}\t{ranks[0]}\t{ranks[1]}\t{t[4]}"
+                  f"\t{t[1]}\t{t[0]}")
+    else:
+        print("measure\tmetric\trank\tscore\tsystem")
+        for t, ranks in ranked:
+            print(f"{t[2]}\t{t[3]}\t{ranks[0]}\t{t[4]}\t{t[0]}")
+
+
+def cmd_compose_measures(args):
+    """Append ratio rows to evaluation tab files (reference:
+    ComposeMeasures, summary.py:843-906)."""
+    import os.path
+
+    for path in args.systems:
+        with open(path) as f:
+            text = f.read()
+        result = _compose_rows(text, args.ratios or [])
+        if args.out_fmt is None:
+            out_path = path
+        else:
+            dirname = os.path.dirname(path)
+            base = os.path.basename(path)
+            ext = ""
+            if "." in base:
+                base, ext = os.path.splitext(base)
+            out_path = args.out_fmt.format(dir=dirname, base=base,
+                                           ext=ext)
+        if out_path == "-":
+            print(result)
+        else:
+            with open(out_path, "w") as f:
+                print(result, file=f)
+
+
+def _compose_rows(text, ratios):
+    """Reference ComposeMeasures._process_system (summary.py:874-896):
+    per-column float ratio rows named ``m1/m2``, 3-decimal, 'nan' for
+    ~zero denominators; pre-existing ratio rows are replaced."""
+    output_names = {f"{m1}/{m2}" for m1, m2 in ratios}
+    out, lookup = [], {}
+    for line in text.rstrip("\n").split("\n"):
+        row = line.rstrip().split("\t")
+        if row[-1] not in output_names:
+            out.append(row)
+        lookup[row[-1]] = row[:-1]
+    for m1, m2 in ratios:
+        row = []
+        for v1, v2 in zip(lookup[m1], lookup[m2]):
+            v1, v2 = float(v1), float(v2)
+            row.append("nan" if abs(v2) < 1e-10
+                       else "{:0.3f}".format(v1 / v2))
+        row.append(f"{m1}/{m2}")
+        out.append(row)
+    return "\n".join("\t".join(row) for row in out)
+
+
+def cmd_compare_measures(args):
+    from .measures.catalog import parse_measures
+    from .summary import compare_measures_full, compare_measures_tab
+
+    if args.gold:
+        from .measures import evaluate
+        from .sources.tsv import read_annotations_tsv
+
+        spark = _spark()
+        measures = parse_measures(args.measures or "all")
+        gold = read_annotations_tsv(spark, args.gold)
+        per_system = {
+            path: evaluate(read_annotations_tsv(spark, path), gold,
+                           measures=measures)
+            for path in args.systems
+        }
+    else:
+        measures = parse_measures(args.measures or "all",
+                                  allow_unknown=True)
+        per_system = _read_results_files(args.systems)
+    mnames = [str(m) for m in measures]
+    scores = {m: [per_system[p][m]["fscore"] for p in args.systems]
+              for m in mnames}
+    res = compare_measures_full(scores)
+    if args.fmt == "json":
+        print(json.dumps(
+            {"quartiles": {m: list(q) for m, q in
+                           res["quartiles"].items()},
+             "correlations": {f"{a},{b}": v for (a, b), v in
+                              res["correlations"].items()}},
+            indent=4, sort_keys=True))
+    else:
+        print(compare_measures_tab(res, mnames))
+
+
+def cmd_plot_systems(args):
+    """Reference PlotSystems (summary.py:116-654).  The selection /
+    grouping / sorting semantics live in summary.plot_systems_data;
+    figures render only when matplotlib is importable (absent in this
+    container), otherwise the plot data is emitted as JSON."""
+    import re as _re
+
+    from .measures.catalog import parse_measures
+    from .summary import plot_systems_data
+
+    measures = [str(m) for m in parse_measures(
+        args.measures or "all", allow_unknown=True)]
+    results = {}
+    if args.input_type == "confidence":
+        # confidence JSON (cmd_confidence output):
+        # {measure: {metric: {"score": s, "<pct>": [lo, hi], ...}}}
+        for path in args.systems:
+            with open(path) as f:
+                data = json.load(f)
+            results[path] = {
+                m: {args.metric: {
+                    "score": v[args.metric]["score"],
+                    "lo": v[args.metric][str(args.confidence)][0],
+                    "hi": v[args.metric][str(args.confidence)][1],
+                }}
+                for m, v in data.items()
+            }
+    else:
+        results = _read_results_files(args.systems)
+    figures = plot_systems_data(
+        results,
+        [m for m in measures
+         if all(m in r for r in results.values())] or measures,
+        metric=args.metric,
+        group_re=_re.compile(args.group_re) if args.group_re else None,
+        best_in_group=args.best_in_group,
+        sort_by=args.sort_by,
+        at_most=args.at_most,
+        figures_by=args.figures_by,
+    )
+    try:
+        import matplotlib  # noqa: F401
+        has_mpl = True
+    except ImportError:
+        has_mpl = False
+    if args.out_fmt and has_mpl:
+        import matplotlib.pyplot as plt
+
+        for fig in figures:
+            f, ax = plt.subplots()
+            xs = [p["score"] for p in fig["points"]]
+            ys = list(range(len(fig["points"])))
+            ax.plot(xs, ys, "o")
+            ax.set_yticks(ys)
+            ax.set_yticklabels([p.get("system", p["measure"])
+                                for p in fig["points"]])
+            ax.set_title(fig["figure"])
+            f.savefig(args.out_fmt.format(name=fig["figure"]))
+            plt.close(f)
+    else:
+        print(json.dumps(figures, indent=2, sort_keys=True))
+
+
+def cmd_interact(args):
+    """Debug shell with the session and loaded annotations in scope
+    (reference: interact.py — IPython embed over system/gold docs)."""
+    from .sources.tsv import read_annotations_tsv
+
+    spark = _spark()
+    ns = {"spark": spark}
+    if args.system:
+        ns["system"] = read_annotations_tsv(spark, args.system)
+    if args.gold:
+        ns["gold"] = read_annotations_tsv(spark, args.gold)
+    banner = ("neleval_spark interactive shell — in scope: "
+              + ", ".join(sorted(ns)))
+    try:
+        import IPython
+
+        IPython.embed(banner1=banner, user_ns=ns)
+    except ImportError:
+        import code
+
+        code.interact(banner=banner, local=ns)
 
 
 def cmd_run_pipeline(args):
@@ -199,17 +490,61 @@ def main(argv=None):
                         action="append")
         sp.add_argument("-b", "--group-by", dest="group_by",
                         action="append")
+        sp.add_argument("--overall", action="store_true")
+        sp.add_argument("--type-weights",
+                        help="TSV of gold, sys, weight")
         sp.add_argument("-f", "--fmt", default="tab",
                         choices=["tab", "json"])
 
     add("evaluate", cmd_evaluate, _eval)
     add("prepare-tac", cmd_prepare_tac, lambda sp: (
         sp.add_argument("system"),
-        sp.add_argument("-q", "--queries", required=True)))
-    add("prepare-tac15", cmd_prepare_tac15,
+        sp.add_argument("-q", "--queries", required=True),
+        sp.add_argument("-x", "--excluded-spans", dest="excluded"),
+        sp.add_argument("-m", "--mapping")))
+    add("prepare-tac15", cmd_prepare_tac15, lambda sp: (
+        sp.add_argument("system"),
+        sp.add_argument("-x", "--excluded-spans", dest="excluded"),
+        sp.add_argument("-m", "--mapping")))
+    add("prepare-brat", cmd_prepare_brat, lambda sp: (
+        sp.add_argument("dir"),
+        sp.add_argument("-m", "--mapping")))
+    add("prepare-conll-coref", cmd_prepare_conll_coref, lambda sp: (
+        sp.add_argument("system"),
+        sp.add_argument("--with-kb", action="store_true"),
+        sp.add_argument("--cross-doc", action="store_true")))
+    add("to-weak", cmd_to_weak,
         lambda sp: sp.add_argument("system"))
-    add("prepare-brat", cmd_prepare_brat,
-        lambda sp: sp.add_argument("dir"))
+    add("rank-systems", cmd_rank_systems, lambda sp: (
+        sp.add_argument("systems", nargs="+"),
+        sp.add_argument("-m", "--measure", dest="measures",
+                        action="append"),
+        sp.add_argument("--metric", dest="metrics", action="append",
+                        choices=["precision", "recall", "fscore"]),
+        sp.add_argument("--group-re"),
+        sp.add_argument("--short-names", action="store_true"),
+        sp.add_argument("--group-limit", type=int),
+        sp.add_argument("--group-max", type=int),
+        sp.add_argument("--limit", type=int),
+        sp.add_argument("--max", type=int)))
+    add("compose-measures", cmd_compose_measures, lambda sp: (
+        sp.add_argument("systems", nargs="*"),
+        sp.add_argument("-o", "--out-fmt",
+                        help="output path format, e.g. "
+                             "{dir}/{base}.ratios{ext}; '-' = stdout"),
+        sp.add_argument("-r", "--ratio", dest="ratios", nargs=2,
+                        action="append")))
+    add("compare-measures", cmd_compare_measures, lambda sp: (
+        sp.add_argument("systems", nargs="+"),
+        sp.add_argument("-g", "--gold"),
+        sp.add_argument("-e", "--evaluation-files",
+                        action="store_true",
+                        help="systems are evaluate outputs, not "
+                             "annotations (default when no --gold)"),
+        sp.add_argument("-m", "--measure", dest="measures",
+                        action="append"),
+        sp.add_argument("-f", "--fmt", default="tab",
+                        choices=["tab", "json"])))
     add("analyze", cmd_analyze, lambda sp: (
         sp.add_argument("system"),
         sp.add_argument("-g", "--gold", required=True),
@@ -240,6 +575,28 @@ def main(argv=None):
         sp.add_argument("system"),
         sp.add_argument("-g", "--gold", required=True),
         sp.add_argument("-f", "--fields", default="eid")))
+    add("plot-systems", cmd_plot_systems, lambda sp: (
+        sp.add_argument("systems", nargs="+"),
+        sp.add_argument("--input-type", default="evaluate",
+                        choices=["evaluate", "confidence"]),
+        sp.add_argument("-m", "--measure", dest="measures",
+                        action="append"),
+        sp.add_argument("--metric", default="fscore",
+                        choices=["precision", "recall", "fscore"]),
+        sp.add_argument("--confidence", type=int, default=95),
+        sp.add_argument("--figures-by", default="measure",
+                        choices=["measure", "system", "single"]),
+        sp.add_argument("--group-re"),
+        sp.add_argument("--best-in-group", action="store_true"),
+        sp.add_argument("--sort-by", default="none",
+                        choices=["none", "name", "score"]),
+        sp.add_argument("--at-most", type=int),
+        sp.add_argument("-o", "--out-fmt",
+                        help="figure path format {name}; requires "
+                             "matplotlib, else JSON to stdout")))
+    add("interact", cmd_interact, lambda sp: (
+        sp.add_argument("system", nargs="?"),
+        sp.add_argument("-g", "--gold")))
     add("run-pipeline", cmd_run_pipeline, lambda sp: (
         sp.add_argument("corpus"),
         sp.add_argument("-o", "--out", required=True),

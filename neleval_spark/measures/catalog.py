@@ -140,9 +140,12 @@ def _expand(measures):
     return [m for group in measures for m in _expand(group)]
 
 
-def parse_measures(in_measures, incl_clustering: bool = True) -> list[str]:
+def parse_measures(in_measures, incl_clustering: bool = True,
+                   allow_unknown: bool = False) -> list[str]:
     """Expand group names, dedupe preserving order, validate
-    (reference: neleval/configs.py:155-188)."""
+    (reference: neleval/configs.py:155-188; ``allow_unknown`` keeps
+    unresolvable names, used when ranking over evaluation files that
+    may carry composed measures)."""
     measures = _expand(in_measures)
     seen = set()
     measures = [seen.add(m) or m for m in measures if m not in seen]
@@ -154,7 +157,7 @@ def parse_measures(in_measures, incl_clustering: bool = True) -> list[str]:
             get_measure(m)
         except Exception:
             invalid.append(m)
-    if invalid:
+    if invalid and not allow_unknown:
         raise ValueError(f"Could not resolve measures: {sorted(invalid)}")
     if not incl_clustering:
         measures = [m for m in measures if not get_measure(m).is_clustering]

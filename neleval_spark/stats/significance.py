@@ -254,6 +254,11 @@ def bootstrap_confidence(
                    "rtp2": F.lit(0.0), "fn2": F.lit(0.0)})
     partials = _trial_partials(joined, n_trials, seed, "poisson")
     t = _metrics_from(partials[:, :4])
+    import numpy as np
+
+    observed = _metrics_from(np.asarray(
+        joined.groupBy().sum("ptp1", "fp1", "rtp1", "fn1").collect(),
+        dtype=float))
     out = {}
     for m in metrics:
         values = sorted(t[m].tolist())
@@ -262,4 +267,8 @@ def bootstrap_confidence(
                 nist_percentile(values, 100 - (100 - p) / 2))
             for p in percentiles
         }
+        # observed point score alongside the CIs (used by plot-systems'
+        # confidence input, mirroring reference Confidence output which
+        # carries the overall score)
+        out[m]["score"] = float(observed[m][0])
     return out

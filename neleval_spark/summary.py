@@ -126,3 +126,151 @@ def compare_measures(results: DataFrame, metric: str = "fscore") -> dict:
                 "kendall": kendall_tau(a, b),
             }
     return out
+
+
+def quartiles(values: np.ndarray) -> np.ndarray:
+    """[min, q1, median, q3, max] (reference: summary.py:704-706
+    ``np.percentile(scores, [0, 25, 50, 75, 100])``)."""
+    return np.percentile(np.asarray(values, dtype=float),
+                         [0, 25, 50, 75, 100])
+
+
+def compare_measures_full(scores_by_measure: dict) -> dict:
+    """Correlations + quartiles over {measure: per-system score vector}
+    (reference: CompareMeasures.__call__, summary.py:684-707)."""
+    measures = list(scores_by_measure)
+    correlations = {}
+    for i, m1 in enumerate(measures):
+        for m2 in measures[i + 1:]:
+            a = np.asarray(scores_by_measure[m1], dtype=float)
+            b = np.asarray(scores_by_measure[m2], dtype=float)
+            correlations[m1, m2] = {
+                "pearson": pearson(a, b),
+                "spearman": spearman(a, b),
+                "kendall": kendall_tau(a, b),
+            }
+    quarts = {m: quartiles(scores_by_measure[m]) for m in measures}
+    return {"correlations": correlations, "quartiles": quarts}
+
+
+def compare_measures_tab(results: dict, measures: list[str]) -> str:
+    """Reference CompareMeasures.tab_format (summary.py:709-726):
+    width-padded, tab-joined rows of pearson/spearman/kendall plus
+    median-diff and iqr-ratio from the quartiles."""
+    correlations = results["correlations"]
+    quarts = results["quartiles"]
+    rows = [["measure1", "measure2", "pearson-r", "spearman-r",
+             "kendall-tau", "median-diff", "iqr-ratio"]]
+    for i, m1 in enumerate(measures):
+        for m2 in measures[i + 1:]:
+            corr = correlations[m1, m2]
+            q1, q2 = quarts[m1], quarts[m2]
+            iqr2 = q2[3] - q2[1]
+            data = [corr["pearson"], corr["spearman"], corr["kendall"],
+                    q1[2] - q2[2],
+                    (q1[3] - q1[1]) / iqr2 if iqr2 else float("inf")]
+            rows.append([m1, m2] + ["%0.3f" % v for v in data])
+    widths = [max(len(r[c]) for r in rows) for c in range(len(rows[0]))]
+    fmt = "\t".join("{:%ds}" % w for w in widths)
+    return "\n".join(fmt.format(*r) for r in rows)
+
+
+def rank_system_tuples(tuples, group_re=None, limit=None, max_rank=None,
+                       group_limit=None, group_max=None):
+    """Reference RankSystems._rank (summary.py:965-996): shared ranks
+    on score ties, optional per-group ranks and limit/max cut-offs.
+    ``tuples``: (system, group, measure, metric, score) sorted by
+    (measure, metric, -score).  Yields (tuple, ranks)."""
+    import itertools
+    from collections import defaultdict
+
+    def _rank(rows):
+        key_fns = [(lambda t: None, limit, max_rank)]
+        if group_re is not None:
+            key_fns.insert(0, (lambda t: t[1], group_limit, group_max))
+        inf = float("inf")
+        idx: dict = defaultdict(int)
+        prev: dict = defaultdict(lambda: (inf, inf))
+        for tup in rows:
+            no_yield = False
+            ranks = []
+            for fn, lim, mx in key_fns:
+                key = fn(tup)
+                idx[key] += 1
+                if lim is not None and idx[key] > lim:
+                    no_yield = True
+                    break
+                score, rank = prev[key]
+                if tup[4] != score:
+                    rank = idx[key]
+                    prev[key] = (tup[4], rank)
+                ranks.append(rank)
+                if mx is not None and rank > mx:
+                    no_yield = True
+                    break
+            if not no_yield:
+                yield tup, tuple(ranks)
+
+    tuples = sorted(tuples, key=lambda t: (t[2], t[3], -t[4]))
+    for _, rows in itertools.groupby(tuples, key=lambda t: (t[2], t[3])):
+        yield from _rank(rows)
+
+
+def plot_systems_data(results: dict, measures: list[str],
+                      metric: str = "fscore", group_re=None,
+                      best_in_group: bool = False, sort_by: str = "none",
+                      at_most: int | None = None,
+                      figures_by: str = "measure") -> list[dict]:
+    """The data side of the reference's PlotSystems (summary.py:116-654):
+    select/group/sort the (system, measure, score[, ci]) points that
+    each figure would render.  Figure rendering itself is a thin
+    matplotlib layer (optional here — the container has no matplotlib);
+    this function is the part with semantics.
+
+    ``results``: {system: {measure: {metric: score | {'score','lo','hi'}}}}.
+    Returns [{'figure': name, 'points': [{system, group, measure,
+    score, lo?, hi?}]}].
+    """
+    def _point(system, measure):
+        val = results[system][measure][metric]
+        if isinstance(val, dict):
+            p = {"system": system, "measure": measure,
+                 "score": val["score"]}
+            p.update({k: val[k] for k in ("lo", "hi") if k in val})
+        else:
+            p = {"system": system, "measure": measure, "score": val}
+        if group_re is not None:
+            p["group"] = group_re.search(system).group()
+        return p
+
+    systems = list(results)
+
+    def _select(points):
+        if best_in_group and group_re is not None:
+            best: dict = {}
+            for p in points:
+                cur = best.get(p["group"])
+                if cur is None or p["score"] > cur["score"]:
+                    best[p["group"]] = p
+            points = list(best.values())
+        if sort_by == "name":
+            points.sort(key=lambda p: p["system"])
+        elif sort_by == "score":
+            points.sort(key=lambda p: -p["score"])
+        if at_most is not None:
+            points = points[:at_most]
+        return points
+
+    if figures_by == "measure":
+        return [{"figure": m,
+                 "points": _select([_point(s, m) for s in systems])}
+                for m in measures]
+    if figures_by == "system":
+        return [{"figure": s,
+                 "points": _select([_point(s, m) for m in measures])}
+                for s in systems]
+    if figures_by == "single":
+        return [{"figure": "single",
+                 "points": _select([_point(s, m) for s in systems
+                                    for m in measures])}]
+    raise ValueError(f"unknown figures_by: {figures_by!r}")

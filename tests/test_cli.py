@@ -1,0 +1,204 @@
+"""Shell-level CLI parity: drive every subcommand through
+``neleval_spark.__main__.main`` (mirrors the reference's shell tests
+exercising each app, neleval/__main__.py:23-41).
+
+Runs in-process (``main(argv)``) so the session-scoped Spark fixture
+is reused instead of paying a JVM per subcommand.
+"""
+
+import json
+import os
+
+import pytest
+
+EXAMPLES = "/root/reference/neleval/examples"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(EXAMPLES), reason="reference fixtures not present")
+
+
+def _run(capsys, *argv):
+    from neleval_spark.__main__ import main
+
+    main(list(argv))
+    return capsys.readouterr().out
+
+
+@pytest.fixture()
+def gold_path():
+    return os.path.join(EXAMPLES, "tac_gold.combined.tsv")
+
+
+@pytest.fixture()
+def sys_path():
+    return os.path.join(EXAMPLES, "tac_system.combined.tsv")
+
+
+def test_cli_evaluate_tab(spark, capsys, gold_path, sys_path):
+    out = _run(capsys, "evaluate", sys_path, "-g", gold_path,
+               "-m", "strong_link_match")
+    lines = out.strip().split("\n")
+    assert lines[0].startswith("ptp\tfp\trtp\tfn")
+    assert lines[1].split("\t")[-1] == "strong_link_match"
+    assert "1.000" in lines[1]
+
+
+def test_cli_evaluate_type_weights(spark, capsys, tmp_path,
+                                   gold_path, sys_path):
+    w = tmp_path / "weights.tsv"
+    w.write_text("GPE\tLOC\t0.5\n")
+    out = _run(capsys, "evaluate", sys_path, "-g", gold_path,
+               "-m", "strong_typed_all_match",
+               "--type-weights", str(w))
+    assert "strong_typed_all_match" in out
+
+
+def test_cli_prepare_tac_with_options(spark, capsys, tmp_path):
+    q = tmp_path / "q.xml"
+    q.write_text(
+        '<?xml version="1.0" encoding="UTF-8"?><kbpentlink>'
+        '<query id="q1"><name>A</name><docid>D1</docid>'
+        "<beg>5</beg><end>9</end></query>"
+        '<query id="q2"><name>B</name><docid>D2</docid>'
+        "<beg>1</beg><end>3</end></query></kbpentlink>")
+    links = tmp_path / "links.tab"
+    links.write_text("q1\tE_one\tPER\t0.5\nq2\tE_two\tGPE\t0.5\n")
+    m = tmp_path / "map.tsv"
+    m.write_text("One Entity\tE_one\n")
+    x = tmp_path / "exc.tsv"
+    x.write_text("D2\t0\t4\n")
+    out = _run(capsys, "prepare-tac", str(links), "-q", str(q),
+               "-m", str(m), "-x", str(x))
+    assert out.strip().split("\n") == ["D1\t5\t9\tOne_Entity\t0.5\tPER"]
+
+
+def test_cli_prepare_conll_coref(spark, capsys, tmp_path):
+    p = tmp_path / "coref.txt"
+    p.write_text("#begin document (dX)\na\t(1\nb\t1)\nc\t(2)\n"
+                 "#end document\n")
+    out = _run(capsys, "prepare-conll-coref", str(p))
+    assert out.rstrip("\n").split("\n") == [
+        "(dX)\t1\t2\tNIL1:(dX)\t\t",
+        "(dX)\t3\t3\tNIL2:(dX)\t\t",
+    ]
+
+
+def test_cli_to_weak(spark, capsys, tmp_path):
+    p = tmp_path / "a.tsv"
+    p.write_text("d1\t3\t5\tE1\n")
+    out = _run(capsys, "to-weak", str(p))
+    # reference ToWeak (weak.py:17-21): one annotation per char i with
+    # span (i, i+1)
+    assert out.rstrip("\n").split("\n") == [
+        "d1\t3\t4\tE1\t\t", "d1\t4\t5\tE1\t\t", "d1\t5\t6\tE1\t\t"]
+
+
+def test_cli_rank_compose_compare(spark, capsys, tmp_path,
+                                  gold_path, sys_path):
+    # build two evaluation files
+    out_a = _run(capsys, "evaluate", sys_path, "-g", gold_path,
+                 "-m", "strong_link_match", "-m", "strong_all_match")
+    out_b = _run(capsys, "evaluate", gold_path, "-g", gold_path,
+                 "-m", "strong_link_match", "-m", "strong_all_match")
+    fa, fb = tmp_path / "sysA.eval", tmp_path / "sysB.eval"
+    fa.write_text(out_a)
+    fb.write_text(out_b)
+
+    ranked = _run(capsys, "rank-systems", str(fa), str(fb),
+                  "-m", "strong_link_match", "--metric", "fscore")
+    lines = ranked.strip().split("\n")
+    assert lines[0] == "measure\tmetric\trank\tscore\tsystem"
+    assert len(lines) == 3
+    # both systems score 1.0 → shared rank 1
+    assert [l.split("\t")[2] for l in lines[1:]] == ["1", "1"]
+
+    composed = _run(capsys, "compose-measures", str(fa), "-o", "-",
+                    "-r", "strong_link_match", "strong_all_match")
+    last = composed.strip().split("\n")[-1].split("\t")
+    assert last[-1] == "strong_link_match/strong_all_match"
+    assert last[4] == "1.000"  # precision ratio
+
+    compared = _run(capsys, "compare-measures", str(fa), str(fb),
+                    "-m", "strong_link_match", "-m", "strong_all_match",
+                    "-f", "json")
+    data = json.loads(compared)
+    assert "quartiles" in data and "correlations" in data
+    assert data["quartiles"]["strong_link_match"][2] == 1.0
+
+
+def test_cli_list_measures(spark, capsys):
+    out = _run(capsys, "list-measures")
+    assert "strong_link_match" in out and "mention_ceaf" in out
+
+
+def test_cli_analyze_summary(spark, capsys, gold_path, sys_path):
+    out = _run(capsys, "analyze", sys_path, "-g", gold_path, "-s")
+    assert "correct" in out
+
+
+def test_cli_significance_and_confidence(spark, capsys,
+                                         gold_path, sys_path):
+    out = _run(capsys, "significance", sys_path, gold_path,
+               "-g", gold_path, "-n", "50",
+               "-m", "strong_link_match")
+    data = json.loads(out)
+    assert "strong_link_match" in data
+    out = _run(capsys, "confidence", sys_path, "-g", gold_path,
+               "-n", "50", "-m", "strong_link_match")
+    assert "strong_link_match" in json.loads(out)
+
+
+def test_cli_validate_and_weights(spark, capsys, tmp_path, sys_path):
+    out = _run(capsys, "validate-spans", sys_path,
+               "--duplicate", "warn")
+    # no duplicates in the fixture → no issues printed
+    assert out.strip() == ""
+    h = tmp_path / "hier.json"
+    h.write_text('{"PER": ["ACTOR"], "ORG": ["COMPANY"]}')
+    out = _run(capsys, "weights-for-hierarchy", str(h))
+    assert "ACTOR" in out
+
+
+def test_cli_select_alternatives(spark, capsys, tmp_path):
+    g = tmp_path / "gold.tsv"
+    g.write_text("d1\t0\t5\tE1\t1.0\tPER\n")
+    s = tmp_path / "sys.tsv"
+    s.write_text("d1\t0\t5\tE9\t0.5\tPER\tE1\t0.4\tPER\n")
+    out = _run(capsys, "select-alternatives", str(s), "-g", str(g))
+    assert out.strip().split("\n")[0].startswith("d1\t0\t5\tE1")
+
+
+def test_cli_plot_systems_data(spark, capsys, tmp_path,
+                               gold_path, sys_path):
+    out_a = _run(capsys, "evaluate", sys_path, "-g", gold_path,
+                 "-m", "strong_link_match")
+    fa = tmp_path / "teamX.run1.eval"
+    fb = tmp_path / "teamX.run2.eval"
+    fa.write_text(out_a)
+    fb.write_text(out_a)
+    out = _run(capsys, "plot-systems", str(fa), str(fb),
+               "-m", "strong_link_match", "--sort-by", "name",
+               "--group-re", r"team\w+")
+    figs = json.loads(out)
+    assert figs[0]["figure"] == "strong_link_match"
+    pts = figs[0]["points"]
+    assert len(pts) == 2 and all(p["group"] == "teamX" for p in pts)
+    assert pts[0]["score"] == 1.0
+    # best-in-group collapses to one point per group
+    out = _run(capsys, "plot-systems", str(fa), str(fb),
+               "-m", "strong_link_match", "--group-re", r"team\w+",
+               "--best-in-group")
+    assert len(json.loads(out)[0]["points"]) == 1
+
+
+def test_cli_plot_systems_confidence_input(spark, capsys, tmp_path,
+                                           gold_path, sys_path):
+    out = _run(capsys, "confidence", sys_path, "-g", gold_path,
+               "-n", "50", "-m", "strong_link_match")
+    f = tmp_path / "conf.json"
+    f.write_text(out)
+    out = _run(capsys, "plot-systems", str(f),
+               "--input-type", "confidence",
+               "-m", "strong_link_match")
+    pts = json.loads(out)[0]["points"]
+    assert pts[0]["lo"] <= pts[0]["score"] <= pts[0]["hi"]
