@@ -996,9 +996,79 @@ FROM per_doc GROUP BY lang ORDER BY lang
 """
 
 
+def q_media_meta(spark, sf_dir):
+    """Real (non-stub) multimodal decode, value-checked: synthesize
+    valid PNG/WAV containers whose dimensions are closed-form functions
+    of doc_id, run the distributed header decode
+    (functions/multimodal.decode_headers via mapInPandas), and emit the
+    decoded metadata.  The oracle computes the same columns from doc_id
+    arithmetic alone — so a decode bug (wrong endianness, wrong chunk
+    walk) breaks the hash match."""
+    import pandas as pd
+
+    from neleval_spark.functions.multimodal import extract_media_meta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id")
+
+    def gen(batches):
+        import struct
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    w, h = 100 + i % 500, 100 + i % 300
+                    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                    data = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13)
+                            + b"IHDR" + ihdr
+                            + struct.pack(">I",
+                                          zlib.crc32(b"IHDR" + ihdr)))
+                    kind = "image"
+                else:
+                    rate = 8000 * (1 + i % 3)
+                    n_samples = rate * (1 + i % 2)
+                    size = n_samples * 2
+                    data = (b"RIFF" + struct.pack("<I", 36 + size)
+                            + b"WAVE" + b"fmt " + struct.pack("<I", 16)
+                            + struct.pack("<HHIIHH", 1, 1, rate,
+                                          rate * 2, 2, 16)
+                            + b"data" + struct.pack("<I", size))
+                    kind = "audio"
+                rows.append({"asset_id": f"a{i}", "kind": kind,
+                             "bytes": data, "meta": None})
+            yield pd.DataFrame(rows)
+
+    assets = docs.mapInPandas(
+        gen, schema="asset_id string, kind string, bytes binary, "
+                    "meta map<string,string>")
+    meta = extract_media_meta(assets)
+    return meta.select(
+        "asset_id", "format", "width", "height",
+        "sample_rate_hz", "duration_ms",
+    ).orderBy("asset_id")
+
+
+Q_MEDIA_META_SQL = """
+SELECT 'a' || CAST(doc_id AS VARCHAR) AS asset_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+       CASE WHEN doc_id % 2 = 0 THEN 100 + doc_id % 500 END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN 100 + doc_id % 300 END AS height,
+       CASE WHEN doc_id % 2 = 1
+            THEN 8000 * (1 + doc_id % 3) END AS sample_rate_hz,
+       CASE WHEN doc_id % 2 = 1
+            THEN 1000 * (1 + doc_id % 2) END AS duration_ms
+FROM documents
+ORDER BY asset_id
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing (decode stubbed, deterministic fake
-    features) — rows-only check."""
+    """Multimodal plumbing (full pixel decode stubbed, deterministic
+    fake features) — rows-only check; header-level decode is
+    value-checked by ``media_meta``."""
     from neleval_spark.functions.multimodal import (
         bucketed, extract_features, synth_assets)
 
@@ -1049,6 +1119,50 @@ def q_mention_ceaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _measure_query("mention_ceaf")(spark, sf_dir)
 
 
+def q_ceaf_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mention_ceaf through the REAL assignment path on star-structured
+    clusters: sys clusters partition each gold cluster (gold=custkey,
+    sys=custkey×orderkey%3), so every overlap-graph component is a star
+    and the optimal assignment is SQL-expressible as
+    Σ_gold max_sys |gold∩sys| — a full hash-checked CEAF oracle."""
+    from neleval_spark.measures import get_measure
+    from neleval_spark.measures.contingency import contingency_df
+
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.lit("d").alias("docid"),
+        F.col("o_orderkey").cast("long").alias("start"),
+        (F.col("o_orderkey") + 1).cast("long").alias("end"),
+        F.col("o_custkey").alias("ck"),
+        (F.col("o_orderkey") % 3).alias("b"),
+    )
+    gold = ords.select(
+        "docid", "start", "end",
+        F.concat(F.lit("g"), F.col("ck").cast("string")).alias("eid"))
+    sys_ = ords.select(
+        "docid", "start", "end",
+        F.concat(F.lit("s"), F.col("ck").cast("string"),
+                 F.lit("_"), F.col("b").cast("string")).alias("eid"))
+    out = contingency_df(sys_, gold, get_measure("mention_ceaf"))
+    return out.select(
+        F.round("ptp", 6).alias("ptp"),
+        F.round("fp", 6).alias("fp"),
+        F.round("rtp", 6).alias("rtp"),
+        F.round("fn", 6).alias("fn"),
+    )
+
+
+Q_CEAF_STAR_SQL = """
+WITH m AS (SELECT o_custkey AS c, o_orderkey % 3 AS b FROM orders),
+inter AS (SELECT c, b, COUNT(*) AS i FROM m GROUP BY c, b),
+best AS (SELECT CAST(SUM(mi) AS DOUBLE) AS num
+         FROM (SELECT MAX(i) AS mi FROM inter GROUP BY c)),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM m)
+SELECT ROUND(num, 6) AS ptp, ROUND(n - num, 6) AS fp,
+       ROUND(num, 6) AS rtp, ROUND(n - num, 6) AS fn
+FROM best, tot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # sets measures (J1/A1)
@@ -1065,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference exposes this via custom measure strings only
         "pairwise_negative": _measure_query("pairwise_negative:None:span"),
         "mention_ceaf": q_mention_ceaf,
+        "ceaf_star": q_ceaf_star,
         # row transforms / joins / windows
         "is_first": q_is_first,
         "top_candidate": q_top_candidate,
@@ -1093,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         # multimodal plumbing (rows-only)
         "multimodal_features": q_multimodal_features,
+        "media_meta": q_media_meta,
         # construction pipeline (rows-only)
         "pipeline_triples": q_pipeline_triples,
     }
@@ -1113,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         "b_cubed": Q_B_CUBED_SQL,
         "pairwise": Q_PAIRWISE_SQL,
         "pairwise_negative": Q_PAIRWISE_NEGATIVE_SQL,
+        "ceaf_star": Q_CEAF_STAR_SQL,
         # mention_ceaf: omitted (Hungarian assignment — rows-only)
         "is_first": Q_IS_FIRST_SQL,
         "top_candidate": Q_TOP_CANDIDATE_SQL,
@@ -1136,6 +1253,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,
         "lang_id": Q_LANG_ID_SQL,
         "quality": Q_QUALITY_SQL,
+        "media_meta": Q_MEDIA_META_SQL,
         # multimodal_features: omitted (binary decode stubs)
         # pipeline_triples: omitted (pandas UDFs + iterative CC)
     }

@@ -31,11 +31,107 @@ FEATURES_SCHEMA = (f"asset_id string, kind string, "
 
 
 def decode_stub(data: bytes, kind: str):
-    """Real decoder goes here (image decode / audio resample / video
-    frame-sample). Not available in this environment."""
+    """Full pixel/sample decode goes here (PIL/torchaudio/decord).
+    Not available in this environment — header-level metadata decode
+    IS available, see :func:`decode_headers`."""
     raise NotImplementedError(
         f"no media codec available in this environment for kind={kind!r}"
     )
+
+
+def decode_headers(data: bytes, kind: str | None = None) -> dict:
+    """Pure-Python container-header decode: PNG / JPEG / GIF
+    dimensions, WAV channel/rate/duration.  No codec dependencies —
+    this is the real (non-stub) metadata path in this environment.
+
+    Returns {'format', 'width', 'height'} for images or {'format',
+    'channels', 'sample_rate_hz', 'bits_per_sample', 'duration_ms'}
+    for WAV.  Raises ValueError on unrecognized or truncated input.
+    """
+    import struct
+
+    if data is None or len(data) < 12:
+        raise ValueError("too short to identify container")
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR is required first chunk: length(4) type(4) data
+        if data[12:16] != b"IHDR" or len(data) < 24:
+            raise ValueError("PNG without leading IHDR")
+        w, h = struct.unpack(">II", data[16:24])
+        return {"format": "png", "width": w, "height": h}
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return {"format": "gif", "width": w, "height": h}
+    if data[:2] == b"\xff\xd8":  # JPEG SOI; scan for a frame header
+        i = 2
+        while i + 9 <= len(data):
+            if data[i] != 0xFF:
+                raise ValueError("JPEG marker desync")
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = struct.unpack(">H", data[i + 2:i + 4])[0]
+            # SOF0-3, 5-7, 9-11, 13-15 carry dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8,
+                                                         0xCC):
+                h, w = struct.unpack(">HH", data[i + 5:i + 9])
+                return {"format": "jpeg", "width": w, "height": h}
+            i += 2 + seglen
+        raise ValueError("JPEG without SOF marker")
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        i = 12
+        fmt = {}
+        data_size = None
+        while i + 8 <= len(data):
+            cid = data[i:i + 4]
+            csize = struct.unpack("<I", data[i + 4:i + 8])[0]
+            if cid == b"fmt " and i + 24 <= len(data):
+                (_, channels, rate, _, _, bits) = struct.unpack(
+                    "<HHIIHH", data[i + 8:i + 24])
+                fmt = {"channels": channels, "sample_rate_hz": rate,
+                       "bits_per_sample": bits}
+            elif cid == b"data":
+                data_size = csize
+            i += 8 + csize + (csize % 2)
+        if not fmt or data_size is None:
+            raise ValueError("WAV without fmt/data chunks")
+        bytes_per_s = (fmt["channels"] * fmt["sample_rate_hz"]
+                       * fmt["bits_per_sample"] // 8)
+        fmt["duration_ms"] = (int(round(1000 * data_size / bytes_per_s))
+                              if bytes_per_s else 0)
+        fmt["format"] = "wav"
+        return fmt
+    raise ValueError(f"unrecognized container (kind hint: {kind!r})")
+
+
+MEDIA_META_SCHEMA = ("asset_id string, kind string, format string, "
+                     "width long, height long, channels long, "
+                     "sample_rate_hz long, duration_ms long, "
+                     "n_bytes long, error string")
+
+
+def extract_media_meta(assets: DataFrame) -> DataFrame:
+    """assets → typed header metadata via :func:`decode_headers`,
+    one Arrow-batched Python hop (mapInPandas); undecodable rows carry
+    the error instead of failing the job."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, kind, data in zip(pdf["asset_id"], pdf["kind"],
+                                       pdf["bytes"]):
+                row = {"asset_id": aid, "kind": kind, "format": None,
+                       "width": None, "height": None, "channels": None,
+                       "sample_rate_hz": None, "duration_ms": None,
+                       "n_bytes": len(data or b""), "error": None}
+                try:
+                    row.update(decode_headers(data, kind))
+                except ValueError as e:
+                    row["error"] = str(e)
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(gen, schema=MEDIA_META_SCHEMA)
 
 
 def fake_feature(data: bytes, kind: str, dim: int = FEATURE_DIM):

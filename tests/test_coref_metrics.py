@@ -172,3 +172,66 @@ def test_pairwise_negative_vs_reference(spark):
         got = tuple(int(res[c]) for c in ("p_num", "p_den",
                                           "r_num", "r_den"))
         assert got == exp, (trial, gold, resp, got, exp)
+
+
+# --- round 2: distributed assignment path + A9 guard -------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+def _star_frames(spark):
+    """sys clusters partition gold clusters → star overlap components;
+    optimal assignment = Σ_gold max_sys |∩| (closed form)."""
+    schema = "docid string, start long, end long, eid string"
+    gold = spark.createDataFrame(
+        [("d", i, i + 1, f"g{i % 5}") for i in range(60)], schema)
+    sys_ = spark.createDataFrame(
+        [("d", i, i + 1, f"s{i % 5}_{i % 3}") for i in range(60)], schema)
+    return gold, sys_
+
+
+def test_ceaf_distributed_matches_driver(spark, monkeypatch):
+    """Force the distributed CC + applyInPandas assignment engine
+    (normally engaged above 100k edges) and check it agrees with the
+    driver fast path and the closed-form star answer."""
+    from neleval_spark.measures import clustering
+
+    gold, sys_ = _star_frames(spark)
+    driver = clustering.mention_ceaf(
+        gold, sys_, ["docid", "start", "end"], []).collect()[0]
+
+    monkeypatch.setattr(clustering, "DRIVER_SOLVE_MAX_EDGES", 0)
+    dist = clustering.mention_ceaf(
+        gold, sys_, ["docid", "start", "end"], []).collect()[0]
+    assert dist["p_num"] == driver["p_num"]
+    assert dist["p_den"] == driver["p_den"]
+    # closed form: 5 gold clusters of 12, split 3 ways (sizes 4,4,4)
+    # → Σ max = 5 * 4 = 20
+    assert dist["p_num"] == 20.0 and dist["p_den"] == 60.0
+
+
+def test_ceaf_component_guard_zeroes(spark, monkeypatch):
+    """A9: an over-large component contributes 0 instead of stalling
+    (reference analogue: 900 s SIGALRM → zeros with warning,
+    coref_metrics.py:443-471)."""
+    from neleval_spark.measures import clustering
+
+    # K3,3 biclique: one component, 9 edges, assignment total 3
+    schema = "docid string, start long, end long, eid string"
+    cells = [(g, s) for g in range(3) for s in range(3)]
+    gold = spark.createDataFrame(
+        [("d", 10 * g + s, 10 * g + s + 1, f"G{g}") for g, s in cells],
+        schema)
+    sys_ = spark.createDataFrame(
+        [("d", 10 * g + s, 10 * g + s + 1, f"S{s}") for g, s in cells],
+        schema)
+
+    monkeypatch.setattr(clustering, "DRIVER_SOLVE_MAX_EDGES", 0)
+    ok = clustering.mention_ceaf(
+        gold, sys_, ["docid", "start", "end"], []).collect()[0]
+    assert ok["p_num"] == 3.0
+
+    monkeypatch.setattr(clustering, "MAX_COMPONENT_EDGES", 4)
+    guarded = clustering.mention_ceaf(
+        gold, sys_, ["docid", "start", "end"], []).collect()[0]
+    assert guarded["p_num"] == 0.0
+    assert guarded["p_den"] == ok["p_den"]

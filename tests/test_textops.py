@@ -147,3 +147,85 @@ def test_multimodal_plumbing(spark):
     assert b.select("bucket").distinct().count() <= 64
     with pytest.raises(NotImplementedError):
         decode_stub(b"x", "image")
+
+
+# --- round 2: real header-level media decode ----------------------------------
+
+def _png(w, h):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+
+
+def _gif(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def _jpeg(w, h):
+    import struct
+
+    return (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x01\x00\x00\x00")
+
+
+def _wav(rate=8000, channels=1, bits=16, n_samples=8000):
+    import struct
+
+    data_size = n_samples * channels * bits // 8
+    return (b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, channels, rate,
+                          rate * channels * bits // 8,
+                          channels * bits // 8, bits)
+            + b"data" + struct.pack("<I", data_size))
+
+
+def test_decode_headers_pure():
+    from neleval_spark.functions.multimodal import decode_headers
+
+    assert decode_headers(_png(640, 480)) == {
+        "format": "png", "width": 640, "height": 480}
+    assert decode_headers(_gif(320, 200)) == {
+        "format": "gif", "width": 320, "height": 200}
+    assert decode_headers(_jpeg(1024, 768)) == {
+        "format": "jpeg", "width": 1024, "height": 768}
+    wav = decode_headers(_wav(rate=8000, n_samples=4000))
+    assert wav == {"format": "wav", "channels": 1,
+                   "sample_rate_hz": 8000, "bits_per_sample": 16,
+                   "duration_ms": 500}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_headers(b"\x00" * 64)
+
+
+def test_extract_media_meta_spark(spark):
+    """Distributed header decode: one mapInPandas hop, undecodable
+    rows carry error instead of failing the job."""
+    from neleval_spark.functions.multimodal import extract_media_meta
+
+    rows = [
+        ("a1", "image", _png(640, 480), None),
+        ("a2", "image", _jpeg(100, 50), None),
+        ("a3", "audio", _wav(rate=16000, n_samples=16000), None),
+        ("a4", "image", b"\xde\xad\xbe\xef" * 8, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id string, kind string, bytes binary, "
+              "meta map<string,string>")
+    got = {r["asset_id"]: r for r in extract_media_meta(df).collect()}
+    assert (got["a1"]["format"], got["a1"]["width"],
+            got["a1"]["height"]) == ("png", 640, 480)
+    assert (got["a2"]["width"], got["a2"]["height"]) == (100, 50)
+    assert (got["a3"]["sample_rate_hz"],
+            got["a3"]["duration_ms"]) == (16000, 1000)
+    assert got["a4"]["format"] is None
+    assert "unrecognized container" in got["a4"]["error"]
