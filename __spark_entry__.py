@@ -672,6 +672,67 @@ SELECT qid, cid, cos, rk FROM r WHERE rk <= 3 ORDER BY qid, rk
 """
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact threshold join —
+    the verified baseline; the LSH-bucketed scale path is
+    ``ann_lsh_topk``, recall-tested in tests/test_textops.py)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = F.col("embedding").cast("array<double>")
+    a = e.select(F.col("vec_id").alias("ida"), emb.alias("va"))
+    b = e.select(F.col("vec_id").alias("idb"), emb.alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x), F.lit(0.0),
+        lambda acc, x: acc + x))
+    pairs = a.crossJoin(b).where(F.col("ida") < F.col("idb"))
+    sim = pairs.select(
+        "ida", "idb",
+        (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cos"))
+    return (
+        sim.where(F.col("cos") >= 0.35)
+        .select("ida", "idb", F.round("cos", 6).alias("cos"))
+        .orderBy("ida", "idb")
+    )
+
+
+Q_EMBEDDING_NEARDUP_SQL = """
+WITH a AS (SELECT vec_id AS ida, embedding::DOUBLE[] AS va
+           FROM embeddings),
+b AS (SELECT vec_id AS idb, embedding::DOUBLE[] AS vb FROM embeddings),
+sim AS (
+  SELECT ida, idb,
+         list_dot_product(va, vb)
+           / (sqrt(list_dot_product(va, va))
+              * sqrt(list_dot_product(vb, vb))) AS cos
+  FROM a, b WHERE ida < idb)
+SELECT ida, idb, ROUND(cos, 6) AS cos FROM sim WHERE cos >= 0.35
+ORDER BY ida, idb
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """ANN scale path: deterministic random-hyperplane LSH buckets →
+    equi-join → exact in-bucket re-rank.  Approximate by design, so no
+    SQL oracle (rows-only here); recall ≥ threshold vs brute force is
+    pinned in tests/test_textops.py::test_ann_lsh_recall."""
+    from neleval_spark.functions.similarity import ann_lsh_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = F.col("embedding").cast("array<double>")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), emb.alias("qv"))
+    c = e.select(F.col("vec_id").alias("cid"), emb.alias("cv"))
+    out = ann_lsh_topk(q, c, k=3)
+    return (
+        out.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.max("cos"), 6).alias("best"))
+        .orderBy("qid")
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Stateful-style sessionization (30-min gap) via window + cumsum."""
     from pyspark.sql import Window
@@ -1171,6 +1232,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strong_link_match": _measure_query("strong_link_match"),
         "strong_typed_all_match": _measure_query("strong_typed_all_match"),
         "strong_nil_match": _measure_query("strong_nil_match"),
+        "strong_linked_mention_match":
+            _measure_query("strong_linked_mention_match"),
+        "strong_typed_link_match":
+            _measure_query("strong_typed_link_match"),
         "entity_match": _measure_query("entity_match"),
         # clustering measures (A4-A6)
         "muc": _measure_query("muc"),
@@ -1197,6 +1262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "cosine_topk": q_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "sessionize": q_sessionize,
         # dedup / similarity / text analysis
         "minhash": q_minhash,
@@ -1224,6 +1291,10 @@ def oracle_sql() -> dict[str, str]:
         "strong_typed_all_match": _sets_oracle(
             'docid, start, "end", type, kbid'),
         "strong_nil_match": _sets_oracle('docid, start, "end"', "is_nil"),
+        "strong_linked_mention_match": _sets_oracle(
+            'docid, start, "end"', "NOT is_nil"),
+        "strong_typed_link_match": _sets_oracle(
+            'docid, start, "end", type, kbid', "NOT is_nil"),
         "entity_match": _sets_oracle("docid, kbid", "NOT is_nil"),
         "muc": Q_MUC_SQL,
         "b_cubed": Q_B_CUBED_SQL,
@@ -1245,6 +1316,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "token_stats": Q_TOKEN_STATS_SQL,
         "cosine_topk": Q_COSINE_TOPK_SQL,
+        "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,
         "minhash_pairs": Q_MINHASH_PAIRS_SQL,

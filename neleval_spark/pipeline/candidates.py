@@ -39,15 +39,26 @@ def _link_score(prior: pd.Series, kw_hit: pd.Series) -> pd.Series:
 link_score_udf = pandas_udf(_link_score, returnType=DoubleType())
 
 
-def score_and_select(cands: DataFrame) -> DataFrame:
-    """Score candidates, keep the argmax per mention, carry the full
-    sorted candidate list for the mentions table."""
+def with_context_features(cands: DataFrame) -> DataFrame:
+    """Compute the context-dependent feature as a JVM column and DROP
+    the context string.  Runs in the same stage as NER (before the
+    mention-key exchange), so the wide context/keyword strings never
+    cross the shuffle — the exchanged row is ~40% narrower, which is
+    the bulk of shuffle bytes at web scale."""
     kw_hit = F.when(
         F.col("keyword").isNotNull()
         & F.col("context").contains(F.col("keyword")), 1.0
     ).otherwise(0.0)
+    return cands.withColumn("kw_hit", kw_hit).drop("context", "keyword")
+
+
+def score_and_select(cands: DataFrame) -> DataFrame:
+    """Score candidates, keep the argmax per mention, carry the full
+    sorted candidate list for the mentions table."""
+    if "kw_hit" not in cands.columns:
+        cands = with_context_features(cands)
     scored = cands.withColumn(
-        "score", link_score_udf(F.col("prior"), kw_hit))
+        "score", link_score_udf(F.col("prior"), F.col("kw_hit")))
 
     cand_struct = F.struct(
         F.col("eid"), F.col("score"), F.col("type"),

@@ -30,20 +30,33 @@ def build_mentions(pages: DataFrame, kb: DataFrame,
     """web_pages + alias dict → linked, canonicalized mentions."""
     from .ner import extract_and_detect
 
+    from .candidates import with_context_features
+
+    # Arrow batch sizing: page rows are ~7 KB of html, so the default
+    # 10k-row batches are ~70 MB — at high parallelism the resulting
+    # allocator churn in the JVM→Python ship anti-scales (measured 5×
+    # slower at 32 workers than 8 on 10k batches; 512-row ≈ 3.5 MB
+    # batches restore scaling). Narrow downstream stages are
+    # insensitive to the smaller batch.
+    pages.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+
     pages = pages.where(F.col("lang") == "en")
     if use_stored_text:
         mentions = detect_mentions(pages)
     else:
         # extraction + NER fused into one Python hop (see ner.py)
         mentions = extract_and_detect(pages)
-    # the scoring UDF needs a mention-key shuffle for its top-1
-    # aggregation anyway; placing it BEFORE the broadcast join keeps
-    # the NER and scoring Python stages in separate Spark stages
-    # (chained Python operators in one stage serialize badly) at zero
-    # extra shuffle cost — hash(url) satisfies the later
-    # groupBy(url, start, end) clustering
-    mentions = mentions.repartition(F.col("url"))
-    cands = generate_candidates(mentions, kb)
+    # candidate gen (broadcast join — no shuffle) and the
+    # context-feature projection run in the SAME stage as NER, so the
+    # wide context strings are dropped BEFORE the exchange; the
+    # explicit repartition then (a) ships only narrow scored-feature
+    # rows and (b) keeps the NER and scoring Python operators in
+    # separate Spark stages (chained Python operators in one stage
+    # serialize badly — measured ~5×) at zero extra shuffle cost:
+    # hash(url) satisfies the later groupBy(url, start, end) clustering
+    cands = with_context_features(generate_candidates(mentions, kb))
+    cands = cands.repartition(F.col("url"))
     # materialize the scored mention table once (canonicalization fans
     # out into ≥3 consumers — nil branch, linked branch, key graph —
     # and a live plan with Python stages would re-run per consumer).
