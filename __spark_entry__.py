@@ -862,6 +862,117 @@ FROM pairs
 """
 
 
+def q_dedup_cluster(spark, sf_dir):
+    """Near-duplicate CLUSTERS: banded-MinHash candidate pairs →
+    distributed connected components (the same star-contraction
+    utility CEAF and NIL canonicalization use) → one canonical doc
+    (min doc_id) per cluster.  This is the full dedup decision at
+    scale: the pair graph is LSH-bucketed (never all-pairs) and the
+    CC loop runs on the pair graph only, whose size scales with the
+    number of near-dup docs, not the corpus."""
+    from neleval_spark.functions.textops import minhash_lsh_pairs
+    from neleval_spark.graph import connected_components
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # dedup-grade config: 5-word shingles (whole-doc unigram sets
+    # over-merge templated corpora), 2 bands x 4 hashes
+    pairs = minhash_lsh_pairs(d, n_hashes=8, band_size=4, shingle=5)
+    edges = pairs.select(
+        F.col("doc_a").cast("string").alias("src"),
+        F.col("doc_b").cast("string").alias("dst"))
+    comps = connected_components(edges)
+    member = comps.select(
+        F.col("vertex").cast("long").alias("doc_id"), "component")
+    # cluster id = numeric min doc_id of the component (engine-agnostic,
+    # independent of the CC label convention); singletons (docs with no
+    # candidate pair) are their own cluster
+    reps = member.groupBy("component").agg(
+        F.min("doc_id").alias("cluster"),
+        F.count(F.lit(1)).alias("cluster_size"))
+    clustered = member.join(reps, "component").select(
+        "doc_id", "cluster", "cluster_size")
+    singles = (
+        d.select("doc_id").join(member.select("doc_id"), "doc_id",
+                                "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster"),
+                F.lit(1).cast("long").alias("cluster_size")))
+    return (
+        clustered.unionByName(singles)
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster"))
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_cluster_sql() -> str:
+    """DuckDB oracle for q_dedup_cluster: identical shingle hashing
+    (5-token polynomial shingles over the same char-polynomial token
+    hash), identical MinHash params, banded buckets, then connected
+    components via a recursive min-label reachability CTE."""
+    P = 2147483647
+    mh = [(1299721, 104729), (1299743, 104743), (1299763, 104759),
+          (1299791, 104773), (1299811, 104779), (1299817, 104789),
+          (1299821, 104801), (1299827, 104803)]
+    sh = "ids[i]"
+    for j in range(1, 5):
+        sh = f"(({sh}) * 131 + ids[i+{j}]) % {P}"
+
+    def h(i):
+        a, b = mh[i]
+        return f"CAST(MIN((token_id * {a} + {b}) % {P}) AS VARCHAR)"
+
+    bands = []
+    for b in range(2):
+        bands.append("||'_'||".join(h(b * 4 + j) for j in range(4))
+                     + f" AS b{b}")
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t != '') AS ts
+  FROM documents),
+tids AS (
+  SELECT doc_id,
+         [list_reduce(list_prepend(0::BIGINT,
+             [ascii(c) FOR c IN string_split(t, '')]),
+             (acc, c) -> (acc * 31 + c) % {P}) FOR t IN ts] AS ids
+  FROM toks),
+sh AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(ids) >= 5 THEN
+      [ {sh} FOR i IN range(1, len(ids) - 3) ]
+    ELSE [list_reduce(list_prepend(0::BIGINT, ids),
+                      (a, b) -> (a * 131 + b) % {P})] END) AS token_id
+  FROM tids),
+tid AS (SELECT DISTINCT doc_id, token_id FROM sh),
+sig AS (SELECT doc_id, {", ".join(bands)} FROM tid GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, b0 AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, b1 AS bucket FROM sig),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst AS id, r.lbl AS lbl
+  FROM reach r JOIN edges e ON r.id = e.src
+  WHERE r.lbl < e.dst),
+cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id)
+SELECT doc_id, cluster,
+       COUNT(*) OVER (PARTITION BY cluster) AS cluster_size,
+       doc_id = cluster AS is_canonical
+FROM cc ORDER BY doc_id
+"""
+
+
+Q_DEDUP_CLUSTER_SQL = _dedup_cluster_sql()
+
+
 def q_simhash(spark, sf_dir):
     from neleval_spark.functions.textops import simhash
 
@@ -1268,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / similarity / text analysis
         "minhash": q_minhash,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_cluster": q_dedup_cluster,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1320,6 +1432,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,
         "minhash_pairs": Q_MINHASH_PAIRS_SQL,
+        "dedup_cluster": Q_DEDUP_CLUSTER_SQL,
         "simhash": Q_SIMHASH_SQL,
         "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
         "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,

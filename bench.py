@@ -129,19 +129,29 @@ def bench_pipeline(spark, n_docs: int) -> dict:
         # BASELINE.md). Identical plan, identical input.
         for _ in range(int(os.environ.get("BENCH_PILOTS", "1"))):
             emit_triples(build_mentions(pages, kb_table(spark))).count()
-        # drop the pilot's persisted blocks so the timed run's own
-        # materialization doesn't contend with stale cache entries
-        spark.catalog.clearCache()
 
-        t0 = time.perf_counter()
-        mentions = build_mentions(pages, kb_table(spark))
-        triples = emit_triples(mentions)
-        n_triples = triples.count()
-        wall = time.perf_counter() - t0
+        # the sandbox VM's wall-clock noise is ±10% between identical
+        # runs (host overcommit) — REPS timed repetitions, median
+        # reported, so one noisy rep can't swing the scaling gate
+        reps = int(os.environ.get("BENCH_REPS", "1"))
+        walls = []
+        n_triples = None
+        for _ in range(reps):
+            # drop persisted blocks so each rep pays its own
+            # materialization rather than contending with stale cache
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            mentions = build_mentions(pages, kb_table(spark))
+            triples = emit_triples(mentions)
+            n_triples = triples.count()
+            walls.append(time.perf_counter() - t0)
+        walls.sort()
+        wall = walls[len(walls) // 2]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
         "seconds": round(wall, 3),
+        "all_seconds": [round(w, 3) for w in walls],
         "gen_seconds": round(gen_wall, 3),
         "n_docs": n_docs,
         "n_triples": n_triples,
@@ -207,16 +217,22 @@ def run_scaling() -> None:
     hardware's own scaling ceiling for the same core pair."""
     pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "2,8")
     lo, hi = (int(x) for x in pair.split(","))
+    # protocol defaults: 120k docs (fixed overheads < 2% of the timed
+    # window at both levels) and median of 3 timed repetitions per
+    # level (the VM's wall-clock noise between identical runs is ±10%)
+    n_docs = int(os.environ.get("BENCH_PIPELINE_DOCS", "120000"))
+    reps = os.environ.get("BENCH_REPS", "3")
     results = {}
     for cpus in (lo, hi):
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cpus)
-        env["BENCH_PIPELINE_DOCS"] = str(PIPELINE_DOCS)
+        env["BENCH_PIPELINE_DOCS"] = str(n_docs)
+        env["BENCH_REPS"] = reps
         env.setdefault("SPARK_GRAFT_SHUFFLE", "64")
         out = subprocess.run(
             [sys.executable, __file__, "--pipeline-only"],
             capture_output=True, text=True, env=env, cwd=REPO,
-            timeout=3600,
+            timeout=7200,
         )
         lines = [ln for ln in out.stdout.strip().splitlines()
                  if ln.startswith("{")]
@@ -236,14 +252,16 @@ def run_scaling() -> None:
 
 Identical end-to-end KG-construction job (synthetic corpus generation →
 extraction → NER → candidate gen → scoring → NIL canonicalization →
-triples), identical input ({PIPELINE_DOCS} docs, seed 42), same physical
+triples), identical input ({n_docs} docs, seed 42), same physical
 plan and shuffle-partition count, two parallelism levels (sandbox
-stand-in for N vs 4N executors):
+stand-in for N vs 4N executors).  Wall = median of {reps} timed
+repetitions per level (untimed warm-up pilot first; the VM's
+run-to-run noise is ±10%):
 
-| parallelism | wall (s) | docs/sec |
-|---|---|---|
-| local[{lo}]  | {results[lo]['seconds']} | {t_lo} |
-| local[{hi}] | {results[hi]['seconds']} | {t_hi} |
+| parallelism | wall (s) | docs/sec | all reps (s) |
+|---|---|---|---|
+| local[{lo}]  | {results[lo]['seconds']} | {t_lo} | {results[lo]['all_seconds']} |
+| local[{hi}] | {results[hi]['seconds']} | {t_hi} | {results[hi]['all_seconds']} |
 
 **Scaling efficiency (N→4N) = (tput{hi} / tput{lo}) / {hi // lo} = {eff}**
 (gate: ≥ 0.8)

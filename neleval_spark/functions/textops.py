@@ -66,11 +66,60 @@ def token_ids(docs: DataFrame, id_col: str = "doc_id",
         "doc_id", token_hash(F.col("token")).alias("token_id"))
 
 
+SHINGLE_MULT = 131
+
+
+def shingle_ids(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", n: int = 5) -> DataFrame:
+    """(doc_id, token_id) rows where token_id is the polynomial hash
+    of ``n`` consecutive word-token hashes (w-shingles — the standard
+    dedup unit: whole-doc unigram sets over-merge templated corpora).
+
+    Pure column expressions (split → transform → transform over an
+    index sequence → explode): no window, no shuffle, no Python — the
+    per-doc shingle list never leaves the row until the explode, so
+    the stage stays narrow and whole-stage-codegened.  Docs shorter
+    than ``n`` tokens hash their full token sequence instead."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: t != "")
+    tids = F.transform(toks, token_hash)
+
+    def shingle_at(i):
+        acc = F.get(F.col("_tids"), i)
+        for j in range(1, n):
+            acc = (acc * F.lit(SHINGLE_MULT)
+                   + F.get(F.col("_tids"), i + F.lit(j))) \
+                % F.lit(MINHASH_PRIME)
+        return acc
+
+    whole = F.aggregate(
+        F.col("_tids"), F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(SHINGLE_MULT) + t)
+        % F.lit(MINHASH_PRIME))
+    shingles = F.when(
+        F.size(F.col("_tids")) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_tids")) - n),
+            shingle_at),
+    ).otherwise(F.array(whole))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), tids.alias("_tids"))
+        .select("doc_id", F.explode(shingles).alias("token_id"))
+    )
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       n_hashes: int = 8) -> DataFrame:
-    """(doc_id, h0..h{n-1}) MinHash signature per document."""
-    tid = token_ids(docs, id_col, text_col).distinct()
+                       n_hashes: int = 8,
+                       shingle: int | None = None) -> DataFrame:
+    """(doc_id, h0..h{n-1}) MinHash signature per document — over
+    word unigrams by default, over w-shingles when ``shingle`` is
+    set (the dedup-grade configuration)."""
+    if shingle:
+        tid = shingle_ids(docs, id_col, text_col, n=shingle).distinct()
+    else:
+        tid = token_ids(docs, id_col, text_col).distinct()
     aggs = [
         F.min((F.col("token_id") * F.lit(a) + F.lit(b))
               % F.lit(MINHASH_PRIME)).alias(f"h{i}")
@@ -81,11 +130,12 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 8,
-                      band_size: int = 2) -> DataFrame:
+                      band_size: int = 2,
+                      shingle: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any LSH band
     bucket (banded MinHash). Returns (doc_a, doc_b, n_bands) with
     doc_a < doc_b."""
-    sig = minhash_signatures(docs, id_col, text_col, n_hashes)
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle)
     n_bands = n_hashes // band_size
     bands = []
     for b in range(n_bands):

@@ -106,8 +106,8 @@ def run_pipeline(
 
     Returns {'mentions': DF, 'triples': DF, 'manifest': DF|None}.
     """
-    # triples fan out (mentioned_in + self-joined cooccurs): the
-    # canonicalized mentions are materialized once, serialized on disk
+    # the canonicalized mentions feed both the returned mentions table
+    # and the triple sink: materialize once, serialized on disk
     mentions = _materialize(build_mentions(pages, kb))
     triples = emit_triples(mentions, n_buckets=n_buckets)
     manifest = None

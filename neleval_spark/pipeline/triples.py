@@ -30,36 +30,66 @@ from pyspark.sql import functions as F
 
 
 def emit_triples(mentions: DataFrame, n_buckets: int = 64) -> DataFrame:
-    """Mentions (url, sent_uid, eid) → triple rows with part_id."""
+    """Mentions (url, sent_uid, eid) → triple rows with part_id.
+
+    Plan shape (this is the hot sink of the pipeline): ONE aggregation
+    per granularity, no self-join —
+
+      1. groupBy(url, sent_uid) → sorted distinct entity set per
+         sentence (the only mention-proportional exchange, and it
+         ships just (url, sent_uid, eid));
+      2. in-row pair expansion over the sorted set (a < b falls out of
+         the sort order) — pure column expressions, no shuffle;
+      3. groupBy(url) → url-level dedup of pairs and entities in one
+         row per url (the exchanged rows are per-SENTENCE aggregates,
+         ~1-2 orders of magnitude fewer than mentions);
+      4. explode into triple rows — narrow.
+
+    The former shape (distinct + sentence-key self-join + distinct)
+    exchanged the mention table four times and sorted it twice for the
+    SortMergeJoin; this shape exchanges it once, and the second
+    exchange carries sentence aggregates.  At 10^12 documents both
+    exchanges are hash-partitioned on keys with per-url cardinality
+    bounds (sentences per url, entities per sentence), so no skew."""
     m = mentions.select("url", "sent_uid", "eid").where(
         F.col("eid").isNotNull())
 
-    mentioned_in = (
-        m.select("url", "eid").distinct()
-        .select(
-            F.col("eid").alias("subj"),
-            F.lit("mentioned_in").alias("pred"),
-            F.col("url").alias("obj"),
-            F.col("url"),
-        )
+    sent = m.groupBy("url", "sent_uid").agg(
+        F.array_sort(F.collect_set("eid")).alias("eids"))
+
+    # within-sentence ordered pairs over the sorted set: eids[i] <
+    # eids[j] for i < j by construction.  Pairs are encoded as
+    # delimited strings, not structs: array_distinct hash-dedupes
+    # atomic types but falls back to O(n²) pairwise comparison on
+    # struct elements.
+    pair_strs = F.flatten(F.transform(
+        F.col("eids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("eids"), i + F.lit(2),
+                    F.size(F.col("eids"))),
+            lambda y: F.concat_ws("\x01", x, y))))
+
+    per_url = sent.groupBy("url").agg(
+        F.array_distinct(F.flatten(F.collect_list("eids")))
+        .alias("ents"),
+        F.array_distinct(F.flatten(F.collect_list(pair_strs)))
+        .alias("pairs"),
     )
 
-    a = m.alias("a")
-    b = m.alias("b")
-    cooccurs = (
-        a.join(
-            b,
-            (F.col("a.url") == F.col("b.url"))
-            & (F.col("a.sent_uid") == F.col("b.sent_uid"))
-            & (F.col("a.eid") < F.col("b.eid")),
-        )
-        .select(
-            F.col("a.eid").alias("subj"),
-            F.lit("cooccurs_with").alias("pred"),
-            F.col("b.eid").alias("obj"),
-            F.col("a.url").alias("url"),
-        )
-        .distinct()
+    mentioned_in = per_url.select(
+        F.explode("ents").alias("subj"),
+        F.lit("mentioned_in").alias("pred"),
+        F.col("url").alias("obj"),
+        F.col("url"),
+    )
+    pair = F.split(F.col("p"), "\x01")
+    cooccurs = per_url.select(
+        F.explode("pairs").alias("p"), "url"
+    ).select(
+        pair.getItem(0).alias("subj"),
+        F.lit("cooccurs_with").alias("pred"),
+        pair.getItem(1).alias("obj"),
+        F.col("url"),
     )
 
     out = mentioned_in.unionByName(cooccurs)

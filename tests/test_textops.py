@@ -229,3 +229,76 @@ def test_extract_media_meta_spark(spark):
             got["a3"]["duration_ms"]) == (16000, 1000)
     assert got["a4"]["format"] is None
     assert "unrecognized container" in got["a4"]["error"]
+
+
+def test_shingle_ids_match_python(spark):
+    """The w-shingle polynomial hash is a pure function — pin it
+    against a straight Python recomputation (this is the value the
+    DuckDB dedup_cluster oracle computes independently)."""
+    import re
+
+    from neleval_spark.functions.textops import (
+        MINHASH_PRIME, SHINGLE_MULT, shingle_ids)
+
+    texts = {
+        1: "The quick brown fox jumps over the lazy dog again",
+        2: "short doc",          # < n tokens -> whole-doc fallback
+        3: "",                   # no tokens  -> fold over nothing = 0
+    }
+    d = spark.createDataFrame(list(texts.items()),
+                              "doc_id long, text string")
+    got = {}
+    for r in shingle_ids(d, n=5).collect():
+        got.setdefault(r["doc_id"], []).append(r["token_id"])
+
+    def tok_hash(t):
+        acc = 0
+        for ch in t:
+            acc = (acc * 31 + ord(ch)) % MINHASH_PRIME
+        return acc
+
+    def expected(text, n=5):
+        ids = [tok_hash(t)
+               for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        if len(ids) < n:
+            acc = 0
+            for t in ids:
+                acc = (acc * SHINGLE_MULT + t) % MINHASH_PRIME
+            return [acc]
+        out = []
+        for i in range(len(ids) - n + 1):
+            acc = ids[i]
+            for j in range(1, n):
+                acc = (acc * SHINGLE_MULT + ids[i + j]) % MINHASH_PRIME
+            out.append(acc)
+        return out
+
+    for doc_id, text in texts.items():
+        assert sorted(got[doc_id]) == sorted(expected(text)), doc_id
+
+
+def test_dedup_cluster_vs_duckdb(spark):
+    """Full near-dup clustering (shingle MinHash -> LSH pairs ->
+    distributed CC -> canonical doc) against the independent DuckDB
+    recursive-CTE oracle at sf0.001."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    mine = em.queries()["dedup_cluster"](spark, SF).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')")
+    oracle = con.execute(em.oracle_sql()["dedup_cluster"]).df()
+    assert len(mine) == len(oracle)
+    m = mine.sort_values("doc_id").reset_index(drop=True)
+    o = oracle.sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "cluster", "cluster_size"):
+        assert (m[c].astype("int64") == o[c].astype("int64")).all(), c
+    assert (m["is_canonical"].astype(bool)
+            == o["is_canonical"].astype(bool)).all()
+    # the clustering is non-degenerate on this corpus: real near-dup
+    # groups exist and the corpus does NOT collapse into one blob
+    assert (m["cluster_size"] > 1).any()
+    assert m["cluster_size"].max() < len(m) / 10
