@@ -1,0 +1,6 @@
+from .ingest import (  # noqa: F401
+    PAGES_SCHEMA,
+    stream_construct,
+    stream_doc_rates,
+    stream_pages,
+)
