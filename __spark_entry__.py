@@ -733,6 +733,28 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF scale path: seeded k-means coarse quantizer → broadcast
+    nearest-cell assignment (no shuffle of the embedding table) →
+    n_probe cell equi-join → exact in-cell re-rank.  Approximate by
+    design, so rows-only here; recall ≥ threshold and seed-stability
+    are pinned in tests/test_textops.py::test_ivf_recall."""
+    from neleval_spark.functions.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = F.col("embedding").cast("array<double>")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), emb.alias("qv"))
+    c = e.select(F.col("vec_id").alias("cid"), emb.alias("cv"))
+    out = ivf_topk(q, c, k=3, n_cells=8, n_probe=3)
+    return (
+        out.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.max("cos"), 6).alias("best"))
+        .orderBy("qid")
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Stateful-style sessionization (30-min gap) via window + cumsum."""
     from pyspark.sql import Window
@@ -1375,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "sessionize": q_sessionize,
         # dedup / similarity / text analysis
         "minhash": q_minhash,

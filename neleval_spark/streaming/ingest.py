@@ -58,7 +58,7 @@ def _batch_already_done(spark: SparkSession, out_dir: str,
                         run_id: str) -> bool:
     import os
 
-    from .. pipeline.triples import _exists
+    from ..pipeline.triples import _exists
 
     manifest_dir = os.path.join(out_dir, "manifest")
     if not _exists(spark, manifest_dir):

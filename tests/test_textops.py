@@ -302,3 +302,27 @@ def test_dedup_cluster_vs_duckdb(spark):
     # groups exist and the corpus does NOT collapse into one blob
     assert (m["cluster_size"] > 1).any()
     assert m["cluster_size"].max() < len(m) / 10
+
+
+def test_ivf_recall(spark):
+    """IVF (k-means cells + n_probe) top-k must recover most of the
+    exact top-k; deterministic for a fixed seed."""
+    from neleval_spark.functions.similarity import cosine_topk, ivf_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb = F.col("embedding").cast("array<double>")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), emb.alias("qv"))
+    c = e.select(F.col("vec_id").alias("cid"), emb.alias("cv"))
+
+    exact = {(r["qid"], r["cid"])
+             for r in cosine_topk(q, c, k=5).collect()}
+    approx = {(r["qid"], r["cid"])
+              for r in ivf_topk(q, c, k=5, n_cells=8,
+                                n_probe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+    again = {(r["qid"], r["cid"])
+             for r in ivf_topk(q, c, k=5, n_cells=8,
+                               n_probe=3).collect()}
+    assert again == approx  # seeded quantizer -> stable result
