@@ -57,6 +57,12 @@ HEADLINE = [
 def _spark():
     from neleval_spark.session import get_spark
 
+    # bench-only: tmpfs scratch as the node-local-NVMe stand-in (the
+    # sandbox's one virtual disk doesn't scale with cores; real
+    # executors get per-node scratch). Opt-in in the library.
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR",
+                              "/dev/shm/spark_local")
     # shuffle partitions are sized to the DATA, not the core count —
     # on a real cluster this is a per-dataset setting; the scaling
     # protocol pins it identical at both parallelism levels so the
@@ -233,6 +239,9 @@ def run_scaling() -> None:
         env["BENCH_PIPELINE_DOCS"] = str(n_docs)
         env["BENCH_REPS"] = reps
         env.setdefault("SPARK_GRAFT_SHUFFLE", "64")
+        if os.path.isdir("/dev/shm"):
+            env.setdefault("SPARK_GRAFT_LOCAL_DIR",
+                           "/dev/shm/spark_local")
         out = subprocess.run(
             [sys.executable, __file__, "--pipeline-only"],
             capture_output=True, text=True, env=env, cwd=REPO,

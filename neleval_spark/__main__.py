@@ -30,18 +30,9 @@ def _spark():
 
 
 def _load_type_weights(spark, path):
-    """Type-weights TSV → weight table (gold_type, sys_type, weight),
-    max on duplicates (reference: TypeWeighting, configs.py:276-289)."""
-    values = {}
-    with open(path) as f:
-        for line in f:
-            gold, sys_, weight = line.split("\t")
-            weight = float(weight)
-            values[gold, sys_] = max(weight, values.get((gold, sys_),
-                                                        weight))
-    return spark.createDataFrame(
-        [(g, s, w) for (g, s), w in values.items()],
-        "gold_type string, sys_type string, weight double")
+    from .operators.weights import load_type_weights
+
+    return load_type_weights(spark, path)
 
 
 def cmd_evaluate(args):
@@ -219,10 +210,12 @@ def cmd_prepare_conll_coref(args):
     spark = _spark()
     df = prepare_conll_coref(spark, args.system, with_kb=args.with_kb,
                              cross_doc=args.cross_doc)
-    # reference sorts by Annotation.__lt__ = (start, -end)
-    # (import_.py:73-75, annotation.py:60-62); docid is a stable third
-    for r in annotations_to_tsv_lines(df).orderBy(
-            F.col("start"), F.col("end").desc(), "docid").collect():
+    # reference output is sorted(annotations) — a STABLE sort on
+    # Annotation.__lt__ = (start, -end) (import_.py:73-75,
+    # annotation.py:60-62) over annotations in input-document order,
+    # so the tie-break is the document ordinal, not docid
+    for r in annotations_to_tsv_lines(df, keep=["doc_idx"]).orderBy(
+            F.col("start"), F.col("end").desc(), "doc_idx").collect():
         print(r["value"])
 
 
@@ -345,6 +338,10 @@ def cmd_compare_measures(args):
     from .measures.catalog import parse_measures
     from .summary import compare_measures_full, compare_measures_tab
 
+    if args.gold and getattr(args, "evaluation_files", False):
+        raise SystemExit(
+            "--gold and --evaluation-files are mutually exclusive "
+            "(reference: CompareMeasures asserts exactly one mode)")
     if args.gold:
         from .measures import evaluate
         from .sources.tsv import read_annotations_tsv

@@ -66,6 +66,10 @@ def decode_headers(data: bytes, kind: str | None = None) -> dict:
         while i + 9 <= len(data):
             if data[i] != 0xFF:
                 raise ValueError("JPEG marker desync")
+            # 0xFF fill bytes before a marker are legal padding
+            # (ITU T.81 B.1.1.2) — skip to the real marker byte
+            while i + 9 <= len(data) and data[i + 1] == 0xFF:
+                i += 1
             marker = data[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2

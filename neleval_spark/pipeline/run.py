@@ -32,15 +32,10 @@ def build_mentions(pages: DataFrame, kb: DataFrame,
 
     from .candidates import with_context_features
 
-    # Arrow batch sizing: page rows are ~7 KB of html, so the default
-    # 10k-row batches are ~70 MB — at high parallelism the resulting
-    # allocator churn in the JVM→Python ship anti-scales (measured 5×
-    # slower at 32 workers than 8 on 10k batches; 512-row ≈ 3.5 MB
-    # batches restore scaling). Narrow downstream stages are
-    # insensitive to the smaller batch.
-    pages.sparkSession.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", "512")
-
+    # Arrow batch sizing for the html ship into Python is a session
+    # conf (get_spark sets 512-row batches; see session.py for the
+    # measurement) — a conf.set here would leak into the caller's
+    # session permanently, so it lives with the session factory.
     pages = pages.where(F.col("lang") == "en")
     if use_stored_text:
         mentions = detect_mentions(pages)

@@ -108,15 +108,29 @@ def _manifest(triples: DataFrame, run_id: str) -> DataFrame:
     )
 
 
+def _empty_manifest(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [], "part_id long, n_rows long, checksum long, run_id string")
+
+
 def write_triples(
     triples: DataFrame,
     out_dir: str,
     resume: bool = True,
     run_id: str | None = None,
+    overwrite_run: bool = False,
 ) -> DataFrame:
     """Write triples partitioned by part_id; skip partitions already
     recorded in the manifest (checkpoint-resume). Returns the manifest
-    DataFrame for the completed state."""
+    DataFrame for the completed state (empty if nothing has ever been
+    written).
+
+    ``overwrite_run=True`` is the idempotent-writer mode used by the
+    streaming ingest: data lands under run_id/part_id partitions via
+    dynamic partition overwrite, so re-running the SAME run_id
+    replaces that run's partitions instead of appending — a crashed or
+    replayed write converges to exactly one copy regardless of where
+    the previous attempt stopped."""
     spark = triples.sparkSession
     run_id = run_id or f"run-{int(time.time() * 1000)}"
     data_dir = os.path.join(out_dir, "triples")
@@ -131,10 +145,25 @@ def write_triples(
         todo = triples.join(F.broadcast(done), "part_id", "left_anti")
 
     if not todo.isEmpty():
-        todo.write.mode("append").partitionBy("part_id").parquet(data_dir)
-        new_manifest = _manifest(todo, run_id)
-        new_manifest.write.mode("append").parquet(manifest_dir)
+        if overwrite_run:
+            todo = todo.withColumn("run_id", F.lit(run_id))
+            (todo.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("run_id", "part_id").parquet(data_dir))
+            todo = todo.drop("run_id")
+            # manifest is replay-idempotent the same way: the run's
+            # partition is replaced, never appended twice
+            (_manifest(todo, run_id).write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("run_id").parquet(manifest_dir))
+        else:
+            todo.write.mode("append").partitionBy("part_id") \
+                .parquet(data_dir)
+            _manifest(todo, run_id).write.mode("append") \
+                .parquet(manifest_dir)
 
+    if not _exists(spark, manifest_dir):
+        return _empty_manifest(spark)
     return spark.read.parquet(manifest_dir)
 
 

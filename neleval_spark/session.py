@@ -49,6 +49,17 @@ def get_spark(
         # broadcast dims (alias dict, type weights, mappings) aggressively;
         # at 100 TB the fact side never fits but dims stay small
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow JVM→Python batch size: page rows carry ~7 KB of html,
+        # so the 10k-row default makes ~70 MB batches whose allocator
+        # churn anti-scales at high parallelism (measured 5× slower at
+        # 32 workers than 8); 512-row ≈ 3.5 MB batches restore
+        # scaling, and narrow-row stages are insensitive to the
+        # smaller size. Session-level because the setting must be
+        # live at EXECUTION time of lazily-built plans (a builder that
+        # set-and-restored it around plan construction would undo it
+        # before any action runs). Override via extra_conf if a
+        # workload wants the default back.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         # scan parallelism: the heaviest stage (fused extract+NER
         # mapInPandas) runs on INPUT splits, not shuffle partitions.
         # The 128 MB default yields ~1 split/core at bench scale — a
@@ -58,15 +69,14 @@ def get_spark(
         # metadata, not small files).
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
-    # Scratch space (shuffle files, DISK_ONLY blocks): on a real
-    # cluster every executor has node-local NVMe, so scratch
-    # bandwidth scales with the node count.  This sandbox has ONE
-    # shared virtual disk — a fixed-throughput device that
-    # under-states cluster scaling — so use tmpfs as the node-local
-    # stand-in when it exists (override with SPARK_GRAFT_LOCAL_DIR).
+    # Scratch space (shuffle files, DISK_ONLY blocks): opt-in via
+    # SPARK_GRAFT_LOCAL_DIR.  The bench harness points this at tmpfs
+    # as the stand-in for node-local NVMe (which scales with the node
+    # count on a real cluster, unlike this sandbox's one shared
+    # virtual disk); it is NOT a default — RAM-backed scratch on a
+    # general host would defeat DISK_ONLY spill behavior for data
+    # larger than memory.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark_local"
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)

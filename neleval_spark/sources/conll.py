@@ -152,8 +152,11 @@ def read_conll_coref(spark: SparkSession, path: str) -> DataFrame:
     parsed = lines.groupBy("doc_idx").applyInPandas(
         parse, schema="doc_idx long, cid string, start long, end long")
     names = _doc_names(lines)
+    # doc_idx is kept: output ordering parity with the reference's
+    # stable sorted(annotations) needs the input-document ordinal as
+    # the tie-break on equal (start, -end), not docid lexical order
     return parsed.join(names, "doc_idx").select(
-        "docid", "cid", "start", "end")
+        "docid", "cid", "start", "end", "doc_idx")
 
 
 def prepare_conll_coref(
@@ -182,7 +185,7 @@ def prepare_conll_coref(
         cid if cross_doc else F.concat(cid, F.lit(":"), F.col("docid")),
     ).otherwise(cid)
     out = rows.select(
-        "docid", "start", "end",
+        "docid", "start", "end", "doc_idx",
         F.array(
             F.struct(
                 cid.alias("eid"),

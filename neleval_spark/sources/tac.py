@@ -147,13 +147,17 @@ def filter_excluded_spans(df: DataFrame,
     return df.join(x, cond, "left_anti")
 
 
-def _validate_alignment(queries: DataFrame, links: DataFrame) -> None:
-    """Raise as the reference does on misaligned inputs: every query
-    must have ≥1 candidate link (neleval/tac.py:72-73) and every link
-    row must align to a known query (tac.py:133-135)."""
+def _validate_alignment(queries: DataFrame, links: DataFrame,
+                        queries_all: DataFrame | None = None) -> None:
+    """Raise as the reference does on misaligned inputs: every
+    non-excluded query must have ≥1 candidate link (neleval/tac.py:
+    68-73 — the excluded-span check precedes the no-candidates raise,
+    so excluded queries never trigger it) and every link row must
+    align to a known query — excluded or not (tac.py:133-135)."""
     no_cand = [r["qid"] for r in
                queries.join(links, "qid", "left_anti")
                .select("qid").limit(5).collect()]
+    queries = queries_all if queries_all is not None else queries
     if no_cand:
         raise ValueError(
             "No candidates found for query " + ", ".join(map(str, no_cand)))
@@ -184,10 +188,14 @@ def prepare_tac(
     carried by the readers — so equal-score tie-breaking is
     byte-identical to the reference's stable sort.
     """
-    queries = read_tac_queries(spark, queries_path)
+    queries_all = read_tac_queries(spark, queries_path)
+    # exclusion applies BEFORE the no-candidates check (reference
+    # annotations() order); unaligned links are checked against ALL
+    # queries since reference exclusion happens after pairing
+    queries = filter_excluded_spans(queries_all, excluded)
     links = read_tac_links(spark, links_path)
     if strict:
-        _validate_alignment(queries, links)
+        _validate_alignment(queries, links, queries_all=queries_all)
 
     if mapping is not None:
         m = F.broadcast(mapping.select(
@@ -237,9 +245,8 @@ def prepare_tac(
         )
     )
 
-    out = filter_excluded_spans(grouped, excluded)
-    out = out.withColumn("start", F.col("start").cast("long")) \
-             .withColumn("end", F.col("end").cast("long"))
+    out = grouped.withColumn("start", F.col("start").cast("long")) \
+                 .withColumn("end", F.col("end").cast("long"))
     out = derive_mention_columns(out, sort=True)
     return with_is_first(out)
 

@@ -152,11 +152,13 @@ def _candidate_str(c):
     return F.concat_ws("\t", c["eid"], score, type_)
 
 
-def annotations_to_tsv_lines(df: DataFrame) -> DataFrame:
+def annotations_to_tsv_lines(df: DataFrame,
+                             keep: list[str] | None = None) -> DataFrame:
     """Render mentions back to TSV lines (column ``value``), sorted the
     way the reference emits documents: insertion order is not
     reproducible distributedly, so we sort by (docid, start, -end) —
-    callers doing byte-diff fixture checks sort both sides."""
+    callers doing byte-diff fixture checks sort both sides.  ``keep``
+    carries extra ordering columns (e.g. a document ordinal) through."""
     cand_strs = F.transform(F.col("candidates"), _candidate_str)
     return df.select(
         F.concat_ws(
@@ -167,4 +169,5 @@ def annotations_to_tsv_lines(df: DataFrame) -> DataFrame:
             F.concat_ws("\t", cand_strs),
         ).alias("value"),
         F.col("docid"), F.col("start"), F.col("end"),
+        *[F.col(c) for c in (keep or [])],
     )

@@ -16,10 +16,15 @@ Design:
   (scored-mention materialization feeds the NIL branch, the linked
   branch and the key graph), which a single streaming plan cannot
   express — ``foreachBatch`` is the idiomatic escape hatch.
-  Exactly-once: each micro-batch writes under a run_id derived from
-  the batch id; a replayed batch (restart between sink write and
-  checkpoint commit) is detected in the triple manifest and skipped,
-  so the parquet sink stays idempotent without transactions.
+  Exactly-once: each micro-batch writes under run_id = f(batch_id)
+  partitions via dynamic partition OVERWRITE (data and manifest both),
+  so a replayed batch — restart anywhere between the first sink byte
+  and the checkpoint commit — replaces its own partitions and
+  converges to exactly one copy; compute is at-least-once, the sink
+  is exactly-once.  The checkpoint directory is the stream's
+  identity: pair each sink directory with exactly one checkpoint
+  (deleting the checkpoint but keeping the sink re-numbers batches,
+  as in any Structured Streaming foreachBatch sink).
 * NIL identity across batches: cluster labels are content-derived
   (``NIL`` + sha1 of the component's minimum normalized surface), so
   a surface seen in two batches maps to the same label whenever its
@@ -54,22 +59,6 @@ def stream_pages(spark: SparkSession, pages_dir: str,
     return reader.parquet(pages_dir)
 
 
-def _batch_already_done(spark: SparkSession, out_dir: str,
-                        run_id: str) -> bool:
-    import os
-
-    from ..pipeline.triples import _exists
-
-    manifest_dir = os.path.join(out_dir, "manifest")
-    if not _exists(spark, manifest_dir):
-        return False
-    return (
-        spark.read.parquet(manifest_dir)
-        .where(F.col("run_id") == run_id)
-        .limit(1).count() > 0
-    )
-
-
 def stream_construct(pages_stream: DataFrame, kb: DataFrame,
                      out_dir: str, checkpoint_dir: str,
                      available_now: bool = True):
@@ -83,13 +72,15 @@ def stream_construct(pages_stream: DataFrame, kb: DataFrame,
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         run_id = f"batch-{batch_id:09d}"
-        if _batch_already_done(spark, out_dir, run_id):
-            return  # replayed micro-batch; sink already has it
         if batch_df.isEmpty():
             return
         mentions = build_mentions(batch_df, kb)
         triples = emit_triples(mentions)
-        write_triples(triples, out_dir, resume=False, run_id=run_id)
+        # overwrite_run: a replayed batch REPLACES its own run_id
+        # partitions (data + manifest) — idempotent without reading
+        # the sink, correct even if the previous attempt died mid-write
+        write_triples(triples, out_dir, resume=False, run_id=run_id,
+                      overwrite_run=True)
         # drop the batch's scored-mention materialization; the handle
         # is internal to build_mentions, so clear the catalog cache
         # (an ingest job has no other live cached tables)

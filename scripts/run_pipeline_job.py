@@ -17,8 +17,12 @@ from neleval_spark.pipeline.run import run_pipeline
 
 def main() -> None:
     pages_path, out_dir = sys.argv[1], sys.argv[2]
-    spark = SparkSession.builder.appName("neleval_spark_pipeline") \
+    spark = (
+        SparkSession.builder.appName("neleval_spark_pipeline")
+        # html-heavy Arrow batches: see neleval_spark/session.py
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .getOrCreate()
+    )
     pages = spark.read.parquet(pages_path)
     result = run_pipeline(pages, kb_table(spark), out_dir=out_dir)
     print("manifest rows:", result["manifest"].count())

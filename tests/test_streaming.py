@@ -79,20 +79,41 @@ def test_stream_matches_batch_and_is_incremental(spark, dirs):
 
 
 def test_stream_replay_idempotent(spark, dirs):
-    """Re-running with the sink already written but a FRESH checkpoint
-    replays batch 0; the manifest run_id guard must skip it."""
-    from neleval_spark.pipeline import kb_table
-    from neleval_spark.streaming import stream_construct, stream_pages
+    """A replayed micro-batch (foreachBatch re-invoked with the SAME
+    batch id after a crash anywhere mid-write) must converge to
+    exactly one copy: run_id partitions are dynamically overwritten,
+    data and manifest both."""
+    from neleval_spark.pipeline import kb_table, synth_corpus
+    from neleval_spark.pipeline.run import build_mentions
+    from neleval_spark.pipeline.triples import emit_triples, write_triples
 
-    before = spark.read.parquet(
-        os.path.join(dirs["out"], "triples")).count()
-    q = stream_construct(
-        stream_pages(spark, dirs["pages"]), kb_table(spark),
-        dirs["out"], dirs["ckpt2"])  # new checkpoint -> full replay
-    q.awaitTermination(300)
-    after = spark.read.parquet(
-        os.path.join(dirs["out"], "triples")).count()
-    assert after == before
+    pages = synth_corpus(spark, 150)
+    triples = emit_triples(build_mentions(pages, kb_table(spark)))
+
+    # attempt 1 "crashes" after the data write, before the manifest:
+    # simulate by writing data under the run partition directly
+    (triples.withColumn("run_id", F.lit("batch-000000007"))
+     .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+     .partitionBy("run_id", "part_id")
+     .parquet(os.path.join(dirs["out2"], "triples")))
+
+    # replay of the same batch id runs the full writer
+    write_triples(triples, dirs["out2"], resume=False,
+                  run_id="batch-000000007", overwrite_run=True)
+    n1 = spark.read.parquet(
+        os.path.join(dirs["out2"], "triples")).count()
+    m1 = spark.read.parquet(
+        os.path.join(dirs["out2"], "manifest")).count()
+
+    # a second full replay changes nothing
+    write_triples(triples, dirs["out2"], resume=False,
+                  run_id="batch-000000007", overwrite_run=True)
+    assert spark.read.parquet(
+        os.path.join(dirs["out2"], "triples")).count() == n1
+    assert spark.read.parquet(
+        os.path.join(dirs["out2"], "manifest")).count() == m1
+    assert n1 == triples.count()
+    spark.catalog.clearCache()
 
 
 def test_stream_doc_rates(spark, dirs):

@@ -326,3 +326,17 @@ def test_ivf_recall(spark):
              for r in ivf_topk(q, c, k=5, n_cells=8,
                                n_probe=3).collect()}
     assert again == approx  # seeded quantizer -> stable result
+
+
+def test_decode_jpeg_fill_bytes():
+    """0xFF fill bytes before a marker are legal padding (ITU T.81
+    B.1.1.2) and must not desync the header scan."""
+    import struct
+
+    from neleval_spark.functions.multimodal import decode_headers
+
+    app0 = b"\xff\xff\xff\xe0" + struct.pack(">H", 6) + b"JF\x00\x00"
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 99, 123) + b"\x01\x00\x00\x00")
+    meta = decode_headers(b"\xff\xd8" + app0 + sof0)
+    assert meta == {"format": "jpeg", "width": 123, "height": 99}
