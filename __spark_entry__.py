@@ -995,6 +995,58 @@ FROM cc ORDER BY doc_id
 Q_DEDUP_CLUSTER_SQL = _dedup_cluster_sql()
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrub over documents. The synthetic corpus carries no PII,
+    so each doc is salted with deterministic doc_id-derived
+    email/URL/IP/phone strings first; the redaction chain (URL →
+    email → IP → phone, Java-regex ∩ RE2 common subset) must then
+    find and replace them identically in both engines. Output is
+    (doc_id, counts..., md5(redacted)) so the hash check pins the
+    full redacted text."""
+    from neleval_spark.functions.textops import redact_pii
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com see https://ex.org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ip 10.1.2.3 call +1555000"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = redact_pii(salted)
+    return out.select(
+        "doc_id", "n_url", "n_email", "n_ip", "n_phone",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def _redact_pii_sql() -> str:
+    from neleval_spark.functions.textops import PII_PATTERNS
+
+    salt = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+            "'@example.com see https://ex.org/d/' || "
+            "CAST(doc_id AS VARCHAR) || ' ip 10.1.2.3 call +1555000' "
+            "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
+    expr = "t"
+    counts = []
+    for kind, pat, token in PII_PATTERNS:
+        counts.append(
+            f"len(regexp_extract_all({expr}, '{pat}')) AS n_{kind}")
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH s AS (SELECT doc_id, {salt} AS t FROM documents)
+SELECT doc_id, {", ".join(counts)}, md5({expr}) AS redacted_md5
+FROM s ORDER BY doc_id
+"""
+
+
+Q_REDACT_PII_SQL = _redact_pii_sql()
+
+
 def q_simhash(spark, sf_dir):
     from neleval_spark.functions.textops import simhash
 
@@ -1403,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": q_minhash,
         "minhash_pairs": q_minhash_pairs,
         "dedup_cluster": q_dedup_cluster,
+        "redact_pii": q_redact_pii,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1456,6 +1509,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash": Q_MINHASH_SQL,
         "minhash_pairs": Q_MINHASH_PAIRS_SQL,
         "dedup_cluster": Q_DEDUP_CLUSTER_SQL,
+        "redact_pii": Q_REDACT_PII_SQL,
         "simhash": Q_SIMHASH_SQL,
         "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
         "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,

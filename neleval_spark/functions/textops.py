@@ -316,3 +316,39 @@ def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id",
         .groupBy("doc_id")
         .agg((F.sum("term") % F.lit(MINHASH_PRIME)).alias("fingerprint"))
     )
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 common subset (no
+# lookaround, no backreferences) so Spark and the DuckDB oracle
+# compute identical redactions. Order matters: URLs first (they may
+# embed @ and dots), then emails, IPs, phone-like digit runs.
+PII_PATTERNS = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d().-]{6,}\d\b", "<PHONE>"),
+]
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, redacted, n_<kind>...) — scrub emails/URLs/IPs/
+    phone-like digit runs from a text column, counting hits per kind.
+    Pure column expressions (regexp_count + chained regexp_replace) —
+    a narrow, shuffle-free pass however large the corpus."""
+    out = docs.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).alias("redacted"))
+    counts = []
+    for kind, pat, token in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col("redacted"), F.lit(pat))
+            .alias(f"n_{kind}"))
+        out = out.select(
+            "doc_id", *[f"n_{k}" for k, _, _ in
+                        PII_PATTERNS[:len(counts) - 1]],
+            counts[-1],
+            F.regexp_replace("redacted", pat, token).alias("redacted"),
+        )
+    return out.select(
+        "doc_id", "redacted", *[f"n_{k}" for k, _, _ in PII_PATTERNS])

@@ -340,3 +340,21 @@ def test_decode_jpeg_fill_bytes():
             + struct.pack(">HH", 99, 123) + b"\x01\x00\x00\x00")
     meta = decode_headers(b"\xff\xd8" + app0 + sof0)
     assert meta == {"format": "jpeg", "width": 123, "height": 99}
+
+
+def test_redact_pii(spark):
+    from neleval_spark.functions.textops import redact_pii
+
+    rows = [(1, "mail a.b@x.org or http://x.y/z?q=1 from 10.0.0.1 "
+                "call +1(555)123-4567 now"),
+            (2, "nothing sensitive here")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(d).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_url"], r1["n_ip"], r1["n_phone"]) \
+        == (1, 1, 1, 1)
+    assert r1["redacted"] == ("mail <EMAIL> or <URL> from <IP> "
+                              "call <PHONE> now")
+    r2 = out[2]
+    assert r2["redacted"] == "nothing sensitive here"
+    assert r2["n_email"] == r2["n_url"] == r2["n_ip"] == r2["n_phone"] == 0
