@@ -148,3 +148,45 @@ def test_write_resume(spark, built, tmp_path):
     counts = manifest.groupBy("part_id").count().collect()
     assert all(r["count"] == 1 for r in counts)
     assert len(counts) == triples.select("part_id").distinct().count()
+
+
+def test_canonicalize_hub_surface_skew(spark):
+    """Hub-entity skew (north_rule): one NIL surface appearing in a
+    large share of all documents must not blow up canonicalization.
+    The design answer is contract-then-iterate — the CC loop runs on
+    the KEY graph (distinct surface/acronym keys), so a surface in
+    100% of docs contributes exactly the same graph size as one in a
+    single doc; the mention-side work is one hash aggregation plus a
+    broadcast-able label join."""
+    import pyspark.sql.functions as F
+
+    from neleval_spark.pipeline.canonicalize import (
+        acronym_key, canonicalize_nils, surface_key)
+
+    n = 20_000
+    # 60% hub surface, 40% spread over 50 rare surfaces
+    base = spark.range(n).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.lit(0).alias("start"), F.lit(5).alias("end"),
+        F.when(F.col("id") % 5 < 3, F.lit("Hub Corp Global"))
+        .otherwise(F.concat(F.lit("Rare Co "),
+                            (F.col("id") % 50).cast("string")))
+        .alias("surface"),
+        F.lit(None).cast("string").alias("eid"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("string").alias("type"),
+    )
+    out = canonicalize_nils(base).cache()
+    assert out.count() == n
+    # every mention got a deterministic NIL label; the hub surface maps
+    # to ONE cluster id
+    hub = (out.where(F.col("surface") == "Hub Corp Global")
+           .select("eid").distinct().collect())
+    assert len(hub) == 1 and hub[0]["eid"].startswith("NIL")
+    # key-graph size is O(distinct surfaces), not O(mentions): the
+    # distinct key count bounds the CC input regardless of skew
+    keys = base.select(
+        surface_key(F.col("surface")).alias("s"),
+        acronym_key(F.col("surface")).alias("a")).distinct()
+    assert keys.count() <= 51  # 51 distinct surfaces, whatever the skew
+    spark.catalog.clearCache()
