@@ -167,8 +167,21 @@ def write_triples(
     return spark.read.parquet(manifest_dir)
 
 
-def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "triples"))
+def read_triples(spark: SparkSession, out_dir: str,
+                 up_to_run: str | None = None) -> DataFrame:
+    """Read the triple sink; ``up_to_run`` is snapshot-style time
+    travel over the streaming layout (run_id partitions are
+    zero-padded batch ordinals, so the lexicographic filter prunes
+    whole partitions at the scan — the parquet analogue of reading an
+    earlier Iceberg snapshot)."""
+    df = spark.read.parquet(os.path.join(out_dir, "triples"))
+    if up_to_run is not None:
+        if "run_id" not in df.columns:
+            raise ValueError(
+                "up_to_run requires the run_id-partitioned layout "
+                "(streaming/overwrite_run sink)")
+        df = df.where(F.col("run_id") <= up_to_run)
+    return df
 
 
 def _exists(spark: SparkSession, path: str) -> bool:

@@ -77,6 +77,17 @@ def test_stream_matches_batch_and_is_incremental(spark, dirs):
                .distinct().collect()}
     assert len(run_ids) == 2  # one per micro-batch, replay-stable ids
 
+    # snapshot read: as-of the first batch sees exactly chunk A
+    from neleval_spark.pipeline.triples import read_triples
+
+    asof = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in read_triples(spark, dirs["out"],
+                              up_to_run=min(run_ids))
+        .select("subj", "pred", "obj").collect()
+    }
+    assert asof == batch_a
+
 
 def test_stream_replay_idempotent(spark, dirs):
     """A replayed micro-batch (foreachBatch re-invoked with the SAME
