@@ -68,6 +68,13 @@ def get_spark(
         # per-task overhead stays negligible (splits are file-range
         # metadata, not small files).
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # evaluation joins key on docid-PREFIXED superkeys
+        # (docid, start, end, ...); storage bucketed by docid alone
+        # must co-partition them (subset-key reuse — off by default
+        # since Spark 3.3) so neither side of a bucketed sys×gold
+        # join shuffles
+        .config("spark.sql.requireAllClusterKeysForCoPartition",
+                "false")
     )
     # Scratch space (shuffle files, DISK_ONLY blocks): opt-in via
     # SPARK_GRAFT_LOCAL_DIR.  The bench harness points this at tmpfs
