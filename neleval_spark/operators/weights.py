@@ -39,8 +39,13 @@ def load_type_weights(spark: SparkSession, path: str) -> DataFrame:
     (gold, sys) pair (reference: TypeWeighting, configs.py:276-289)."""
     from pyspark.sql import functions as F
 
-    raw = spark.read.csv(path, sep="\t",
+    # quote/escape disabled: the reference splits lines on tabs
+    # verbatim (no CSV quoting layer), and the annotation readers do
+    # the same — default CSV dequoting would desync the join keys for
+    # values containing quotes or backslashes
+    raw = spark.read.csv(path, sep="\t", quote="", escape="",
                          schema="gold_type string, sys_type string, "
                                 "weight double")
-    return raw.groupBy("gold_type", "sys_type").agg(
-        F.max("weight").alias("weight"))
+    return raw.na.fill("", ["gold_type", "sys_type"]) \
+        .groupBy("gold_type", "sys_type").agg(
+            F.max("weight").alias("weight"))

@@ -130,14 +130,16 @@ def write_triples(
     dynamic partition overwrite, so re-running the SAME run_id
     replaces that run's partitions instead of appending — a crashed or
     replayed write converges to exactly one copy regardless of where
-    the previous attempt stopped."""
+    the previous attempt stopped.  Idempotence IS the resume story in
+    this mode, so the part_id-keyed resume anti-join (whose done-set
+    would wrongly cover every later run's part_ids) is disabled."""
     spark = triples.sparkSession
     run_id = run_id or f"run-{int(time.time() * 1000)}"
     data_dir = os.path.join(out_dir, "triples")
     manifest_dir = os.path.join(out_dir, "manifest")
 
     done = None
-    if resume and _exists(spark, manifest_dir):
+    if resume and not overwrite_run and _exists(spark, manifest_dir):
         done = spark.read.parquet(manifest_dir).select("part_id").distinct()
 
     todo = triples

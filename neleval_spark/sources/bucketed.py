@@ -27,6 +27,11 @@ def write_mentions_bucketed(df: DataFrame, table: str,
     import shutil
     from urllib.parse import urlparse
 
+    if "." in table:
+        raise ValueError(
+            "use an unqualified table name (the stale-location cleanup "
+            "resolves <warehouse>/<table>, which is wrong for "
+            "database-qualified names)")
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a fresh local session's in-memory catalog does not know tables a

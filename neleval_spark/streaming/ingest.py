@@ -70,8 +70,29 @@ def stream_construct(pages_stream: DataFrame, kb: DataFrame,
     from ..pipeline.triples import emit_triples, write_triples
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from ..pipeline.triples import _exists
+
         spark = batch_df.sparkSession
         run_id = f"batch-{batch_id:09d}"
+        # fail fast on the one misuse dynamic overwrite cannot heal:
+        # a FRESH checkpoint pointed at a sink that already holds
+        # later batches (batch numbering restarted, so batch 0 would
+        # overwrite only its own partition and leave stale later runs
+        # double-counted). Legit replay of batch N never trips this —
+        # the manifest then holds nothing beyond batch N.
+        manifest_dir = os.path.join(out_dir, "manifest")
+        if _exists(spark, manifest_dir):
+            beyond = (
+                spark.read.parquet(manifest_dir)
+                .where(F.col("run_id") > run_id).limit(1).count())
+            if beyond:
+                raise RuntimeError(
+                    f"sink {out_dir} already contains batches beyond "
+                    f"{run_id}: this stream's checkpoint does not own "
+                    "the sink (checkpoint recreated?). Use the "
+                    "original checkpoint directory or a fresh out_dir.")
         if batch_df.isEmpty():
             return
         mentions = build_mentions(batch_df, kb)

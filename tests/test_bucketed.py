@@ -31,12 +31,14 @@ def test_bucketed_join_no_exchange(spark, tables):
     Broadcast is disabled so the test exercises the shuffle decision
     a 10^12-row × 10^12-row join would face (neither side broadcasts
     at scale)."""
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
-                   "false")
-    spark.conf.set(
-        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.requireAllClusterKeysForCoPartition": "false",
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
     try:
         g = spark.table("gold_b").select("docid", "start", "end")
         s = spark.table("sys_b").select("docid", "start", "end")
@@ -56,7 +58,8 @@ def test_bucketed_join_no_exchange(spark, tables):
         live_plan = live._jdf.queryExecution().executedPlan().toString()
         assert "Exchange hashpartitioning" in live_plan
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for k, v in saved.items():
+            spark.conf.set(k, v)
 
 
 def test_bucketed_scores_match(spark, tables):

@@ -89,6 +89,23 @@ def test_stream_matches_batch_and_is_incremental(spark, dirs):
     assert asof == batch_a
 
 
+def test_fresh_checkpoint_over_owned_sink_fails(spark, dirs):
+    """A FRESH checkpoint pointed at a sink that already holds later
+    batches restarts batch numbering — dynamic overwrite would then
+    double-count the still-present later runs, so the ingest must
+    fail fast instead (checkpoint↔sink identity contract)."""
+    from neleval_spark.pipeline import kb_table
+    from neleval_spark.streaming import stream_construct, stream_pages
+
+    q = stream_construct(
+        stream_pages(spark, dirs["pages"]), kb_table(spark),
+        dirs["out"], dirs["ckpt2"])  # out has batches 0 AND 1 already
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination(300)
+        q.processAllAvailable()
+    assert "does not own the sink" in str(ei.value)
+
+
 def test_stream_replay_idempotent(spark, dirs):
     """A replayed micro-batch (foreachBatch re-invoked with the SAME
     batch id after a crash anywhere mid-write) must converge to
