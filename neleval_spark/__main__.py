@@ -464,6 +464,19 @@ def cmd_run_pipeline(args):
     from .pipeline.run import run_pipeline
 
     spark = _spark()
+    if args.stream:
+        from .pipeline.triples import read_triples
+        from .streaming import stream_construct, stream_pages
+
+        ckpt = args.checkpoint or f"{args.out}/_checkpoint"
+        q = stream_construct(
+            stream_pages(spark, args.corpus), kb_table(spark),
+            args.out, ckpt, available_now=True)
+        q.awaitTermination()
+        n = read_triples(spark, args.out).count()
+        print(json.dumps({"triples": n, "out": args.out,
+                          "mode": "stream", "checkpoint": ckpt}))
+        return
     pages = spark.read.parquet(args.corpus)
     res = run_pipeline(pages, kb_table(spark), out_dir=args.out,
                        n_buckets=args.buckets, resume=not args.no_resume)
@@ -598,7 +611,14 @@ def main(argv=None):
         sp.add_argument("corpus"),
         sp.add_argument("-o", "--out", required=True),
         sp.add_argument("--buckets", type=int, default=64),
-        sp.add_argument("--no-resume", action="store_true")))
+        sp.add_argument("--no-resume", action="store_true"),
+        sp.add_argument("--stream", action="store_true",
+                        help="incremental ingest: drain new corpus "
+                             "files via Structured Streaming "
+                             "(availableNow), then stop"),
+        sp.add_argument("--checkpoint",
+                        help="stream checkpoint dir (default "
+                             "<out>/_checkpoint; pair 1:1 with out)")))
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -202,3 +202,23 @@ def test_cli_plot_systems_confidence_input(spark, capsys, tmp_path,
                "-m", "strong_link_match")
     pts = json.loads(out)[0]["points"]
     assert pts[0]["lo"] <= pts[0]["score"] <= pts[0]["hi"]
+
+
+def test_cli_run_pipeline_stream(spark, tmp_path, capsys):
+    """`run-pipeline --stream` drains the corpus dir incrementally and
+    reports the triple count."""
+    import json
+
+    from neleval_spark.__main__ import main
+    from neleval_spark.pipeline import synth_corpus
+
+    corpus = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    synth_corpus(spark, 120).write.parquet(corpus)
+    main(["run-pipeline", corpus, "-o", out, "--stream"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "stream" and rep["triples"] > 0
+    # second drain with no new files adds nothing
+    main(["run-pipeline", corpus, "-o", out, "--stream"])
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["triples"] == rep["triples"]
