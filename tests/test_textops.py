@@ -358,3 +358,51 @@ def test_redact_pii(spark):
     r2 = out[2]
     assert r2["redacted"] == "nothing sensitive here"
     assert r2["n_email"] == r2["n_url"] == r2["n_ip"] == r2["n_phone"] == 0
+
+
+def _mp4_bytes(w, h, dur_ms, timescale=1000):
+    import struct
+
+    dur = dur_ms * timescale // 1000
+    mvhd = (b"\x00" + b"\x00" * 3 + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, dur) + b"\x00" * 80)
+    mvhd_box = struct.pack(">I4s", 8 + len(mvhd), b"mvhd") + mvhd
+    tkhd = (b"\x00" + b"\x00" * 3 + b"\x00" * 76
+            + struct.pack(">II", w << 16, h << 16))
+    tkhd_box = struct.pack(">I4s", 8 + len(tkhd), b"tkhd") + tkhd
+    trak = struct.pack(">I4s", 8 + len(tkhd_box), b"trak") + tkhd_box
+    moov = (struct.pack(">I4s", 8 + len(mvhd_box) + len(trak), b"moov")
+            + mvhd_box + trak)
+    ftyp = struct.pack(">I4s", 16, b"ftyp") + b"isom\x00\x00\x00\x01"
+    return ftyp + moov
+
+
+def test_decode_mp4_header():
+    from neleval_spark.functions.multimodal import decode_headers
+
+    meta = decode_headers(_mp4_bytes(640, 360, 12345))
+    assert meta == {"format": "mp4", "duration_ms": 12345,
+                    "width": 640, "height": 360}
+
+
+def test_sample_frames(spark):
+    """Frame sampling: duration-driven sample points, deterministic
+    fake frames, real mapInPandas plumbing."""
+    import hashlib
+
+    from neleval_spark.functions.multimodal import sample_frames
+
+    rows = [("v1", "video", _mp4_bytes(320, 240, 3500), None),
+            ("v2", "video", b"\x00" * 20, None)]  # undecodable
+    assets = spark.createDataFrame(
+        rows, "asset_id string, kind string, bytes binary, "
+              "meta map<string,string>")
+    got = {(r["asset_id"], r["frame_idx"]): r
+           for r in sample_frames(assets, every_ms=1000).collect()}
+    # 3500ms at 1000ms cadence -> frames at 0,1000,2000,3000
+    assert sorted(i for a, i in got if a == "v1") == [0, 1, 2, 3]
+    # undecodable asset still yields one frame row (idx 0)
+    assert sorted(i for a, i in got if a == "v2") == [0]
+    f = got[("v1", 2)]
+    assert f["ts_ms"] == 2000
+    assert bytes(f["frame"]) == hashlib.sha256(b"v1\x002").digest()
