@@ -191,3 +191,54 @@ def _exists(spark: SparkSession, path: str) -> bool:
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(conf).exists(p)
+
+
+def compact_triples(spark: SparkSession, out_dir: str,
+                    n_buckets: int = 64) -> DataFrame:
+    """Compact an accumulated streaming sink (many run_id partitions
+    of small files) into the batch layout (part_id only) — the
+    operational analogue of Iceberg's rewrite_data_files.
+
+    Converting to the batch layout ENDS the streaming lifecycle of
+    this directory (the run_id partitions that snapshot reads and the
+    checkpoint-ownership guard key on are merged away): compact a
+    finished stream, then continue with batch `write_triples` appends
+    or a fresh stream directory.
+
+    Atomicity on a plain filesystem: the compacted data+manifest are
+    written to a staging directory first, then swapped in with two
+    renames, so a crash mid-compaction leaves the original sink
+    intact (at worst plus an orphaned ``_compacting`` dir to delete).
+    Returns the new manifest."""
+    import shutil
+
+    data_dir = os.path.join(out_dir, "triples")
+    manifest_dir = os.path.join(out_dir, "manifest")
+    staging = os.path.join(out_dir, "_compacting")
+    run_id = f"compact-{int(time.time() * 1000)}"
+
+    triples = spark.read.parquet(data_dir)
+    if "run_id" in triples.columns:
+        triples = triples.drop("run_id")
+    # re-derive part_id (a pure row function) so a changed bucket
+    # count re-buckets correctly
+    triples = triples.drop("part_id").withColumn(
+        "part_id", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
+
+    shutil.rmtree(staging, ignore_errors=True)
+    triples.write.mode("overwrite").partitionBy("part_id") \
+        .parquet(os.path.join(staging, "triples"))
+    staged = spark.read.parquet(os.path.join(staging, "triples"))
+    _manifest(staged, run_id).write.mode("overwrite") \
+        .parquet(os.path.join(staging, "manifest"))
+
+    old = os.path.join(out_dir, "_pre_compact")
+    shutil.rmtree(old, ignore_errors=True)
+    os.makedirs(old)
+    os.rename(data_dir, os.path.join(old, "triples"))
+    os.rename(manifest_dir, os.path.join(old, "manifest"))
+    os.rename(os.path.join(staging, "triples"), data_dir)
+    os.rename(os.path.join(staging, "manifest"), manifest_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    return spark.read.parquet(manifest_dir)

@@ -159,3 +159,33 @@ def test_stream_doc_rates(spark, dirs):
     rows = spark.sql("SELECT * FROM rates_tbl").collect()
     assert all((r["win_end"] - r["win_start"]).seconds == 600
                for r in rows)
+
+
+def test_compact_streaming_sink(spark, dirs):
+    """Compaction merges run_id partitions into the batch layout with
+    identical triples and a single-run manifest."""
+    import glob
+
+    from neleval_spark.pipeline.triples import (
+        compact_triples, read_triples)
+
+    before = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in read_triples(spark, dirs["out"])
+        .select("subj", "pred", "obj").collect()
+    }
+    n_files_before = len(glob.glob(
+        os.path.join(dirs["out"], "triples", "*", "*", "*.parquet")))
+    manifest = compact_triples(spark, dirs["out"])
+    after_df = read_triples(spark, dirs["out"])
+    assert "run_id" not in after_df.columns  # batch layout now
+    after = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in after_df.select("subj", "pred", "obj").collect()
+    }
+    assert after == before
+    runs = {r["run_id"] for r in manifest.select("run_id").collect()}
+    assert len(runs) == 1 and next(iter(runs)).startswith("compact-")
+    n_files_after = len(glob.glob(
+        os.path.join(dirs["out"], "triples", "*", "*.parquet")))
+    assert 0 < n_files_after <= n_files_before
