@@ -291,6 +291,12 @@ sweep in docs/PLANS.md).
 Triples emitted: {results[hi]['n_triples']} (counts equal at both
 levels: {results[lo]['n_triples'] == results[hi]['n_triples']}).
 """
+    # persistent sections (reference head-to-head, measured separately
+    # by scripts/bench_vs_reference.py) survive protocol reruns
+    vsref = os.path.join(REPO, "BENCH", "VSREF.md")
+    if os.path.exists(vsref):
+        with open(vsref) as f:
+            md += "\n" + f.read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps({"efficiency": eff, "hw_ceiling": ceiling,
