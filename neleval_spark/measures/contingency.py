@@ -180,6 +180,22 @@ def evaluate(
     results: "OrderedDict[str, dict]" = OrderedDict()
     gcols = list(group_by or [])
 
+    # Materialize both mention tables once for the whole run (the
+    # reference loads annotations into lists the same way).  Without
+    # this, every measure re-derives the frames AND — the expensive
+    # part — measure FILTERS (is_linked/is_nil) get substituted
+    # through the projections by predicate pushdown, inlining the
+    # full TSV parse tree dozens of times into one predicate
+    # (measured 11× the cost of evaluating the column once).  A
+    # cached table makes the derived columns physical, so filters
+    # evaluate on columnar data.
+    to_unpersist = []
+    for df in (sys_df, gold_df):
+        if df.storageLevel.useMemory or df.storageLevel.useDisk:
+            continue
+        df.persist()
+        to_unpersist.append(df)
+
     if gcols:
         group_vals = _group_values(gold_df, gcols)
         product = list(itertools.product(*group_vals))
@@ -231,6 +247,8 @@ def evaluate(
         results[name_fmt.format(group=micro_labels)] = sum(
             constituents.values(), Matrix()).results
 
+    for df in to_unpersist:
+        df.unpersist()
     return results
 
 
