@@ -166,3 +166,27 @@ def test_conll_multi_sysa(spark):
         EXPECTED_CONLL_MULTI_SYSA,
         _stats(spark, "conll_multi_gold.unstitched.tsv",
                "conll_multi_sysa.unstitched.tsv"))
+
+
+def test_evaluate_unpersists_inputs(spark):
+    """evaluate() materializes its inputs for the run but must not
+    leak cached tables afterwards (callers' own persisted frames are
+    left untouched)."""
+    from neleval_spark.measures import evaluate
+    from neleval_spark.sources import prepare_tac
+
+    E = "/root/reference/neleval/examples"
+    gold = prepare_tac(spark, f"{E}/tac_gold.tab", f"{E}/tac_gold.xml")
+    sys_ = prepare_tac(spark, f"{E}/tac_system.tab",
+                       f"{E}/tac_system.xml")
+    evaluate(sys_, gold, measures=["strong_mention_match"])
+    assert not sys_.storageLevel.useMemory
+    assert not gold.storageLevel.useMemory
+
+    gold.persist()
+    try:
+        evaluate(sys_, gold, measures=["strong_mention_match"])
+        assert gold.storageLevel.useMemory  # caller's persist kept
+        assert not sys_.storageLevel.useMemory
+    finally:
+        gold.unpersist()
