@@ -15,6 +15,11 @@ where the candidate tail is one of
 All parsing happens JVM-side as Catalyst expressions over
 ``spark.read.text`` — no per-row Python.  At scale the prepared data
 lives in parquet and this path only serves the fixture boundary.
+
+Filter-heavy workloads over this reader should ``persist()`` the
+frame first (``evaluate()`` does): predicate pushdown substitutes
+derived-column aliases into scan-level predicates, duplicating the
+parse expression tree (docs/PLANS.md, "predicate-pushdown inlining").
 """
 
 from __future__ import annotations
