@@ -168,6 +168,63 @@ def _measure_query(name: str):
     return fn
 
 
+def q_error_analysis(spark, sf_dir):
+    """Error-analysis taxonomy (J2+A12: full-outer span alignment →
+    extra/missing/correct-nil/correct-link/nil-as-link/link-as-nil/
+    wrong-link labels → ranked counts).  Spans are pre-deduped with a
+    deterministic min-kbid rule so the engine-arbitrary pick inside
+    ``error_table.dropDuplicates`` never decides a label (the events
+    derivation produces colliding spans with different entities)."""
+    from neleval_spark.analyze import error_summary
+
+    def span_dedup(df):
+        return (
+            df.groupBy("docid", "start", "end")
+            .agg(F.min(F.coalesce(F.col("kbid"), F.lit("\x7f")))
+                 .alias("_k"))
+            .withColumn(
+                "kbid", F.when(F.col("_k") != "\x7f", F.col("_k")))
+            .drop("_k")
+        )
+
+    gold = span_dedup(_mentions(spark, sf_dir, "gold"))
+    sys_ = span_dedup(_mentions(spark, sf_dir, "sys"))
+    return (
+        error_summary(sys_, gold)
+        .select("label", F.col("count").cast("long").alias("count"))
+        .orderBy(F.desc("count"), "label")
+    )
+
+
+Q_ERROR_ANALYSIS_SQL = _MENTIONS_SQL + """
+, gsp AS (
+  SELECT docid, start, "end",
+         NULLIF(MIN(COALESCE(kbid, CHR(127))), CHR(127)) AS gold_kbid,
+         TRUE AS g_present
+  FROM gold_d GROUP BY 1, 2, 3),
+ssp AS (
+  SELECT docid, start, "end",
+         NULLIF(MIN(COALESCE(kbid, CHR(127))), CHR(127)) AS system_kbid,
+         TRUE AS s_present
+  FROM sys_d GROUP BY 1, 2, 3),
+j AS (
+  SELECT g_present, s_present, gold_kbid, system_kbid
+  FROM gsp FULL OUTER JOIN ssp USING (docid, start, "end")),
+labeled AS (
+  SELECT CASE
+    WHEN g_present IS NULL THEN 'extra'
+    WHEN s_present IS NULL THEN 'missing'
+    WHEN gold_kbid IS NULL AND system_kbid IS NULL THEN 'correct nil'
+    WHEN gold_kbid = system_kbid THEN 'correct link'
+    WHEN gold_kbid IS NULL THEN 'nil-as-link'
+    WHEN system_kbid IS NULL THEN 'link-as-nil'
+    ELSE 'wrong-link' END AS label
+  FROM j)
+SELECT label, COUNT(*) AS count FROM labeled
+GROUP BY label ORDER BY count DESC, label
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-measure operator demos
 # ---------------------------------------------------------------------------
@@ -1422,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strong_typed_link_match":
             _measure_query("strong_typed_link_match"),
         "entity_match": _measure_query("entity_match"),
+        "error_analysis": q_error_analysis,
         # clustering measures (A4-A6)
         "muc": _measure_query("muc"),
         "b_cubed": _measure_query("b_cubed"),
@@ -1484,6 +1542,7 @@ def oracle_sql() -> dict[str, str]:
         "strong_typed_link_match": _sets_oracle(
             'docid, start, "end", type, kbid', "NOT is_nil"),
         "entity_match": _sets_oracle("docid, kbid", "NOT is_nil"),
+        "error_analysis": Q_ERROR_ANALYSIS_SQL,
         "muc": Q_MUC_SQL,
         "b_cubed": Q_B_CUBED_SQL,
         "pairwise": Q_PAIRWISE_SQL,
