@@ -196,6 +196,90 @@ def q_error_analysis(spark, sf_dir):
     )
 
 
+TYPE_WEIGHTS = [
+    ("click", "view", 0.5), ("view", "click", 0.5),
+    ("purchase", "signup", 0.25), ("error", "error", 0.5),
+]
+
+
+def q_weighted_match(spark, sf_dir):
+    """Type-weighted strong_typed_all_match (J4): partial credit for
+    cross-type matches via a broadcast weight table, fn/fp as
+    self-weight sums minus tp (reference annotation.py:351-369,
+    TypeWeighting configs.py:276-289).  Spans pre-deduped with a
+    deterministic min-(kbid, type) rule — the weighted path raises on
+    duplicate keys like the reference."""
+    from neleval_spark.measures import get_measure
+    from neleval_spark.measures.contingency import contingency_df
+
+    sent = "\x7f"
+
+    def span_dedup(df):
+        kt = F.min(F.struct(
+            F.coalesce(F.col("kbid"), F.lit(sent)).alias("k"),
+            F.coalesce(F.col("type"), F.lit(sent)).alias("t")))
+        out = df.groupBy("docid", "start", "end").agg(kt.alias("kt"))
+        return out.select(
+            "docid", "start", "end",
+            F.when(F.col("kt.k") != sent, F.col("kt.k")).alias("kbid"),
+            F.when(F.col("kt.t") != sent, F.col("kt.t")).alias("type"),
+        )
+
+    wdf = spark.createDataFrame(
+        TYPE_WEIGHTS, "gold_type string, sys_type string, weight double")
+    gold = span_dedup(_mentions(spark, sf_dir, "gold"))
+    sys_ = span_dedup(_mentions(spark, sf_dir, "sys"))
+    spec = get_measure("strong_typed_all_match",
+                       weighting={"type": wdf})
+    out = contingency_df(sys_, gold, spec)
+    return out.select(
+        F.round("ptp", 6).alias("ptp"), F.round("fp", 6).alias("fp"),
+        F.round("rtp", 6).alias("rtp"), F.round("fn", 6).alias("fn"),
+    )
+
+
+Q_WEIGHTED_MATCH_SQL = _MENTIONS_SQL + """
+, w(gt, st, wt) AS (VALUES
+    ('click', 'view', 0.5), ('view', 'click', 0.5),
+    ('purchase', 'signup', 0.25), ('error', 'error', 0.5)),
+gdd AS (
+  SELECT docid, start, "end",
+         MIN(COALESCE(kbid, CHR(127)) || CHR(1) || type) AS kt
+  FROM gold_d GROUP BY 1, 2, 3),
+gsp AS (
+  SELECT docid, start, "end",
+         NULLIF(SPLIT_PART(kt, CHR(1), 1), CHR(127)) AS kbid,
+         SPLIT_PART(kt, CHR(1), 2) AS type
+  FROM gdd),
+sdd AS (
+  SELECT docid, start, "end",
+         MIN(COALESCE(kbid, CHR(127)) || CHR(1) || type) AS kt
+  FROM sys_d GROUP BY 1, 2, 3),
+ssp AS (
+  SELECT docid, start, "end",
+         NULLIF(SPLIT_PART(kt, CHR(1), 1), CHR(127)) AS kbid,
+         SPLIT_PART(kt, CHR(1), 2) AS type
+  FROM sdd),
+tp AS (
+  SELECT COALESCE(SUM(COALESCE(w.wt,
+           CASE WHEN g.type = s.type THEN 1.0 ELSE 0.0 END)), 0.0) AS c
+  FROM gsp g
+  JOIN ssp s ON g.docid = s.docid AND g.start = s.start
+            AND g."end" = s."end"
+            AND g.kbid IS NOT DISTINCT FROM s.kbid
+  LEFT JOIN w ON w.gt = g.type AND w.st = s.type),
+gself AS (
+  SELECT COALESCE(SUM(COALESCE(w.wt, 1.0)), 0.0) AS c
+  FROM gsp LEFT JOIN w ON w.gt = gsp.type AND w.st = gsp.type),
+sself AS (
+  SELECT COALESCE(SUM(COALESCE(w.wt, 1.0)), 0.0) AS c
+  FROM ssp LEFT JOIN w ON w.gt = ssp.type AND w.st = ssp.type)
+SELECT ROUND(tp.c, 6) AS ptp, ROUND(sself.c - tp.c, 6) AS fp,
+       ROUND(tp.c, 6) AS rtp, ROUND(gself.c - tp.c, 6) AS fn
+FROM tp, gself, sself
+"""
+
+
 Q_ERROR_ANALYSIS_SQL = _MENTIONS_SQL + """
 , gsp AS (
   SELECT docid, start, "end",
@@ -1480,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _measure_query("strong_typed_link_match"),
         "entity_match": _measure_query("entity_match"),
         "error_analysis": q_error_analysis,
+        "weighted_match": q_weighted_match,
         # clustering measures (A4-A6)
         "muc": _measure_query("muc"),
         "b_cubed": _measure_query("b_cubed"),
@@ -1543,6 +1628,7 @@ def oracle_sql() -> dict[str, str]:
             'docid, start, "end", type, kbid', "NOT is_nil"),
         "entity_match": _sets_oracle("docid, kbid", "NOT is_nil"),
         "error_analysis": Q_ERROR_ANALYSIS_SQL,
+        "weighted_match": Q_WEIGHTED_MATCH_SQL,
         "muc": Q_MUC_SQL,
         "b_cubed": Q_B_CUBED_SQL,
         "pairwise": Q_PAIRWISE_SQL,
