@@ -196,6 +196,16 @@ def evaluate(
         df.persist()
         to_unpersist.append(df)
 
+    try:
+        return _evaluate_measures(sys_df, gold_df, names, gcols,
+                                  overall, weighting, results)
+    finally:
+        for df in to_unpersist:
+            df.unpersist()
+
+
+def _evaluate_measures(sys_df, gold_df, names, gcols, overall,
+                       weighting, results):
     if gcols:
         group_vals = _group_values(gold_df, gcols)
         product = list(itertools.product(*group_vals))
@@ -247,8 +257,6 @@ def evaluate(
         results[name_fmt.format(group=micro_labels)] = sum(
             constituents.values(), Matrix()).results
 
-    for df in to_unpersist:
-        df.unpersist()
     return results
 
 

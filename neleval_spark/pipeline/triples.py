@@ -193,6 +193,42 @@ def _exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(conf).exists(p)
 
 
+def compact_recover(out_dir: str) -> None:
+    """Finish or roll back a compaction interrupted mid-swap.
+
+    State machine (local filesystem): the staged build writes a
+    ``_COMMIT`` marker LAST, so
+
+    * staging without ``_COMMIT`` → the build never finished: discard
+      staging, restore anything already moved to ``_pre_compact``;
+    * staging with ``_COMMIT`` → the swap was in flight: drive it
+      forward to completion (each step is an idempotent "ensure the
+      staged dir is live, prior dir parked in _pre_compact").
+    """
+    import shutil
+
+    staging = os.path.join(out_dir, "_compacting")
+    pre = os.path.join(out_dir, "_pre_compact")
+    commit = os.path.join(staging, "_COMMIT")
+    committed = os.path.exists(commit)
+    for name in ("triples", "manifest"):
+        final = os.path.join(out_dir, name)
+        parked = os.path.join(pre, name)
+        staged = os.path.join(staging, name)
+        if committed:
+            if os.path.exists(staged):
+                if os.path.exists(final):
+                    os.makedirs(pre, exist_ok=True)
+                    shutil.rmtree(parked, ignore_errors=True)
+                    os.rename(final, parked)
+                os.rename(staged, final)
+        else:
+            if not os.path.exists(final) and os.path.exists(parked):
+                os.rename(parked, final)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(pre, ignore_errors=True)
+
+
 def compact_triples(spark: SparkSession, out_dir: str,
                     n_buckets: int = 64) -> DataFrame:
     """Compact an accumulated streaming sink (many run_id partitions
@@ -201,21 +237,33 @@ def compact_triples(spark: SparkSession, out_dir: str,
 
     Converting to the batch layout ENDS the streaming lifecycle of
     this directory (the run_id partitions that snapshot reads and the
-    checkpoint-ownership guard key on are merged away): compact a
-    finished stream, then continue with batch `write_triples` appends
-    or a fresh stream directory.
+    checkpoint-ownership guard key on are merged away).  The
+    compacted directory is a finished artifact: its manifest records
+    every part_id, so a later batch ``write_triples`` with the
+    default ``resume=True`` would skip everything — append to a
+    compacted sink with ``resume=False``, or start a fresh directory.
 
-    Atomicity on a plain filesystem: the compacted data+manifest are
-    written to a staging directory first, then swapped in with two
-    renames, so a crash mid-compaction leaves the original sink
-    intact (at worst plus an orphaned ``_compacting`` dir to delete).
+    Crash safety (LOCAL filesystems only — raises on remote URIs; on
+    object stores use the engine-level rewrite of your table format):
+    the compacted data+manifest are staged, a ``_COMMIT`` marker is
+    written last, and the swap parks the old dirs in ``_pre_compact``
+    before renaming the staged ones in.  :func:`compact_recover`
+    (called automatically on entry) finishes a committed swap or
+    rolls back an uncommitted one, so no crash point loses the sink.
     Returns the new manifest."""
     import shutil
+
+    if "://" in out_dir and not out_dir.startswith("file:"):
+        raise ValueError(
+            "compact_triples swaps directories with local renames; "
+            f"non-local sink: {out_dir}")
 
     data_dir = os.path.join(out_dir, "triples")
     manifest_dir = os.path.join(out_dir, "manifest")
     staging = os.path.join(out_dir, "_compacting")
     run_id = f"compact-{int(time.time() * 1000)}"
+
+    compact_recover(out_dir)
 
     triples = spark.read.parquet(data_dir)
     if "run_id" in triples.columns:
@@ -225,20 +273,24 @@ def compact_triples(spark: SparkSession, out_dir: str,
     triples = triples.drop("part_id").withColumn(
         "part_id", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
 
-    shutil.rmtree(staging, ignore_errors=True)
     triples.write.mode("overwrite").partitionBy("part_id") \
         .parquet(os.path.join(staging, "triples"))
-    staged = spark.read.parquet(os.path.join(staging, "triples"))
+    # partition-column inference types directory-derived part_id as
+    # int32 — cast back so manifest files keep one schema (long)
+    staged = spark.read.parquet(os.path.join(staging, "triples")) \
+        .withColumn("part_id", F.col("part_id").cast("long"))
     _manifest(staged, run_id).write.mode("overwrite") \
         .parquet(os.path.join(staging, "manifest"))
+    open(os.path.join(staging, "_COMMIT"), "w").close()
 
-    old = os.path.join(out_dir, "_pre_compact")
-    shutil.rmtree(old, ignore_errors=True)
-    os.makedirs(old)
-    os.rename(data_dir, os.path.join(old, "triples"))
-    os.rename(manifest_dir, os.path.join(old, "manifest"))
-    os.rename(os.path.join(staging, "triples"), data_dir)
-    os.rename(os.path.join(staging, "manifest"), manifest_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    pre = os.path.join(out_dir, "_pre_compact")
+    os.makedirs(pre, exist_ok=True)
+    for name in ("triples", "manifest"):
+        final = os.path.join(out_dir, name)
+        parked = os.path.join(pre, name)
+        shutil.rmtree(parked, ignore_errors=True)
+        os.rename(final, parked)
+        os.rename(os.path.join(staging, name), final)
+    shutil.rmtree(pre, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(manifest_dir)

@@ -106,21 +106,26 @@ def run_spark(data_dir: str) -> dict:
     from neleval_spark.sources.tsv import read_annotations_tsv
 
     spark = get_spark(app_name="bench_vs_reference")
-    # warm the JVM/codegen on a copy so the timed run measures the
-    # steady state (the reference has no analogous warm-up cost)
-    warm_sys = read_annotations_tsv(spark, f"{data_dir}/system.tsv")
-    warm_gold = read_annotations_tsv(spark, f"{data_dir}/gold.tsv")
-    evaluate(warm_sys, warm_gold, measures=MEASURES)
-
+    # timed twice: run 1 is COLD (includes JVM JIT / codegen /
+    # Python-worker warm-up — the honest one-shot comparison against
+    # the reference, which has no warm-up to amortize), run 2 is the
+    # WARM steady state a long-lived engine delivers. Both reported.
     t0 = time.perf_counter()
-    sys_ = read_annotations_tsv(spark, f"{data_dir}/system.tsv")
-    gold = read_annotations_tsv(spark, f"{data_dir}/gold.tsv")
-    res = evaluate(sys_, gold, measures=MEASURES)
-    wall = time.perf_counter() - t0
+    res = evaluate(
+        read_annotations_tsv(spark, f"{data_dir}/system.tsv"),
+        read_annotations_tsv(spark, f"{data_dir}/gold.tsv"),
+        measures=MEASURES)
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = evaluate(
+        read_annotations_tsv(spark, f"{data_dir}/system.tsv"),
+        read_annotations_tsv(spark, f"{data_dir}/gold.tsv"),
+        measures=MEASURES)
+    warm = time.perf_counter() - t0
     scores = {m: {k: v[k] for k in ("precision", "recall", "fscore")}
               for m, v in res.items()}
-    return {"engine": "spark", "seconds": round(wall, 3),
-            "scores": scores}
+    return {"engine": "spark", "seconds": round(warm, 3),
+            "cold_seconds": round(cold, 3), "scores": scores}
 
 
 def main() -> None:
@@ -159,8 +164,10 @@ def main() -> None:
     print(json.dumps({
         "n_docs": n_docs,
         "reference_seconds": ref["seconds"],
-        "spark_seconds": spk["seconds"],
-        "speedup": round(ref["seconds"] / spk["seconds"], 2),
+        "spark_cold_seconds": spk["cold_seconds"],
+        "spark_warm_seconds": spk["seconds"],
+        "speedup_cold": round(ref["seconds"] / spk["cold_seconds"], 2),
+        "speedup_warm": round(ref["seconds"] / spk["seconds"], 2),
         "measures": len(ref["scores"]),
         "scores_match": not mismatches,
         "mismatches": mismatches[:5],

@@ -189,3 +189,56 @@ def test_compact_streaming_sink(spark, dirs):
     n_files_after = len(glob.glob(
         os.path.join(dirs["out"], "triples", "*", "*.parquet")))
     assert 0 < n_files_after <= n_files_before
+
+
+def test_compact_recover_states(spark, tmp_path):
+    """compact_recover: a committed staging drives the swap forward;
+    an uncommitted one rolls back — no crash point loses the sink."""
+    import shutil
+
+    from neleval_spark.pipeline import kb_table, synth_corpus
+    from neleval_spark.pipeline.run import build_mentions
+    from neleval_spark.pipeline.triples import (
+        compact_recover, emit_triples, read_triples, write_triples)
+
+    out = str(tmp_path / "sink")
+    t = emit_triples(build_mentions(synth_corpus(spark, 100),
+                                    kb_table(spark)))
+    write_triples(t, out, resume=False, run_id="batch-000000000",
+                  overwrite_run=True)
+    n = read_triples(spark, out).count()
+
+    # crash AFTER staging committed, BEFORE any rename: recovery must
+    # complete the swap (staged content becomes live)
+    staging = os.path.join(out, "_compacting")
+    shutil.copytree(os.path.join(out, "triples"),
+                    os.path.join(staging, "triples"))
+    shutil.copytree(os.path.join(out, "manifest"),
+                    os.path.join(staging, "manifest"))
+    open(os.path.join(staging, "_COMMIT"), "w").close()
+    compact_recover(out)
+    assert not os.path.exists(staging)
+    assert read_triples(spark, out).count() == n
+
+    # crash mid-swap with the data dir already parked and staging
+    # committed: the staged dir must become live again
+    shutil.copytree(os.path.join(out, "triples"),
+                    os.path.join(staging, "triples"))
+    open(os.path.join(staging, "_COMMIT"), "w").close()
+    pre = os.path.join(out, "_pre_compact")
+    os.makedirs(pre)
+    os.rename(os.path.join(out, "triples"),
+              os.path.join(pre, "triples"))
+    compact_recover(out)
+    assert read_triples(spark, out).count() == n
+
+    # uncommitted staging (build crashed): rollback, sink unchanged
+    os.makedirs(os.path.join(staging, "triples"))
+    compact_recover(out)
+    assert not os.path.exists(staging)
+    assert read_triples(spark, out).count() == n
+
+    # non-local URI refused
+    from neleval_spark.pipeline.triples import compact_triples
+    with pytest.raises(ValueError):
+        compact_triples(spark, "s3a://bucket/sink")
