@@ -213,9 +213,13 @@ def cmd_prepare_conll_coref(args):
     # reference output is sorted(annotations) — a STABLE sort on
     # Annotation.__lt__ = (start, -end) (import_.py:73-75,
     # annotation.py:60-62) over annotations in input-document order,
-    # so the tie-break is the document ordinal, not docid
+    # so the tie-break is the document ordinal, not docid.  The final
+    # "value" tie-break is for determinism only: a span appearing in
+    # two clusters of ONE document ties on all three leading keys, and
+    # Spark's orderBy is not stable across runs for fully-tied rows
     for r in annotations_to_tsv_lines(df, keep=["doc_idx"]).orderBy(
-            F.col("start"), F.col("end").desc(), "doc_idx").collect():
+            F.col("start"), F.col("end").desc(), "doc_idx",
+            "value").collect():
         print(r["value"])
 
 

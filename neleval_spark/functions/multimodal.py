@@ -138,6 +138,10 @@ def _decode_mp4(data: bytes) -> dict:
             if ctype == b"mvhd" and ce - cs >= 20:
                 ver = data[cs]
                 if ver == 1:
+                    # v1 layout needs 32 content bytes; a truncated v1
+                    # box is malformed input, not a crash
+                    if ce - cs < 32:
+                        raise ValueError("truncated v1 mvhd box")
                     ts, dur = struct.unpack(">IQ", data[cs + 20:cs + 32])
                 else:
                     ts, dur = struct.unpack(">II", data[cs + 12:cs + 20])
@@ -168,6 +172,8 @@ def extract_media_meta(assets: DataFrame) -> DataFrame:
     the error instead of failing the job."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
         for pdf in batches:
             rows = []
             for aid, kind, data in zip(pdf["asset_id"], pdf["kind"],
@@ -178,7 +184,11 @@ def extract_media_meta(assets: DataFrame) -> DataFrame:
                        "n_bytes": len(data or b""), "error": None}
                 try:
                     row.update(decode_headers(data, kind))
-                except ValueError as e:
+                # struct.error covers any malformed-container unpack a
+                # guard missed — untrusted crawl bytes must produce an
+                # error row, never fail the job (struct.error does NOT
+                # subclass ValueError)
+                except (ValueError, struct.error) as e:
                     row["error"] = str(e)
                 rows.append(row)
             yield pd.DataFrame(rows)

@@ -318,17 +318,24 @@ def _assignment_totals(sim: DataFrame, gcols: list[str]) -> DataFrame:
         n_edges = sim.limit(DRIVER_SOLVE_MAX_EDGES + 1).count()
     except Exception:
         n_edges = DRIVER_SOLVE_MAX_EDGES + 1
+    spark = sim.sparkSession
+    schema = ", ".join(
+        [f"`{c}` string" for c in gcols] + ["num double"])
     if n_edges <= DRIVER_SOLVE_MAX_EDGES:
         pdf = sim.toPandas()
-        spark = sim.sparkSession
         sim.unpersist()
         res = _solve_components_pandas(pdf, gcols)
-        schema = ", ".join(
-            [f"`{c}` string" for c in gcols] + ["num double"])
         if res.empty:
             return spark.createDataFrame([], schema)
         return spark.createDataFrame(res, schema=schema)
-    return _assignment_totals_distributed(sim, gcols)
+    # materialize the (one-row-per-group, tiny) totals BEFORE
+    # unpersisting so the cached intersection table is not leaked for
+    # the rest of the session (it fed CC + stats + triv + solve)
+    res = _assignment_totals_distributed(sim, gcols).toPandas()
+    sim.unpersist()
+    if res.empty:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(res, schema=schema)
 
 
 def _assignment_totals_distributed(sim: DataFrame,

@@ -58,7 +58,13 @@ def build_mentions(pages: DataFrame, kb: DataFrame,
     # DISK_ONLY serialized: deserialized in-heap caching of tens of
     # millions of nested rows is a GC death spiral at high parallelism.
     linked = _materialize(score_and_select(cands))
-    return canonicalize_nils(linked)
+    out = canonicalize_nils(linked)
+    # expose the materialization handle so callers that manage cache
+    # lifetime (e.g. streaming ingest, one unpersist per micro-batch)
+    # can release exactly what this call persisted — a blanket
+    # catalog.clearCache() would evict the caller's own cached frames
+    out._persisted_deps = [linked]
+    return out
 
 
 def _materialize(df: DataFrame) -> DataFrame:

@@ -24,14 +24,19 @@ def write_mentions_bucketed(df: DataFrame, table: str,
                             n_buckets: int = 8) -> None:
     """Persist a mentions DataFrame as a bucketed table (bucketed and
     sorted by docid), replacing any previous version."""
+    import re
     import shutil
     from urllib.parse import urlparse
 
-    if "." in table:
+    # the stale-location cleanup below rmtree's <warehouse>/<table>,
+    # so the name must be a plain identifier — anything else ('.'
+    # qualification, '/', '..') would resolve outside the table's
+    # directory
+    if not re.fullmatch(r"[A-Za-z0-9_]+", table):
         raise ValueError(
-            "use an unqualified table name (the stale-location cleanup "
-            "resolves <warehouse>/<table>, which is wrong for "
-            "database-qualified names)")
+            "table name must match [A-Za-z0-9_]+ (unqualified, no "
+            "path separators): the stale-location cleanup resolves "
+            f"<warehouse>/<table>, got {table!r}")
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a fresh local session's in-memory catalog does not know tables a

@@ -150,17 +150,34 @@ def filter_excluded_spans(df: DataFrame,
 def _validate_alignment(queries: DataFrame, links: DataFrame,
                         queries_all: DataFrame | None = None) -> None:
     """Raise as the reference does on misaligned inputs: every
-    non-excluded query must have ≥1 candidate link (neleval/tac.py:
-    68-73 — the excluded-span check precedes the no-candidates raise,
-    so excluded queries never trigger it) and every link row must
-    align to a known query — excluded or not (tac.py:133-135)."""
-    no_cand = [r["qid"] for r in
-               queries.join(links, "qid", "left_anti")
-               .select("qid").limit(5).collect()]
+    non-excluded span GROUP must have ≥1 candidate link — the reference
+    concatenates candidates across all qids sharing a (docid, start,
+    end) span before the no-candidates raise (neleval/tac.py:125-131
+    then :71-72), so a qid with zero link rows is fine when a span-mate
+    has candidates.  The excluded-span check precedes the raise, so
+    excluded spans never trigger it.  Every link row must align to a
+    known query — excluded or not (tac.py:133-135)."""
+    has = links.select("qid").distinct().withColumn("__has", F.lit(1))
+    bad = (
+        queries.join(has, "qid", "left")
+        .groupBy("docid", "start", "end")
+        .agg(
+            F.max("__has").alias("__any"),
+            F.sort_array(
+                F.collect_list(F.struct("q_pos", "qid"))).alias("__qs"),
+        )
+        .where(F.col("__any").isNull())
+        # reference iterates span groups sorted on the raw string
+        # tuple (docid, start, end) and raises at the first empty one
+        .orderBy("docid", F.col("start").cast("string"),
+                 F.col("end").cast("string"))
+        .limit(1)
+        .collect()
+    )
     queries = queries_all if queries_all is not None else queries
-    if no_cand:
-        raise ValueError(
-            "No candidates found for query " + ", ".join(map(str, no_cand)))
+    if bad:
+        qids = tuple(x["qid"] for x in bad[0]["__qs"])
+        raise ValueError("No candidates found for query " + str(qids))
     unaligned = [r["qid"] for r in
                  links.join(queries, "qid", "left_anti")
                  .select("qid").distinct().limit(5).collect()]

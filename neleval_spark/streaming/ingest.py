@@ -96,16 +96,20 @@ def stream_construct(pages_stream: DataFrame, kb: DataFrame,
         if batch_df.isEmpty():
             return
         mentions = build_mentions(batch_df, kb)
-        triples = emit_triples(mentions)
-        # overwrite_run: a replayed batch REPLACES its own run_id
-        # partitions (data + manifest) — idempotent without reading
-        # the sink, correct even if the previous attempt died mid-write
-        write_triples(triples, out_dir, resume=False, run_id=run_id,
-                      overwrite_run=True)
-        # drop the batch's scored-mention materialization; the handle
-        # is internal to build_mentions, so clear the catalog cache
-        # (an ingest job has no other live cached tables)
-        spark.catalog.clearCache()
+        try:
+            triples = emit_triples(mentions)
+            # overwrite_run: a replayed batch REPLACES its own run_id
+            # partitions (data + manifest) — idempotent without reading
+            # the sink, correct even if the previous attempt died
+            # mid-write
+            write_triples(triples, out_dir, resume=False, run_id=run_id,
+                          overwrite_run=True)
+        finally:
+            # release exactly the frames build_mentions persisted for
+            # this batch — NOT catalog.clearCache(), which would also
+            # evict frames the caller cached (e.g. a persisted kb dim)
+            for h in getattr(mentions, "_persisted_deps", ()):
+                h.unpersist()
 
     writer = (
         pages_stream.writeStream

@@ -71,3 +71,15 @@ def test_bucketed_scores_match(spark, tables):
     got = evaluate(spark.table("sys_b"), spark.table("gold_b"),
                    measures="tac14")
     assert got == want
+
+
+@pytest.mark.parametrize("name", ["a.b", "x/y", "..", "t-1", ""])
+def test_bucketed_rejects_unsafe_table_names(spark, tables, name):
+    """The stale-location cleanup rmtree's <warehouse>/<table>; any
+    name that is not a plain identifier must be rejected before a
+    path is built from it."""
+    from neleval_spark.sources.bucketed import write_mentions_bucketed
+
+    gold, _ = tables
+    with pytest.raises(ValueError, match="A-Za-z0-9_"):
+        write_mentions_bucketed(gold, name)

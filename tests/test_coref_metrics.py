@@ -235,3 +235,27 @@ def test_ceaf_component_guard_zeroes(spark, monkeypatch):
         gold, sys_, ["docid", "start", "end"], []).collect()[0]
     assert guarded["p_num"] == 0.0
     assert guarded["p_den"] == ok["p_den"]
+
+
+def test_ceaf_distributed_no_persist_leak(spark, monkeypatch):
+    """The distributed assignment path persists the intersection table
+    for its multi-consumer fan-out; it must unpersist it once the
+    per-group totals are materialized (driver path already did)."""
+    from neleval_spark.measures import clustering
+
+    spark.catalog.clearCache()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty()
+
+    gold, sys_ = _star_frames(spark)
+    monkeypatch.setattr(clustering, "DRIVER_SOLVE_MAX_EDGES", 0)
+    res = clustering.mention_ceaf(
+        gold, sys_, ["docid", "start", "end"], []).collect()[0]
+    assert res["p_num"] == 20.0  # sanity: distributed path ran
+
+    # DataFrame persists register in the CacheManager and are NEVER
+    # garbage-collected until unpersist — an empty manager proves the
+    # intersection-table persist was released.  (connected_components'
+    # internal localCheckpoints are RDD-level, context-cleaned, and
+    # intentionally not asserted on here.)
+    assert cache_mgr.isEmpty()

@@ -179,3 +179,28 @@ def test_tsv_multi_attr_json_roundtrip(spark, tmp_path):
     out = sorted(r["value"]
                  for r in annotations_to_tsv_lines(df).collect())
     assert out == [line, "d1\t7\t9\tE2\t0.25\tORG"]
+
+
+def test_prepare_tac_span_mate_candidates_accepted(spark, tmp_path):
+    """A qid with zero link rows is fine when a span-mate has
+    candidates: the reference concatenates candidates across all qids
+    of one (docid, start, end) span BEFORE the no-candidates raise
+    (tac.py:125-131 then :71-72).  q1 has no links; its span-mate q2
+    does -> the span keeps q2's candidates and nothing raises."""
+    from neleval_spark.sources.tac import prepare_tac
+    from neleval_spark.sources.tsv import annotations_to_tsv_lines
+
+    links, queries = _write_tie_inputs(tmp_path)
+    partial = tmp_path / "links_partial.tab"
+    partial.write_text(
+        "q2\tE_two\tPER\t0.5\n"
+        "q2\tE_three\tORG\t0.5\n"
+        "q3\tNIL1\tGPE\t0.5\n"
+    )
+    df = prepare_tac(spark, str(partial), queries)
+    lines = sorted(r["value"]
+                   for r in annotations_to_tsv_lines(df).collect())
+    assert lines == [
+        "D1\t5\t9\tE_two\t0.5\tPER\tE_three\t0.5\tORG",
+        "D2\t1\t3\tNIL1\t0.5\tGPE",
+    ]

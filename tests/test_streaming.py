@@ -242,3 +242,32 @@ def test_compact_recover_states(spark, tmp_path):
     from neleval_spark.pipeline.triples import compact_triples
     with pytest.raises(ValueError):
         compact_triples(spark, "s3a://bucket/sink")
+
+
+def test_ingest_keeps_caller_cached_frames(spark, tmp_path):
+    """Per-batch cache cleanup must release ONLY the frames the batch
+    pipeline persisted — not blanket-clearCache() away a dimension
+    the caller cached (e.g. a persisted kb)."""
+    from neleval_spark.pipeline import kb_table, synth_corpus
+    from neleval_spark.streaming import stream_construct, stream_pages
+
+    pages_dir = str(tmp_path / "pages")
+    synth_corpus(spark, 60).write.parquet(pages_dir)
+
+    spark.catalog.clearCache()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    kb = kb_table(spark).persist()
+    kb.count()
+    try:
+        q = stream_construct(
+            stream_pages(spark, pages_dir), kb,
+            str(tmp_path / "out"), str(tmp_path / "ckpt"))
+        q.awaitTermination(300)
+        # caller's persist survived the batch (a clearCache() in the
+        # batch loop would have evicted it)
+        assert kb.storageLevel.useMemory or kb.storageLevel.useDisk
+    finally:
+        kb.unpersist()
+    # ...and the batch released its own materializations: with kb
+    # gone, no DataFrame persist remains registered
+    assert cache_mgr.isEmpty()

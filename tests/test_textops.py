@@ -406,3 +406,35 @@ def test_sample_frames(spark):
     f = got[("v1", 2)]
     assert f["ts_ms"] == 2000
     assert bytes(f["frame"]) == hashlib.sha256(b"v1\x002").digest()
+
+
+def test_decode_mp4_truncated_v1_mvhd_is_error_row(spark):
+    """A truncated version-1 mvhd (20-31 content bytes) is malformed
+    untrusted input: decode_headers raises ValueError (not
+    struct.error) and extract_media_meta converts it to an error ROW
+    instead of failing the job."""
+    import struct
+
+    import pytest
+
+    from neleval_spark.functions.multimodal import (
+        decode_headers, extract_media_meta)
+
+    # v1 mvhd with only 24 content bytes (needs 32)
+    mvhd = b"\x01" + b"\x00" * 23
+    mvhd_box = struct.pack(">I4s", 8 + len(mvhd), b"mvhd") + mvhd
+    moov = struct.pack(">I4s", 8 + len(mvhd_box), b"moov") + mvhd_box
+    ftyp = struct.pack(">I4s", 16, b"ftyp") + b"isom\x00\x00\x00\x01"
+    data = ftyp + moov
+
+    with pytest.raises(ValueError, match="truncated v1 mvhd"):
+        decode_headers(data)
+
+    rows = [("ok", "video", _mp4_bytes(320, 240, 3500), None),
+            ("bad", "video", data, None)]
+    df = spark.createDataFrame(
+        rows, "asset_id string, kind string, bytes binary, meta string")
+    out = {r["asset_id"]: r for r in extract_media_meta(df).collect()}
+    assert out["ok"]["error"] is None
+    assert out["ok"]["duration_ms"] == 3500
+    assert "truncated v1 mvhd" in out["bad"]["error"]
