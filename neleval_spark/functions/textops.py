@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # fixed affine-hash parameters over the token-id space (mod a Mersenne
 # prime) — deterministic and engine-agnostic
@@ -131,10 +132,26 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 8,
                       band_size: int = 2,
-                      shingle: int | None = None) -> DataFrame:
+                      shingle: int | None = None,
+                      max_bucket: int = 10_000) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any LSH band
     bucket (banded MinHash). Returns (doc_a, doc_b, n_bands) with
-    doc_a < doc_b."""
+    doc_a < doc_b.
+
+    Hot-bucket guard: on crawl corpora, mass-duplicated boilerplate
+    routinely lands 10^6 documents in ONE band bucket — full pairwise
+    expansion there is 10^12 rows from a single key.  Buckets larger
+    than ``max_bucket`` therefore skip pairwise expansion: every
+    member links to the bucket's representative (minimum doc_id)
+    instead — size-1 star edges in place of size² pairs.  Members of
+    one bucket share the whole band signature, so the representative
+    star yields the SAME connected components downstream (dedup
+    clustering) while bounding pair output per bucket at O(size);
+    only the per-pair ``n_bands`` evidence count inside guarded
+    buckets is reduced to the star edges.  The bucket-size
+    aggregation and both expansion joins reuse one hash partitioning
+    on (band, bucket) — the guard adds no extra exchange of the
+    banded table."""
     sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle)
     n_bands = n_hashes // band_size
     bands = []
@@ -151,11 +168,33 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     banded = bands[0]
     for b in bands[1:]:
         banded = banded.union(b)
-    a = banded.select("band", "bucket", F.col("doc_id").alias("doc_a"))
-    b_ = banded.select("band", "bucket", F.col("doc_id").alias("doc_b"))
-    return (
+    # bucket stats via a window (not a groupBy+join): all three
+    # consumers below then hang off ONE (band, bucket) exchange that
+    # AQE's ReuseExchange dedupes, so the signature pipeline runs once
+    w = Window.partitionBy("band", "bucket")
+    banded = banded.select(
+        "doc_id", "band", "bucket",
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.min("doc_id").over(w).alias("_rep"),
+    )
+
+    small = banded.where(F.col("_n") <= max_bucket)
+    a = small.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b_ = small.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    small_pairs = (
         a.join(b_, ["band", "bucket"])
         .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    # oversized buckets: representative star (rep = min ⇒ rep < member)
+    big_pairs = (
+        banded.where((F.col("_n") > max_bucket)
+                     & (F.col("doc_id") != F.col("_rep")))
+        .select(F.col("_rep").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"))
+    )
+    return (
+        small_pairs.union(big_pairs)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )

@@ -438,3 +438,42 @@ def test_decode_mp4_truncated_v1_mvhd_is_error_row(spark):
     assert out["ok"]["error"] is None
     assert out["ok"]["duration_ms"] == 3500
     assert "truncated v1 mvhd" in out["bad"]["error"]
+
+
+def test_lsh_hot_bucket_guard(spark):
+    """One mass-duplicated bucket (500 identical docs) must produce
+    O(n) representative-star pairs, not n(n-1)/2 — and the downstream
+    dedup clustering is unchanged (single component)."""
+    from neleval_spark.functions.textops import minhash_lsh_pairs
+    from neleval_spark.graph.connected_components import (
+        connected_components)
+
+    boiler = "cookie policy terms of service all rights reserved " * 6
+    rows = [(f"d{i:04d}", boiler) for i in range(500)]
+    rows += [(f"u{i}", f"unique document number {i} about topic {i}")
+             for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    pairs = minhash_lsh_pairs(docs, n_hashes=8, band_size=4,
+                              max_bucket=100)
+    n = pairs.count()
+    # star edges: 499 (one per non-representative member), far below
+    # the 124 750 of full expansion; unique docs may add a few pairs
+    assert n < 1000, n
+    star = {(r["doc_a"], r["doc_b"]) for r in
+            pairs.where(F.col("doc_a") == "d0000").collect()}
+    assert len(star) == 499
+
+    comps = connected_components(
+        pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b")
+    boiler_comps = {r["component"] for r in
+                    comps.where(F.col("vertex").startswith("d"))
+                    .collect()}
+    assert boiler_comps == {"d0000"}
+
+    # guard off (cap above bucket size): same clusters, full pairs
+    full = minhash_lsh_pairs(docs, n_hashes=8, band_size=4,
+                             max_bucket=100000)
+    assert full.where((F.col("doc_a").startswith("d"))
+                      & (F.col("doc_b").startswith("d"))
+                      ).count() == 499 * 500 // 2
