@@ -124,34 +124,81 @@ def cmd_analyze(args):
 
 
 def cmd_significance(args):
+    """All system pairs × all measures in one invocation (reference
+    Significance.__call__, significance.py:129-149: measures computed
+    once per system, then itertools.combinations over systems with
+    measures in catalog order inside each pair)."""
+    import itertools
+
+    from .measures.catalog import parse_measures
     from .sources.tsv import read_annotations_tsv
     from .stats import per_doc_contingency, permutation_test
+    from .stats.significance import significance_tab_format
 
+    if len(args.systems) < 2:
+        raise SystemExit("Require at least two systems to compare")
     spark = _spark()
     gold = read_annotations_tsv(spark, args.gold)
-    sys1 = read_annotations_tsv(spark, args.systems[0])
-    sys2 = read_annotations_tsv(spark, args.systems[1])
-    measure = (args.measures or ["strong_all_match"])[0]
-    pd1 = per_doc_contingency(sys1, gold, measure)
-    pd2 = per_doc_contingency(sys2, gold, measure)
-    res = permutation_test(pd1, pd2, n_trials=args.trials)
-    print(json.dumps({measure: res}, indent=4, sort_keys=True))
+    measures = parse_measures(args.measures or ["strong_all_match"],
+                              incl_clustering=False)
+    metrics = tuple(args.metrics)
+    # per-doc contingency tables once per (system, measure), like the
+    # reference's count_all pass per system
+    per_doc = {
+        path: {m: per_doc_contingency(
+            read_annotations_tsv(spark, path), gold, m)
+            for m in measures}
+        for path in args.systems
+    }
+    results = [
+        {"sys1": sys1, "sys2": sys2, "measure": m,
+         "stats": permutation_test(per_doc[sys1][m], per_doc[sys2][m],
+                                   n_trials=args.trials,
+                                   metrics=metrics)}
+        for sys1, sys2 in itertools.combinations(args.systems, 2)
+        for m in measures
+    ]
+    if args.fmt == "json":
+        print(json.dumps(results, indent=4, sort_keys=True))
+    elif args.fmt == "tab":
+        print(significance_tab_format(results, metrics=metrics))
 
 
 def cmd_confidence(args):
+    """Percentile-bootstrap CIs for one system over all requested
+    measures; tab output matches reference Confidence.tab_format
+    column layout (significance.py:330-361) and re-ingests via
+    read_confidence_tab_format."""
+    from .measures.catalog import parse_measures
     from .sources.tsv import read_annotations_tsv
     from .stats import bootstrap_confidence, per_doc_contingency
+    from .stats.significance import confidence_tab_format
 
     spark = _spark()
     gold = read_annotations_tsv(spark, args.gold)
     sys_df = read_annotations_tsv(spark, args.system)
-    measure = (args.measures or ["strong_all_match"])[0]
-    pdc = per_doc_contingency(sys_df, gold, measure)
-    res = bootstrap_confidence(pdc, n_trials=args.trials)
-    res = {m: {str(k): v for k, v in d.items()}
-           for m, d in res.items()}
-    print(json.dumps({measure: res}, indent=4, sort_keys=True,
-                     default=str))
+    measures = parse_measures(args.measures or ["strong_all_match"],
+                              incl_clustering=False)
+    metrics = tuple(args.metrics)
+    percentiles = tuple(args.percentiles)
+    data = []
+    for m in measures:
+        pdc = per_doc_contingency(sys_df, gold, m)
+        res = bootstrap_confidence(pdc, n_trials=args.trials,
+                                   percentiles=percentiles,
+                                   metrics=metrics,
+                                   method=args.method)
+        data.append({
+            "measure": str(m),
+            "overall": {k: res[k]["score"] for k in metrics},
+            "intervals": {k: {p: res[k][p] for p in percentiles}
+                          for k in metrics},
+        })
+    if args.fmt == "json":
+        print(json.dumps(data, indent=4, sort_keys=True, default=str))
+    elif args.fmt == "tab":
+        print(confidence_tab_format(data, metrics=metrics,
+                                    percentiles=percentiles))
 
 
 def cmd_list_measures(args):
@@ -391,18 +438,31 @@ def cmd_plot_systems(args):
         args.measures or "all", allow_unknown=True)]
     results = {}
     if args.input_type == "confidence":
-        # confidence JSON (cmd_confidence output):
-        # {measure: {metric: {"score": s, "<pct>": [lo, hi], ...}}}
+        # cmd_confidence output: the reference tab format (default) or
+        # its JSON equivalent — both carry
+        # [{'measure', 'overall': {metric: score},
+        #   'intervals': {metric: {pct: [lo, hi]}}}]
+        from .stats.significance import read_confidence_tab_format
+
         for path in args.systems:
             with open(path) as f:
-                data = json.load(f)
+                head = f.read(1)
+                f.seek(0)
+                data = (json.load(f) if head == "["
+                        else read_confidence_tab_format(f))
+            # tab re-ingest keys percentiles as int, json.dumps as str
+            def _iv(e, metric):
+                ivs = e["intervals"][metric]
+                return ivs.get(args.confidence,
+                               ivs.get(str(args.confidence)))
+
             results[path] = {
-                m: {args.metric: {
-                    "score": v[args.metric]["score"],
-                    "lo": v[args.metric][str(args.confidence)][0],
-                    "hi": v[args.metric][str(args.confidence)][1],
+                e["measure"]: {args.metric: {
+                    "score": e["overall"][args.metric],
+                    "lo": _iv(e, args.metric)[0],
+                    "hi": _iv(e, args.metric)[1],
                 }}
-                for m, v in data.items()
+                for e in data
             }
     else:
         results = _read_results_files(args.systems)
@@ -565,17 +625,34 @@ def main(argv=None):
         sp.add_argument("-s", "--summary", action="store_true"),
         sp.add_argument("-u", "--unique", action="store_true")))
     add("significance", cmd_significance, lambda sp: (
-        sp.add_argument("systems", nargs=2),
+        sp.add_argument("systems", nargs="+", metavar="FILE"),
         sp.add_argument("-g", "--gold", required=True),
         sp.add_argument("-n", "--trials", type=int, default=2500),
+        sp.add_argument("--permute", dest="method",
+                        action="store_const", const="permute",
+                        default="permute"),
+        sp.add_argument("-f", "--fmt", default="tab",
+                        choices=["tab", "json", "none"]),
         sp.add_argument("-m", "--measure", dest="measures",
-                        action="append")))
+                        action="append"),
+        sp.add_argument("--metrics",
+                        default="precision recall fscore".split(),
+                        type=lambda x: x.split(","))))
     add("confidence", cmd_confidence, lambda sp: (
-        sp.add_argument("system"),
+        sp.add_argument("system", metavar="FILE"),
         sp.add_argument("-g", "--gold", required=True),
         sp.add_argument("-n", "--trials", type=int, default=2500),
+        sp.add_argument("-p", "--percentiles", default=(90, 95, 99),
+                        type=lambda x: [int(v) for v in x.split(",")]),
+        sp.add_argument("--method", default="poisson",
+                        choices=["poisson", "multinomial"]),
+        sp.add_argument("-f", "--fmt", default="tab",
+                        choices=["tab", "json", "none"]),
         sp.add_argument("-m", "--measure", dest="measures",
-                        action="append")))
+                        action="append"),
+        sp.add_argument("--metrics",
+                        default="precision recall fscore".split(),
+                        type=lambda x: x.split(","))))
     add("list-measures", cmd_list_measures, lambda sp: None)
     add("validate-spans", cmd_validate_spans, lambda sp: (
         sp.add_argument("system"),

@@ -236,23 +236,66 @@ def calibrate_trials(
     return out
 
 
+def _multinomial_trials(joined: DataFrame, n_trials: int,
+                        seed: int) -> np.ndarray:
+    """Exact multinomial document resampling (the reference's
+    bootstrap: N uniform draws of doc indices with replacement,
+    significance.py:224-234) — driver-side, for fixture-parity runs.
+
+    Per-doc matrices collect to the driver sorted by docid (seeded rng
+    ⇒ deterministic results regardless of partitioning), then chunks
+    of trials draw Multinomial(N, 1/N) count vectors and matrix-
+    multiply them into per-trial sums. Use the default Poisson mode at
+    scale — it never materializes the doc table."""
+    pdf = joined.select("docid", "ptp1", "fp1", "rtp1", "fn1") \
+        .orderBy("docid").toPandas()
+    m = pdf[["ptp1", "fp1", "rtp1", "fn1"]].to_numpy(dtype=np.float64)
+    n_docs = len(m)
+    out = np.zeros((n_trials, 8))
+    if n_docs == 0:
+        return out
+    rng = np.random.default_rng(seed)
+    chunk = max(1, int(2e7 / max(n_docs, 1)))
+    pvals = np.full(n_docs, 1.0 / n_docs)
+    for lo in range(0, n_trials, chunk):
+        k = min(chunk, n_trials - lo)
+        counts = rng.multinomial(n_docs, pvals, size=k)
+        out[lo:lo + k, :4] = counts.astype(np.float64) @ m
+    return out
+
+
 def bootstrap_confidence(
     per_doc: DataFrame,
     n_trials: int = 2500,
     percentiles: tuple[int, ...] = (90, 95, 99),
     metrics: tuple[str, ...] = ("precision", "recall", "fscore"),
     seed: int = 42,
+    method: str = "poisson",
 ) -> dict:
-    """Percentile-bootstrap CIs for one system (Poisson bootstrap over
-    documents; NIST percentile interpolation on the collected 2,500
-    trial scores — tiny, driver-side, exactly like the reference)."""
+    """Percentile-bootstrap CIs for one system (NIST percentile
+    interpolation on the collected trial scores — tiny, driver-side,
+    exactly like the reference).
+
+    ``method="poisson"`` (default): distributed Poisson bootstrap —
+    per-doc weights drawn independently from the (doc-hash, trial)
+    mix; never materializes the doc table.  Asymptotically equivalent
+    to the reference's multinomial resample but not bit-comparable.
+    ``method="multinomial"``: the reference's exact resampling
+    protocol (N docs drawn uniformly with replacement per trial,
+    significance.py:224-234), driver-side — use when cross-checking
+    CI bounds against the reference on fixture-sized inputs."""
     joined = per_doc.select(
         "docid",
         F.col("ptp").alias("ptp1"), F.col("fp").alias("fp1"),
         F.col("rtp").alias("rtp1"), F.col("fn").alias("fn1"),
     ).withColumns({"ptp2": F.lit(0.0), "fp2": F.lit(0.0),
                    "rtp2": F.lit(0.0), "fn2": F.lit(0.0)})
-    partials = _trial_partials(joined, n_trials, seed, "poisson")
+    if method == "multinomial":
+        partials = _multinomial_trials(joined, n_trials, seed)
+    elif method == "poisson":
+        partials = _trial_partials(joined, n_trials, seed, "poisson")
+    else:
+        raise ValueError(f"unknown bootstrap method: {method!r}")
     t = _metrics_from(partials[:, :4])
     import numpy as np
 
@@ -272,3 +315,101 @@ def bootstrap_confidence(
         # carries the overall score)
         out[m]["score"] = float(observed[m][0])
     return out
+
+
+def significance_tab_format(results: list[dict],
+                            metrics=("precision", "recall",
+                                     "fscore")) -> str:
+    """Reference Significance.tab_format parity (public output format,
+    neleval/significance.py:190-214): rows of
+    (sys1, sys2, measure, Δ-metric, p-metric ...) with the reference's
+    column widths and ``{:+8.3f}/{:8.3f}`` number rendering.
+
+    ``results``: [{'sys1', 'sys2', 'measure',
+                   'stats': {metric: {'diff', 'p'}}}] in
+    (system-pair, measure) order.
+    """
+    rows = []
+    for row in results:
+        stats = row["stats"]
+        rows.append(
+            [row["sys1"], row["sys2"], row["measure"]]
+            + [x for metric in metrics
+               for x in (stats[metric]["diff"], stats[metric]["p"])])
+    header = (["sys1", "sys2", "measure"]
+              + [h for metric in metrics
+                 for h in ("Δ-" + metric[:6], "p-" + metric[:6])])
+    sys_width = max(
+        [len(col) for row in rows for col in row[:2]] + [4])
+    measure_width = max([len(row[2]) for row in rows] + [5])
+    fmt = "{:%ds}\t{:%ds}\t{:%ds}" % (sys_width, sys_width,
+                                      measure_width)
+    ret = (fmt + "\t{}" * len(metrics) * 2).format(*header)
+    fmt += "".join("\t{:+8.3f}\t{:8.3f}" for _ in metrics)
+    ret += "".join("\n" + fmt.format(*row) for row in rows)
+    return ret
+
+
+def confidence_tab_format(data: list[dict],
+                          metrics=("precision", "recall", "fscore"),
+                          percentiles=(90, 95, 99)) -> str:
+    """Reference Confidence.tab_format parity (public output format,
+    neleval/significance.py:330-361): header
+    ``measure metric 99%( 95%( 90%( score )90% )95% )99%`` and one
+    row per (measure, metric) with ``{:.3f}`` cells.
+
+    ``data``: [{'measure', 'overall': {metric: score},
+                'intervals': {metric: {pct: (lo, hi)}}}].
+    """
+    percentiles = sorted(percentiles)
+    header = (["measure", "metric"]
+              + ["{:d}%(".format(p) for p in reversed(percentiles)]
+              + ["score"]
+              + ["){:d}%".format(p) for p in percentiles])
+    measures = [entry["measure"] for entry in data]
+    measure_width = max([len(m) for m in measures] + [7])
+    metric_width = max([len(m) for m in metrics] + [6])
+    fmt = "{:%ds}\t{:%ds}" % (measure_width, metric_width)
+    rows = []
+    for entry in data:
+        for metric in metrics:
+            iv = entry["intervals"][metric]
+            cells = ([iv[p][0] for p in reversed(percentiles)]
+                     + [entry["overall"][metric]]
+                     + [iv[p][1] for p in percentiles])
+            rows.append([fmt.format(entry["measure"], metric)]
+                        + ["{:.3f}".format(c) for c in cells])
+    n_cells = 2 * len(percentiles) + 1
+    ret = (fmt + "\t{}" * n_cells).format(*header)
+    ret += "".join("\n" + "\t".join(row) for row in rows)
+    return ret
+
+
+def read_confidence_tab_format(file) -> list[dict]:
+    """Re-ingest ``confidence_tab_format`` output (reference
+    Confidence.read_tab_format, neleval/significance.py:363-381):
+    returns the same [{'measure', 'overall', 'intervals'}] structure,
+    keyed by the interval columns found in the header."""
+    headers = [field.rstrip() for field in
+               next(file).strip().split("\t")]
+    by_measure: dict = {}
+    for line in file:
+        row = dict(zip(headers,
+                       (field.rstrip()
+                        for field in line.rstrip().split("\t"))))
+        measure = row["measure"]
+        if measure not in by_measure:
+            cis = [int(field[:-2]) for field in headers
+                   if field[-2:] == "%("]
+            by_measure[measure] = {
+                "measure": measure,
+                "overall": {},
+                "intervals": {m: {} for m in
+                              ("precision", "recall", "fscore")},
+            }
+        metric = row["metric"]
+        by_measure[measure]["overall"][metric] = float(row["score"])
+        for ci in cis:
+            by_measure[measure]["intervals"][metric][ci] = (
+                float(row["%d%%(" % ci]), float(row[")%d%%" % ci]))
+    return list(by_measure.values())

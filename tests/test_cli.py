@@ -136,16 +136,75 @@ def test_cli_analyze_summary(spark, capsys, gold_path, sys_path):
     assert "correct" in out
 
 
-def test_cli_significance_and_confidence(spark, capsys,
+def test_cli_significance_and_confidence(spark, capsys, tmp_path,
                                          gold_path, sys_path):
-    out = _run(capsys, "significance", sys_path, gold_path,
+    """Reference CLI parity: one significance invocation covers ALL
+    system pairs × ALL measures (significance.py:144-149); confidence
+    emits the reference's tab layout with interval columns
+    (significance.py:330-361) and re-ingests it."""
+    import shutil
+
+    third = tmp_path / "sys_b.tsv"
+    shutil.copy(sys_path, third)
+    # 3 systems × 2 measures, tab format (the default)
+    out = _run(capsys, "significance",
+               sys_path, gold_path, str(third),
                "-g", gold_path, "-n", "50",
+               "-m", "strong_link_match", "-m", "strong_all_match")
+    lines = out.strip().split("\n")
+    header = lines[0].split("\t")
+    assert [h.strip() for h in header[:3]] == ["sys1", "sys2",
+                                               "measure"]
+    # Δ/p per metric × 3 metrics
+    assert [h.strip() for h in header[3:]] == [
+        "Δ-precis", "p-precis", "Δ-recall", "p-recall",
+        "Δ-fscore", "p-fscore"]
+    assert len(lines) == 1 + 3 * 2  # C(3,2) pairs × 2 measures
+    row0 = [c.strip() for c in lines[1].split("\t")]
+    assert row0[0] == sys_path and row0[1] == gold_path
+    # measures in input order within each pair (reference sorts by
+    # self.measures.index, significance.py:147-149)
+    assert row0[2] == "strong_link_match"
+    assert [c.strip() for c in lines[2].split("\t")][2] == \
+        "strong_all_match"
+
+    # json mode carries the same records
+    out = _run(capsys, "significance", sys_path, gold_path,
+               "-g", gold_path, "-n", "50", "-f", "json",
                "-m", "strong_link_match")
     data = json.loads(out)
-    assert "strong_link_match" in data
+    assert data[0]["measure"] == "strong_link_match"
+    assert "p" in data[0]["stats"]["fscore"]
+
+    # confidence: tab layout + read_tab_format roundtrip
     out = _run(capsys, "confidence", sys_path, "-g", gold_path,
-               "-n", "50", "-m", "strong_link_match")
-    assert "strong_link_match" in json.loads(out)
+               "-n", "50", "-m", "strong_link_match",
+               "-m", "strong_all_match")
+    lines = out.strip().split("\n")
+    header = [h.strip() for h in lines[0].split("\t")]
+    assert header == ["measure", "metric", "99%(", "95%(", "90%(",
+                      "score", ")90%", ")95%", ")99%"]
+    assert len(lines) == 1 + 2 * 3  # 2 measures × 3 metrics
+
+    import io
+
+    from neleval_spark.stats.significance import (
+        read_confidence_tab_format)
+
+    back = read_confidence_tab_format(io.StringIO(out))
+    by_measure = {e["measure"]: e for e in back}
+    assert set(by_measure) == {"strong_link_match",
+                               "strong_all_match"}
+    e = by_measure["strong_link_match"]
+    lo, hi = e["intervals"]["fscore"][95]
+    assert lo <= e["overall"]["fscore"] <= hi
+
+    # multinomial (reference-exact resampling protocol) also runs
+    out = _run(capsys, "confidence", sys_path, "-g", gold_path,
+               "-n", "50", "-m", "strong_link_match",
+               "--method", "multinomial", "-f", "json")
+    data = json.loads(out)
+    assert data[0]["measure"] == "strong_link_match"
 
 
 def test_cli_validate_and_weights(spark, capsys, tmp_path, sys_path):
