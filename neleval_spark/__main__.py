@@ -476,6 +476,7 @@ def cmd_plot_systems(args):
         sort_by=args.sort_by,
         at_most=args.at_most,
         figures_by=args.figures_by,
+        secondary=args.secondary,
     )
     try:
         import matplotlib  # noqa: F401
@@ -677,6 +678,9 @@ def main(argv=None):
         sp.add_argument("--confidence", type=int, default=95),
         sp.add_argument("--figures-by", default="measure",
                         choices=["measure", "system", "single"]),
+        sp.add_argument("--secondary", default="markers",
+                        choices=["markers", "rows", "columns",
+                                 "heatmap"]),
         sp.add_argument("--group-re"),
         sp.add_argument("--best-in-group", action="store_true"),
         sp.add_argument("--sort-by", default="none",

@@ -220,7 +220,8 @@ def plot_systems_data(results: dict, measures: list[str],
                       metric: str = "fscore", group_re=None,
                       best_in_group: bool = False, sort_by: str = "none",
                       at_most: int | None = None,
-                      figures_by: str = "measure") -> list[dict]:
+                      figures_by: str = "measure",
+                      secondary: str = "markers") -> list[dict]:
     """The data side of the reference's PlotSystems (summary.py:116-654):
     select/group/sort the (system, measure, score[, ci]) points that
     each figure would render.  Figure rendering itself is a thin
@@ -228,17 +229,38 @@ def plot_systems_data(results: dict, measures: list[str],
     this function is the part with semantics.
 
     ``results``: {system: {measure: {metric: score | {'score','lo','hi'}}}}.
-    Returns [{'figure': name, 'points': [{system, group, measure,
-    score, lo?, hi?}]}].
+    Returns [{'figure': name, 'secondary': ..., 'points': [{system,
+    group, measure, score, prf?, lo?, hi?}]}].
+
+    The reference's figure-data variants are all carried in the
+    payload so a front-end can render each of them:
+
+    * ``secondary='markers'`` (reference _generate_plots markers
+      branch, summary.py:530-546): every point carries its full
+      ``prf`` triple when the input has one (evaluate tab files) —
+      the recall-precision scatter is points (prf[1], prf[0]).
+    * ``secondary='rows'/'columns'`` (_plot1d, :242-278): 1-d score
+      plots; points carry ``lo``/``hi`` interval bounds when the
+      input is confidence output — the reference's errorbar data
+      (_plot, :178-203).
+    * ``secondary='heatmap'`` (_heatmap, :464-493): one figure with
+      the score ``matrix`` plus ``rows``/``columns`` name lists
+      (primary × secondary per ``figures_by``, like _metric_matrix,
+      :452-462).
     """
     def _point(system, measure):
-        val = results[system][measure][metric]
+        cell = results[system][measure]
+        val = cell[metric]
         if isinstance(val, dict):
             p = {"system": system, "measure": measure,
                  "score": val["score"]}
             p.update({k: val[k] for k in ("lo", "hi") if k in val})
         else:
             p = {"system": system, "measure": measure, "score": val}
+            if all(k in cell for k in
+                   ("precision", "recall", "fscore")):
+                p["prf"] = [cell["precision"], cell["recall"],
+                            cell["fscore"]]
         if group_re is not None:
             p["group"] = group_re.search(system).group()
         return p
@@ -261,16 +283,34 @@ def plot_systems_data(results: dict, measures: list[str],
             points = points[:at_most]
         return points
 
+    if secondary == "heatmap":
+        # score matrix: primary rows × secondary columns, column
+        # selection/order from _select on the first row's points
+        if figures_by == "system":
+            rows, cols = systems, measures
+            cell = lambda r, c: _point(r, c)  # noqa: E731
+        else:
+            rows, cols = measures, systems
+            cell = lambda r, c: _point(c, r)  # noqa: E731
+        col_order = ([p["system"] for p in
+                      _select([_point(s, rows[0]) for s in systems])]
+                     if figures_by != "system" else cols)
+        return [{
+            "figure": "heatmap", "secondary": "heatmap",
+            "rows": list(rows), "columns": list(col_order),
+            "matrix": [[cell(r, c)["score"] for c in col_order]
+                       for r in rows],
+        }]
     if figures_by == "measure":
-        return [{"figure": m,
+        return [{"figure": m, "secondary": secondary,
                  "points": _select([_point(s, m) for s in systems])}
                 for m in measures]
     if figures_by == "system":
-        return [{"figure": s,
+        return [{"figure": s, "secondary": secondary,
                  "points": _select([_point(s, m) for m in measures])}
                 for s in systems]
     if figures_by == "single":
-        return [{"figure": "single",
+        return [{"figure": "single", "secondary": secondary,
                  "points": _select([_point(s, m) for s in systems
                                     for m in measures])}]
     raise ValueError(f"unknown figures_by: {figures_by!r}")

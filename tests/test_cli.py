@@ -281,3 +281,49 @@ def test_cli_run_pipeline_stream(spark, tmp_path, capsys):
     main(["run-pipeline", corpus, "-o", out, "--stream"])
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["triples"] == rep["triples"]
+
+
+def test_cli_plot_systems_figure_variants(spark, capsys, tmp_path,
+                                          gold_path, sys_path):
+    """Figure-JSON structure parity with the reference's variants
+    (summary.py:442-560): prf triples on evaluate input (markers /
+    recall-precision scatter), heatmap matrices, and interval error
+    bars on confidence input."""
+    out_a = _run(capsys, "evaluate", sys_path, "-g", gold_path,
+                 "-m", "strong_link_match", "-m", "strong_all_match")
+    fa = tmp_path / "teamX.run1.eval"
+    fb = tmp_path / "teamY.run1.eval"
+    fa.write_text(out_a)
+    fb.write_text(out_a)
+
+    # markers: every point carries its full prf triple
+    out = _run(capsys, "plot-systems", str(fa), str(fb),
+               "-m", "strong_link_match")
+    fig = json.loads(out)[0]
+    assert fig["secondary"] == "markers"
+    assert fig["points"][0]["prf"] == [1.0, 1.0, 1.0]
+
+    # heatmap: measures x systems score matrix
+    out = _run(capsys, "plot-systems", str(fa), str(fb),
+               "-m", "strong_link_match", "-m", "strong_all_match",
+               "--secondary", "heatmap")
+    figs = json.loads(out)
+    assert len(figs) == 1
+    hm = figs[0]
+    assert hm["rows"] == ["strong_all_match", "strong_link_match"] \
+        or hm["rows"] == ["strong_link_match", "strong_all_match"]
+    assert set(hm["columns"]) == {str(fa), str(fb)}
+    assert hm["matrix"] == [[1.0, 1.0], [1.0, 1.0]]
+
+    # confidence input, rows orientation: interval error bars
+    conf = _run(capsys, "confidence", sys_path, "-g", gold_path,
+                "-n", "50", "-m", "strong_link_match")
+    fc = tmp_path / "conf.tab"
+    fc.write_text(conf)
+    out = _run(capsys, "plot-systems", str(fc),
+               "--input-type", "confidence",
+               "-m", "strong_link_match", "--secondary", "rows")
+    fig = json.loads(out)[0]
+    assert fig["secondary"] == "rows"
+    p = fig["points"][0]
+    assert p["lo"] <= p["score"] <= p["hi"]
