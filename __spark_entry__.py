@@ -1297,27 +1297,33 @@ def q_lang_id(spark, sf_dir):
     )
 
 
-def _stop_sql(lang, words):
-    arr = ("list_filter(regexp_split_to_array(lower(text), "
-           "'[^a-z0-9]+'), t -> t != '')")
-    wl = ", ".join(f"'{w}'" for w in words)
-    return (f"len(list_filter({arr}, t -> list_contains([{wl}], t)))"
-            f" AS s_{lang}")
+def _lang_id_sql() -> str:
+    """DuckDB oracle for q_lang_id, generated from the SAME
+    CHAR_TRIGRAM_PROFILES constant the Spark path uses: space-padded
+    lowercase letter trigrams, per-language integer-weight sums via a
+    CASE lookup, argmax with the same fixed-order tie-break.  Integer
+    weights ⇒ cross-engine classification is exact."""
+    from neleval_spark.functions.textops import (
+        CHAR_TRIGRAM_PROFILES, trigram_weights)
 
-
-Q_LANG_ID_SQL = (
-    "WITH scored AS (SELECT lang, "
-    + ", ".join(
-        _stop_sql(lg, ws)
-        for lg, ws in {
-            "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
-            "de": ["der", "die", "das", "und", "ist", "nicht", "mit",
-                   "ein"],
-            "fr": ["le", "la", "les", "des", "est", "dans", "pour",
-                   "une"],
-        }.items()
-    )
-    + """ FROM documents),
+    score_cols = []
+    for lang in CHAR_TRIGRAM_PROFILES:
+        cases = " ".join(
+            f"WHEN '{t}' THEN {w}"
+            for t, w in trigram_weights(lang).items())
+        score_cols.append(
+            "coalesce(list_sum(list_transform(tris, "
+            f"x -> CASE x {cases} ELSE 0 END)), 0) AS s_{lang}")
+    return (
+        "WITH norm AS (SELECT lang, ' ' || "
+        "regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' ' "
+        "AS t FROM documents),\n"
+        "tri AS (SELECT lang, list_transform("
+        "range(1, CAST(greatest(length(t) - 1, 1) AS BIGINT)), "
+        "i -> substring(t, CAST(i AS INT), 3)) AS tris FROM norm),\n"
+        "scored AS (SELECT lang, "
+        + ", ".join(score_cols)
+        + """ FROM tri),
 guessed AS (
   SELECT lang,
          CASE WHEN GREATEST(s_en, s_de, s_fr) <= 0 THEN 'und'
@@ -1327,8 +1333,10 @@ guessed AS (
   FROM scored)
 SELECT lang, lang_guess, COUNT(*) AS n
 FROM guessed GROUP BY 1, 2 ORDER BY 1, 2
-"""
-)
+""")
+
+
+Q_LANG_ID_SQL = _lang_id_sql()
 
 
 def q_quality(spark, sf_dir):

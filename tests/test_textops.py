@@ -477,3 +477,37 @@ def test_lsh_hot_bucket_guard(spark):
     assert full.where((F.col("doc_a").startswith("d"))
                       & (F.col("doc_b").startswith("d"))
                       ).count() == 499 * 500 // 2
+
+
+def test_lang_id_trigram_accuracy_mixed(spark):
+    """Char-trigram profiles must classify real mixed-language prose
+    (sentences the old 8-stopword toy could not all separate),
+    including stopword-free technical text."""
+    from neleval_spark.functions.textops import lang_id
+
+    rows = [
+        (1, "The committee published its annual report on economic "
+            "growth and employment this morning.", "en"),
+        (2, "Researchers found that reading comprehension improves "
+            "when students discuss their ideas.", "en"),
+        (3, "Die Regierung hat gestern eine neue Verordnung zur "
+            "Sicherheit der Arbeitsplaetze beschlossen.", "de"),
+        (4, "Wissenschaftler untersuchen die Entwicklung der Sprache "
+            "bei Kindern in verschiedenen Regionen.", "de"),
+        (5, "Le gouvernement annonce une nouvelle politique pour les "
+            "transports dans les grandes villes.", "fr"),
+        (6, "Les chercheurs etudient depuis des annees ces questions "
+            "dans leurs laboratoires.", "fr"),
+        # stopword-free fragments still carry trigram signal
+        (7, "international understanding strengthens growing "
+            "nations", "en"),
+        (8, "Versicherungsgesellschaften Geschwindigkeitsbegrenzung "
+            "Bundesausbildungsfoerderung", "de"),
+        (9, "", "und"),
+        (10, "12345 67890 %%%", "und"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, "
+                              "expected string")
+    got = {r["doc_id"]: r["lang_guess"] for r in lang_id(d).collect()}
+    exp = {r[0]: r[2] for r in rows}
+    assert got == exp
