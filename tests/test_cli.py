@@ -327,3 +327,26 @@ def test_cli_plot_systems_figure_variants(spark, capsys, tmp_path,
     assert fig["secondary"] == "rows"
     p = fig["points"][0]
     assert p["lo"] <= p["score"] <= p["hi"]
+
+
+def test_cli_evaluate_official_regression(spark, capsys, tmp_path):
+    """Byte-diff regression against committed evaluate outputs for the
+    bundled TAC and CoNLL examples (analogue of the reference's
+    scripts/run_evaluation_regression_test.sh, which diffs a fresh
+    evaluate run against a frozen official-score file).  The frozen
+    values themselves are reference-verified by the pinned dicts in
+    tests/test_tagging_measures.py."""
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    for sys_file, gold_file, frozen in [
+        ("tac_system.combined.tsv", "tac_gold.combined.tsv",
+         "tac_system_vs_gold.all.eval"),
+        ("conll_multi_sysa.unstitched.tsv",
+         "conll_multi_gold.unstitched.tsv",
+         "conll_multi_sysa_vs_gold.all.eval"),
+    ]:
+        out = _run(capsys, "evaluate",
+                   os.path.join(EXAMPLES, sys_file),
+                   "-g", os.path.join(EXAMPLES, gold_file),
+                   "-m", "all")
+        with open(os.path.join(fixtures, frozen)) as f:
+            assert out == f.read(), f"drift vs frozen {frozen}"
