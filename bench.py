@@ -216,24 +216,31 @@ def _burn(n: int) -> int:
 
 
 def run_scaling() -> None:
-    """BASELINE.md protocol: identical job, identical input, two
-    parallelism levels N and 4N (default local[2] vs local[8] —
-    SPARK_GRAFT_SCALE_PAIR overrides); efficiency =
+    """BASELINE.md protocol: identical job, identical input, at two
+    (or more) parallelism pairs; efficiency per pair =
     (tput_hi / tput_lo) / (hi / lo).  A pure-CPU control measures the
-    hardware's own scaling ceiling for the same core pair."""
-    # N=1 vs 4N=4: the pair where this VM's own hardware scaling is
-    # flat (pure-CPU control ≈1.0; at 2→8 it is ≈0.93 and at 8→32
-    # ≈0.62-0.65 — all-core frequency drop / host overcommit), so the
-    # measurement reflects job structure, not the box (docs/PLANS.md)
-    pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "1,4")
-    lo, hi = (int(x) for x in pair.split(","))
+    hardware's own scaling ceiling for each core pair.
+
+    SPARK_GRAFT_SCALE_PAIRS (default "1,4;2,8"): semicolon-separated
+    lo,hi pairs.  The FIRST pair is the gate (chosen where the box's
+    own ceiling is ~1.0 so the measurement reflects job structure);
+    later pairs are corroboration at higher shuffle/memory-bandwidth
+    contention, each reported against its own hardware ceiling.
+    Each distinct cpu count runs once and is shared across pairs.
+    """
+    pairs_env = os.environ.get(
+        "SPARK_GRAFT_SCALE_PAIRS",
+        os.environ.get("SPARK_GRAFT_SCALE_PAIR", "1,4;2,8"))
+    pairs = [tuple(int(x) for x in p.split(","))
+             for p in pairs_env.split(";") if p.strip()]
     # protocol defaults: 120k docs (fixed overheads < 2% of the timed
     # window at both levels) and median of 3 timed repetitions per
     # level (the VM's wall-clock noise between identical runs is ±10%)
     n_docs = int(os.environ.get("BENCH_PIPELINE_DOCS", "120000"))
     reps = os.environ.get("BENCH_REPS", "3")
+    cpu_counts = sorted({c for p in pairs for c in p})
     results = {}
-    for cpus in (lo, hi):
+    for cpus in cpu_counts:
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cpus)
         env["BENCH_PIPELINE_DOCS"] = str(n_docs)
@@ -256,40 +263,63 @@ def run_scaling() -> None:
             raise RuntimeError(f"scaling subprocess failed at {cpus}")
         results[cpus] = json.loads(lines[-1])
 
-    t_lo = results[lo]["docs_per_sec"]
-    t_hi = results[hi]["docs_per_sec"]
-    eff = round((t_hi / t_lo) / (hi / lo), 3)
-    ceiling = _cpu_ceiling(lo, hi)
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = f"""# BENCH/BASELINE.md — scaling protocol results
+    eff = {}
+    ceiling = {}
+    for lo, hi in pairs:
+        t_lo = results[lo]["docs_per_sec"]
+        t_hi = results[hi]["docs_per_sec"]
+        eff[(lo, hi)] = round((t_hi / t_lo) / (hi / lo), 3)
+        ceiling[(lo, hi)] = _cpu_ceiling(lo, hi)
+    gate_pair = pairs[0]
+    glo, ghi = gate_pair
 
-Identical end-to-end KG-construction job (synthetic corpus generation →
-extraction → NER → candidate gen → scoring → NIL canonicalization →
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    level_rows = "\n".join(
+        f"| local[{c}] | {results[c]['seconds']} | "
+        f"{results[c]['docs_per_sec']} | {results[c]['all_seconds']} |"
+        for c in cpu_counts)
+    roles = {p: ("GATE: \u2265 0.8" if p == gate_pair
+                 else "corroboration") for p in pairs}
+    pair_rows = "\n".join(
+        f"| {lo}\u2192{hi} | {eff[(lo, hi)]} | {ceiling[(lo, hi)]} | "
+        f"{round(eff[(lo, hi)] / ceiling[(lo, hi)], 3)} | "
+        f"{roles[(lo, hi)]} |"
+        for lo, hi in pairs)
+    triples = {results[c]["n_triples"] for c in cpu_counts}
+    md = f"""# BENCH/BASELINE.md \u2014 scaling protocol results
+
+Identical end-to-end KG-construction job (synthetic corpus generation \u2192
+extraction \u2192 NER \u2192 candidate gen \u2192 scoring \u2192 NIL canonicalization \u2192
 triples), identical input ({n_docs} docs, seed 42), same physical
-plan and shuffle-partition count, two parallelism levels (sandbox
-stand-in for N vs 4N executors).  Wall = median of {reps} timed
-repetitions per level (untimed warm-up pilot first; the VM's
-run-to-run noise is ±10%):
+plan and shuffle-partition count, run once per parallelism level
+(sandbox stand-in for N vs 4N executors).  Wall = median of {reps}
+timed repetitions per level (untimed warm-up pilot first; the VM's
+run-to-run noise is \u00b110%):
 
 | parallelism | wall (s) | docs/sec | all reps (s) |
 |---|---|---|---|
-| local[{lo}]  | {results[lo]['seconds']} | {t_lo} | {results[lo]['all_seconds']} |
-| local[{hi}] | {results[hi]['seconds']} | {t_hi} | {results[hi]['all_seconds']} |
+{level_rows}
 
-**Scaling efficiency (N→4N) = (tput{hi} / tput{lo}) / {hi // lo} = {eff}**
-(gate: ≥ 0.8)
+| pair N\u21924N | job efficiency | hardware ceiling (pure-CPU control) | job-relative | role |
+|---|---|---|---|---|
+{pair_rows}
 
-Hardware control (pure-CPU multiprocessing, no Spark): this VM's own
-{lo}→{hi}-core scaling efficiency is **{ceiling}** — per-core speed
-drops as more cores engage (all-core frequency / host overcommit), so
-that number is the ceiling ANY job can reach on this box.  The N→4N
-pair is chosen so the ceiling itself clears the gate: measured
-ceilings are ≈1.0 at 1→4, ≈0.93 at 2→8, and ≈0.62-0.65 at 8→32,
-where the gate is unattainable regardless of job structure (full
-sweep in docs/PLANS.md).
+**Scaling efficiency at the gate pair ({glo}\u2192{ghi}) =
+{eff[gate_pair]}** (gate: \u2265 0.8).
 
-Triples emitted: {results[hi]['n_triples']} (counts equal at both
-levels: {results[lo]['n_triples'] == results[hi]['n_triples']}).
+Hardware control (pure-CPU multiprocessing, no Spark): per-core speed
+drops as more cores engage on this VM (all-core frequency / host
+overcommit), so each pair's ceiling bounds what ANY job can reach on
+that pair.  The gate is evaluated where the ceiling is ~1.0 (1\u21924), so
+the measurement reflects job structure, not the box; the 2\u21928 pair
+exercises more shuffle/memory-bandwidth contention and is reported
+against its own ceiling as corroboration.  At 8\u219232 the box ceiling is
+\u22480.62-0.65 \u2014 unattainable for any job \u2014 which is why separate-node
+scaling (what N\u21924N executors emulate) uses the low-core pairs (full
+sweep and methodology in docs/PLANS.md).
+
+Triples emitted: {results[cpu_counts[-1]]['n_triples']} (counts equal at all
+levels: {len(triples) == 1}).
 """
     # persistent sections (reference head-to-head, measured separately
     # by scripts/bench_vs_reference.py) survive protocol reruns
@@ -299,8 +329,16 @@ levels: {results[lo]['n_triples'] == results[hi]['n_triples']}).
             md += "\n" + f.read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"efficiency": eff, "hw_ceiling": ceiling,
-                      f"tput{lo}": t_lo, f"tput{hi}": t_hi}))
+    print(json.dumps({
+        "gate_pair": list(gate_pair),
+        "efficiency": eff[gate_pair],
+        "hw_ceiling": ceiling[gate_pair],
+        "pairs": {f"{lo},{hi}": {"efficiency": eff[(lo, hi)],
+                                 "hw_ceiling": ceiling[(lo, hi)]}
+                  for lo, hi in pairs},
+        "tputs": {str(c): results[c]["docs_per_sec"]
+                  for c in cpu_counts},
+    }))
 
 
 if __name__ == "__main__":
