@@ -1025,6 +1025,69 @@ FROM pairs
 """
 
 
+def q_minhash_pairs_hotguard(spark, sf_dir):
+    """Banded-LSH pairs WITH the hot-bucket guard active
+    (max_bucket=2): buckets of ≤2 members expand pairwise, larger
+    buckets emit representative-star edges (min doc_id → member).
+    The tiny cap forces BOTH branches to execute on the test corpus;
+    the oracle replicates the guard relationally, so the exact
+    pair-and-band-count semantics of the guarded path are
+    hash-checked cross-engine (neleval_spark/functions/textops.py
+    minhash_lsh_pairs)."""
+    from neleval_spark.functions.textops import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(d, n_hashes=4, band_size=2,
+                              max_bucket=2)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum("n_bands"), F.lit(0)).cast("long")
+        .alias("total_band_hits"),
+        F.coalesce(F.sum(F.col("doc_a") + F.col("doc_b")), F.lit(0))
+        .cast("long").alias("pair_id_sum"),
+    )
+
+
+Q_MINHASH_PAIRS_HOTGUARD_SQL = _TOK_SQL + """
+, sig AS (
+  SELECT doc_id,
+    CAST(MIN((token_id * 1299721 + 104729) % 2147483647) AS VARCHAR)
+      || '_' ||
+    CAST(MIN((token_id * 1299743 + 104743) % 2147483647) AS VARCHAR)
+      AS b0,
+    CAST(MIN((token_id * 1299763 + 104759) % 2147483647) AS VARCHAR)
+      || '_' ||
+    CAST(MIN((token_id * 1299791 + 104773) % 2147483647) AS VARCHAR)
+      AS b1
+  FROM tid GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, b0 AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, b1 AS bucket FROM sig),
+bd AS (
+  SELECT doc_id, band, bucket,
+         COUNT(*) OVER (PARTITION BY band, bucket) AS n,
+         MIN(doc_id) OVER (PARTITION BY band, bucket) AS rep
+  FROM banded),
+small_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT * FROM bd WHERE n <= 2) a
+  JOIN (SELECT * FROM bd WHERE n <= 2) b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id),
+big_pairs AS (
+  SELECT rep AS doc_a, doc_id AS doc_b
+  FROM bd WHERE n > 2 AND doc_id != rep),
+pairs AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_bands
+  FROM (SELECT * FROM small_pairs UNION ALL SELECT * FROM big_pairs)
+  GROUP BY 1, 2)
+SELECT COUNT(*) AS n_pairs,
+       CAST(COALESCE(SUM(n_bands), 0) AS BIGINT) AS total_band_hits,
+       CAST(COALESCE(SUM(doc_a + doc_b), 0) AS BIGINT) AS pair_id_sum
+FROM pairs
+"""
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Near-duplicate CLUSTERS: banded-MinHash candidate pairs →
     distributed connected components (the same star-contraction
@@ -1605,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / similarity / text analysis
         "minhash": q_minhash,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_pairs_hotguard": q_minhash_pairs_hotguard,
         "dedup_cluster": q_dedup_cluster,
         "redact_pii": q_redact_pii,
         "simhash": q_simhash,
@@ -1661,6 +1725,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,
         "minhash_pairs": Q_MINHASH_PAIRS_SQL,
+        "minhash_pairs_hotguard": Q_MINHASH_PAIRS_HOTGUARD_SQL,
         "dedup_cluster": Q_DEDUP_CLUSTER_SQL,
         "redact_pii": Q_REDACT_PII_SQL,
         "simhash": Q_SIMHASH_SQL,
