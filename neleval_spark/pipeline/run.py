@@ -68,11 +68,57 @@ def build_mentions(pages: DataFrame, kb: DataFrame,
 
 
 def _materialize(df: DataFrame) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
+    """Materialize a multi-consumer frame once.
 
-    df = df.persist(StorageLevel.DISK_ONLY)
-    df.count()
-    return df
+    Two strategies (``spark.neleval.materialize`` conf):
+
+    * ``parquet`` (default): write to a scratch parquet table and
+      re-read.  Each downstream consumer then scans a COLUMNAR,
+      column-pruned snapshot — the triple sink reads 3 narrow columns
+      instead of deserializing whole nested-candidate rows, and the
+      nested ``candidates`` array is only decoded by the consumer
+      that actually outputs it.  On a cluster this is a staging table
+      (point ``spark.neleval.scratchDir`` at shared storage); the
+      returned frame carries ``_scratch_dir`` so lifetime managers
+      (streaming ingest) can delete it per batch.
+    * ``persist``: DISK_ONLY serialized cache (the pre-round-3
+      behavior) — kept for comparison; every consumer pays full-row
+      Java deserialization.
+    """
+    import os
+
+    spark = df.sparkSession
+    mode = spark.conf.get(
+        "spark.neleval.materialize",
+        os.environ.get("SPARK_NELEVAL_MATERIALIZE", "parquet"))
+    if mode == "persist":
+        from pyspark.storagelevel import StorageLevel
+
+        df = df.persist(StorageLevel.DISK_ONLY)
+        df.count()
+        return df
+    import os
+    import tempfile
+    import uuid
+
+    base = spark.conf.get("spark.neleval.scratchDir", None) \
+        or tempfile.gettempdir()
+    path = os.path.join(base, f"neleval_mat_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(path)
+    out = spark.read.parquet(path)
+    out._scratch_dir = path
+    return out
+
+
+def release_materialized(df: DataFrame) -> None:
+    """Free one _materialize result: unpersist or delete scratch."""
+    scratch = getattr(df, "_scratch_dir", None)
+    if scratch is not None:
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
+    else:
+        df.unpersist()
 
 
 def to_neleval_mentions(mentions: DataFrame) -> DataFrame:
@@ -108,8 +154,13 @@ def run_pipeline(
     Returns {'mentions': DF, 'triples': DF, 'manifest': DF|None}.
     """
     # the canonicalized mentions feed both the returned mentions table
-    # and the triple sink: materialize once, serialized on disk
-    mentions = _materialize(build_mentions(pages, kb))
+    # and the triple sink: materialize once; the upstream scored-
+    # mention materialization is only an input to THIS one, so free it
+    # as soon as the canonicalized snapshot exists
+    built = build_mentions(pages, kb)
+    mentions = _materialize(built)
+    for h in getattr(built, "_persisted_deps", ()):
+        release_materialized(h)
     triples = emit_triples(mentions, n_buckets=n_buckets)
     manifest = None
     if out_dir is not None:

@@ -105,11 +105,14 @@ def stream_construct(pages_stream: DataFrame, kb: DataFrame,
             write_triples(triples, out_dir, resume=False, run_id=run_id,
                           overwrite_run=True)
         finally:
-            # release exactly the frames build_mentions persisted for
-            # this batch — NOT catalog.clearCache(), which would also
-            # evict frames the caller cached (e.g. a persisted kb dim)
+            # release exactly the frames build_mentions materialized
+            # for this batch (scratch parquet or persist) — NOT
+            # catalog.clearCache(), which would also evict frames the
+            # caller cached (e.g. a persisted kb dim)
+            from ..pipeline.run import release_materialized
+
             for h in getattr(mentions, "_persisted_deps", ()):
-                h.unpersist()
+                release_materialized(h)
 
     writer = (
         pages_stream.writeStream
