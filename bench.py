@@ -11,9 +11,11 @@ pipeline on a deterministic synthetic corpus, and prints ONE JSON line:
 
 Scaling mode (BASELINE.md protocol — no multi-node cluster in this
 sandbox): ``python bench.py --scaling`` runs the identical pipeline job
-on the identical input at local[8] and local[32] in separate processes
-and writes docs/sec at both plus efficiency = (tput32/tput8)/4 to
-``BENCH/BASELINE.md``.
+on the identical input once per parallelism level for the configured
+N→4N pairs (default ``SPARK_GRAFT_SCALE_PAIRS="1,4;2,8"``; the first
+pair is the gate, later pairs corroborate) in separate processes, and
+writes docs/sec per level plus per-pair efficiency against each
+pair's pure-CPU hardware ceiling to ``BENCH/BASELINE.md``.
 """
 
 from __future__ import annotations
