@@ -694,6 +694,83 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+def q_entity_salience(spark, sf_dir):
+    """Distributed PageRank (entity-salience ranking for the
+    constructed KG; neleval_spark/graph/pagerank.py) over the
+    customer→supplier purchase graph (orders ⋈ lineitem).  Suppliers
+    have no out-edges, so the dangling-mass redistribution path is
+    exercised; per-iteration rounding (9 dp) pins every iteration's
+    input bit-identical across engines, which is what lets the
+    unrolled-CTE DuckDB oracle hash-match a distributed power
+    iteration exactly."""
+    from neleval_spark.graph.pagerank import pagerank
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_custkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    pr = pagerank(edges, iters=PAGERANK_ITERS,
+                  damping=PAGERANK_DAMPING)
+    return (
+        pr.select("vertex", F.round("rank", 6).alias("salience"))
+        .orderBy(F.col("salience").desc(), "vertex")
+        .limit(20)
+    )
+
+
+def _entity_salience_sql() -> str:
+    """Unrolled power iteration as chained CTEs, generated from the
+    same (iters, damping) constants as the Spark path.  Damping/base
+    constants are inlined with ::DOUBLE casts from Python float reprs
+    so both engines evaluate identical IEEE doubles."""
+    d = PAGERANK_DAMPING
+    head = f"""
+WITH e AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+nn AS (SELECT COUNT(*) AS n FROM v),
+dg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS (
+  SELECT vertex,
+         ROUND(CAST(1.0 AS DOUBLE) / nn.n, 9) AS rank,
+         COALESCE(dg.deg, 0) AS deg
+  FROM v CROSS JOIN nn LEFT JOIN dg ON v.vertex = dg.src)"""
+    steps = []
+    for k in range(PAGERANK_ITERS):
+        steps.append(f""",
+d{k} AS (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS d
+         FROM r{k} WHERE deg = 0),
+c{k} AS (SELECT e.dst, SUM(r.rank / r.deg) AS c
+         FROM e JOIN r{k} r ON e.src = r.vertex GROUP BY e.dst),
+r{k + 1} AS (
+  SELECT r.vertex,
+         ROUND((CAST(1.0 AS DOUBLE) - CAST({d!r} AS DOUBLE)) / nn.n
+               + CAST({d!r} AS DOUBLE)
+                 * (COALESCE(c{k}.c, CAST(0 AS DOUBLE))
+                    + d{k}.d / nn.n), 9) AS rank,
+         r.deg
+  FROM r{k} r CROSS JOIN nn CROSS JOIN d{k}
+  LEFT JOIN c{k} ON r.vertex = c{k}.dst)""")
+    tail = f"""
+SELECT vertex, ROUND(rank, 6) AS salience
+FROM r{PAGERANK_ITERS}
+ORDER BY salience DESC, vertex LIMIT 20
+"""
+    return head + "".join(steps) + tail
+
+
+Q_ENTITY_SALIENCE_SQL = _entity_salience_sql()
+
+
 def q_rank_systems(spark, sf_dir):
     """A14: rank-with-ties (dense rank over scores)."""
     from pyspark.sql import Window
@@ -1657,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggregation / ranking
         "lineitem_pricing": q_lineitem_pricing,
         "rank_systems": q_rank_systems,
+        "entity_salience": q_entity_salience,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -1718,6 +1796,7 @@ def oracle_sql() -> dict[str, str]:
         "overlap_sumsum": Q_OVERLAP_SUMSUM_SQL,
         "lineitem_pricing": Q_LINEITEM_PRICING_SQL,
         "rank_systems": Q_RANK_SYSTEMS_SQL,
+        "entity_salience": Q_ENTITY_SALIENCE_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "token_stats": Q_TOKEN_STATS_SQL,
         "cosine_topk": Q_COSINE_TOPK_SQL,

@@ -1,0 +1,132 @@
+"""Distributed PageRank — entity-salience ranking for the
+constructed knowledge graph (no reference counterpart; the classic
+power-iteration algorithm of Page et al., public knowledge,
+independent implementation).
+
+Used as the salience score over the emitted co-occurrence /
+mentioned_in triples: which entities sit at the center of the
+extracted graph.  The same operator ranks any (src, dst) edge table.
+
+Spark-first design, fixed iteration count:
+
+* per-iteration work is ONE equi-join (edges ⋈ ranks on src) + ONE
+  aggregation (sum of contributions by dst) — both hash-partitioned
+  on vertex id; no driver-side state beyond two scalars (vertex
+  count, dangling mass);
+* out-degrees are computed once and live IN the rank table (joined
+  once up front), so iterations never re-join the degree table;
+* dangling vertices (no out-edges) redistribute their mass uniformly
+  — the aggregated dangling mass is a scalar `agg` per iteration, not
+  a shuffle;
+* lineage is truncated with ``localCheckpoint`` every iteration (the
+  same bounded-plan discipline as connected_components);
+* every iteration's ranks are ROUNDED to ``round_scale`` decimals.
+  This is the determinism contract: double addition is
+  order-dependent, so unrounded power iteration drifts across
+  engines/partitionings; rounding each iteration's OUTPUT pins every
+  iteration's INPUT bit-identical everywhere, which is what lets a
+  DuckDB oracle hash-match the distributed run exactly
+  (``__spark_entry__.Q_ENTITY_SALIENCE_SQL`` unrolls the same
+  iterations as CTEs).
+
+At 10^12 edges: the join is src-partitioned (AQE skew splitting for
+hub vertices), the aggregate has map-side partials, and the rank
+table is one row per vertex — the edge table is never materialized
+into driver memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+    round_scale: int = 9,
+) -> DataFrame:
+    """Rank vertices of a directed graph; returns (vertex, rank).
+
+    ``edges``: one row per directed edge (parallel edges count once —
+    deduped here).  Ranks sum to ~1 (up to rounding).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertices = (
+        e.select(F.col("src").alias("vertex"))
+        .union(e.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = vertices.count()
+    if n == 0:
+        return vertices.withColumn("rank", F.lit(0.0))
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # rank table carries the out-degree so iterations join ONCE per
+    # round (ranks ⋈ edges), never a second degree join
+    ranks = (
+        vertices.join(deg.withColumnRenamed("src", "vertex"),
+                      "vertex", "left")
+        .select(
+            "vertex",
+            F.round(F.lit(1.0 / n), round_scale).alias("rank"),
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        dangling = ranks.where(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0]
+        contrib = (
+            e.join(ranks.withColumnRenamed("vertex", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            ranks.select("vertex", "deg")
+            .join(contrib.withColumnRenamed("dst", "vertex"),
+                  "vertex", "left")
+            .select(
+                "vertex", "deg",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0))
+                       + F.lit(dangling / n)),
+                    round_scale,
+                ).alias("rank"),
+            )
+            .select("vertex", "rank", "deg")
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("vertex", "rank")
+
+
+def entity_salience(triples: DataFrame, top_k: int = 20) -> DataFrame:
+    """Salience of entities in an emitted triple table: PageRank over
+    the undirected co-occurrence graph (each cooccurs_with pair
+    contributes both directions).  Returns the top_k (entity, salience)
+    rows, deterministic order (salience desc, entity)."""
+    pairs = triples.where(F.col("pred") == "cooccurs_with") \
+        .select("subj", "obj")
+    both = pairs.union(
+        pairs.select(F.col("obj").alias("subj"),
+                     F.col("subj").alias("obj")))
+    pr = pagerank(both, src="subj", dst="obj")
+    return (
+        pr.select(F.col("vertex").alias("entity"),
+                  F.round(F.col("rank"), 6).alias("salience"))
+        .orderBy(F.col("salience").desc(), "entity")
+        .limit(top_k)
+    )

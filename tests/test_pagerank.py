@@ -1,0 +1,79 @@
+"""PageRank / entity-salience (neleval_spark/graph/pagerank.py):
+power-iteration values against an independent numpy implementation
+with the same per-iteration rounding, dangling-mass handling, and
+determinism across partitionings."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _numpy_pagerank(edges, iters=10, damping=0.85, scale=9):
+    verts = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    out = {v: [] for v in verts}
+    for s, d in set(edges):
+        out[s].append(d)
+    r = np.round(np.full(n, 1.0 / n), scale)
+    for _ in range(iters):
+        dangling = sum(r[idx[v]] for v in verts if not out[v])
+        c = np.zeros(n)
+        for s in verts:
+            if out[s]:
+                share = r[idx[s]] / len(out[s])
+                for d in out[s]:
+                    c[idx[d]] += share
+        r = np.round((1 - damping) / n
+                     + damping * (c + dangling / n), scale)
+    return {v: r[idx[v]] for v in verts}
+
+
+def test_pagerank_matches_numpy_and_sums_to_one(spark):
+    from neleval_spark.graph.pagerank import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("d", "c"), ("e", "d"), ("c", "e")]
+    # f is dangling (edge in, none out)
+    edges.append(("a", "f"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["vertex"]: r["rank"] for r in pagerank(df).collect()}
+    want = _numpy_pagerank(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-9), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """Per-iteration rounding pins results regardless of layout."""
+    from neleval_spark.graph.pagerank import pagerank
+
+    edges = [(f"v{i}", f"v{(i * 7 + 3) % 40}") for i in range(200)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = {r["vertex"]: r["rank"]
+         for r in pagerank(df.repartition(1)).collect()}
+    b = {r["vertex"]: r["rank"]
+         for r in pagerank(df.repartition(17)).collect()}
+    assert a == b
+
+
+def test_entity_salience_over_triples(spark):
+    from neleval_spark.graph.pagerank import entity_salience
+
+    triples = spark.createDataFrame(
+        [("E1", "cooccurs_with", "E2", "u1"),
+         ("E1", "cooccurs_with", "E3", "u1"),
+         ("E2", "cooccurs_with", "E3", "u2"),
+         ("E1", "mentioned_in", "u1", "u1"),
+         ("E4", "mentioned_in", "u3", "u3")],
+        "subj string, pred string, obj string, url string")
+    rows = entity_salience(triples, top_k=10).collect()
+    ents = [r["entity"] for r in rows]
+    # E4 has no cooccurrence edge -> not in the graph
+    assert set(ents) == {"E1", "E2", "E3"}
+    sal = {r["entity"]: r["salience"] for r in rows}
+    # symmetric triangle -> equal salience
+    assert sal["E1"] == sal["E2"] == sal["E3"]
+    # output is sorted desc then by entity
+    assert ents == sorted(ents)
