@@ -4,3 +4,4 @@ from .ingest import (  # noqa: F401
     stream_doc_rates,
     stream_pages,
 )
+from .sessions import stream_host_sessions  # noqa: F401

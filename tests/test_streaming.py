@@ -271,3 +271,74 @@ def test_ingest_keeps_caller_cached_frames(spark, tmp_path):
     # ...and the batch released its own materializations: with kb
     # gone, no DataFrame persist remains registered
     assert cache_mgr.isEmpty()
+
+
+def test_merge_sessions_pure():
+    """The session fold is a pure function: split on gap, trailing
+    session stays open, existing state extends."""
+    from neleval_spark.streaming.sessions import _merge_sessions
+
+    closed, open_ = _merge_sessions([0, 100, 5000, 5100], 1800, None)
+    assert closed == [(0, 100, 2)]
+    assert open_ == (5000, 5100, 2)
+    # existing open session extends with new in-gap fetches
+    closed, open_ = _merge_sessions([5200], 1800, (5000, 5100, 2))
+    assert closed == [] and open_ == (5000, 5200, 3)
+    # and closes when the next fetch is beyond the gap
+    closed, open_ = _merge_sessions([9000], 1800, (5000, 5200, 3))
+    assert closed == [(5000, 5200, 3)] and open_ == (9000, 9000, 1)
+
+
+def test_stream_host_sessions_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization end-to-end: sessions
+    close via EVENT-TIME timeout when later micro-batches advance the
+    watermark past last-fetch + gap."""
+    import datetime as dt
+
+    from neleval_spark.streaming import stream_host_sessions
+    from neleval_spark.streaming.ingest import PAGES_SCHEMA
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def page(host, minutes):
+        ts = t0 + dt.timedelta(minutes=minutes)
+        return (f"https://{host}/p{minutes}", ts, b"<p>x</p>", "x",
+                "en")
+
+    pages_dir = str(tmp_path / "pages")
+    # batch 1: two hosts fetch around t0
+    spark.createDataFrame(
+        [page("a.example", 0), page("a.example", 10),
+         page("b.example", 5)],
+        PAGES_SCHEMA).coalesce(1).write.mode("append").parquet(pages_dir)
+    # batch 2: 6h later — watermark (1h lag) passes every batch-1
+    # session's last+gap, so both sessions close; host a starts anew
+    spark.createDataFrame(
+        [page("a.example", 360)],
+        PAGES_SCHEMA).coalesce(1).write.mode("append").parquet(pages_dir)
+    # batch 3: 12h later — closes host a's second session too
+    spark.createDataFrame(
+        [page("c.example", 720)],
+        PAGES_SCHEMA).coalesce(1).write.mode("append").parquet(pages_dir)
+
+    from neleval_spark.streaming import stream_pages
+
+    stream = stream_pages(spark, pages_dir, max_files_per_trigger=1)
+    q = (
+        stream_host_sessions(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.format("memory").queryName("host_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = {(r["host"], r["session_start"].minute, r["n_docs"])
+            for r in spark.sql("SELECT * FROM host_sessions").collect()}
+    # batch-1 sessions (a: 2 fetches, b: 1) closed by batch 2's
+    # watermark; a's batch-2 session closed by batch 3; c's session is
+    # still open (nothing advanced the watermark past it)
+    assert ("a.example", 0, 2) in rows
+    assert ("b.example", 5, 1) in rows
+    assert ("a.example", 0, 1) in rows  # minute 360 % 60 == 0
+    assert not any(h == "c.example" for h, _, _ in rows)
