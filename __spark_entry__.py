@@ -814,10 +814,23 @@ FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY h
 """
 
 
+# GPT-2-style pretokenizer, simplified to the Java-regex ∩ RE2 subset
+# (no lookahead — RE2 has none): contractions, space-prefixed
+# letter/digit runs, punctuation runs, residual whitespace.  Counting
+# matches of this pattern ≈ BPE pretoken count (the unit LLM token
+# budgets are quoted in before merges).
+BPE_ISH_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+|"
+    " ?[^ a-zA-Z0-9]+| +")
+
+
 def q_token_stats(spark, sf_dir):
-    """Text analysis: token counting + quality ratios per lang."""
+    """Text analysis: whitespace token counting, BPE-ish pretoken
+    counting (shared Java/RE2 regex — the oracle runs the same
+    pattern), and quality ratios per lang."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe = F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
     stops = (
         F.size(F.split(F.col("text"), r"\bthe\b")) - 1
     )
@@ -826,6 +839,7 @@ def q_token_stats(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(toks).alias("total_tokens"),
+            F.sum(bpe).cast("long").alias("bpe_tokens"),
             F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
             F.sum(stops).alias("the_count"),
         )
@@ -837,6 +851,9 @@ Q_TOKEN_STATS_SQL = r"""
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
             AS BIGINT) AS total_tokens,
+       CAST(SUM(len(regexp_extract_all(text,
+            '""" + BPE_ISH_PATTERN.replace("'", "''") + r"""')))
+            AS BIGINT) AS bpe_tokens,
        ROUND(AVG(length(text)), 6) AS avg_chars,
        CAST(SUM(len(regexp_split_to_array(text, '\bthe\b')) - 1)
             AS BIGINT) AS the_count
