@@ -453,8 +453,14 @@ def cmd_plot_systems(args):
             # tab re-ingest keys percentiles as int, json.dumps as str
             def _iv(e, metric):
                 ivs = e["intervals"][metric]
-                return ivs.get(args.confidence,
-                               ivs.get(str(args.confidence)))
+                got = ivs.get(args.confidence,
+                              ivs.get(str(args.confidence)))
+                if got is None:
+                    raise SystemExit(
+                        f"--confidence {args.confidence}: percentile "
+                        f"not present in {path} (has: "
+                        f"{sorted(map(str, ivs))})")
+                return got
 
             results[path] = {
                 e["measure"]: {args.metric: {
@@ -629,9 +635,6 @@ def main(argv=None):
         sp.add_argument("systems", nargs="+", metavar="FILE"),
         sp.add_argument("-g", "--gold", required=True),
         sp.add_argument("-n", "--trials", type=int, default=2500),
-        sp.add_argument("--permute", dest="method",
-                        action="store_const", const="permute",
-                        default="permute"),
         sp.add_argument("-f", "--fmt", default="tab",
                         choices=["tab", "json", "none"]),
         sp.add_argument("-m", "--measure", dest="measures",

@@ -86,6 +86,7 @@ def _materialize(df: DataFrame) -> DataFrame:
       Java deserialization.
     """
     import os
+    import uuid
 
     spark = df.sparkSession
     mode = spark.conf.get(
@@ -97,17 +98,34 @@ def _materialize(df: DataFrame) -> DataFrame:
         df = df.persist(StorageLevel.DISK_ONLY)
         df.count()
         return df
-    import os
-    import tempfile
-    import uuid
-
     base = spark.conf.get("spark.neleval.scratchDir", None) \
-        or tempfile.gettempdir()
+        or _process_scratch_root()
     path = os.path.join(base, f"neleval_mat_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)
     out._scratch_dir = path
     return out
+
+
+_SCRATCH_ROOT: str | None = None
+
+
+def _process_scratch_root() -> str:
+    """Default scratch location: a per-process temp dir removed at
+    interpreter exit, so scratch snapshots whose lifetime nobody
+    manages explicitly (e.g. the mentions table run_pipeline RETURNS
+    to the caller) cannot accumulate across runs the way files
+    dropped directly in /tmp would."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="neleval_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT,
+                        ignore_errors=True)
+    return _SCRATCH_ROOT
 
 
 def release_materialized(df: DataFrame) -> None:

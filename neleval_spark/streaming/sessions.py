@@ -37,19 +37,28 @@ def _merge_sessions(ts_sorted: list[int], gap_s: int,
                     state: tuple[int, int, int] | None):
     """Fold sorted fetch times into (closed_sessions, open_session).
 
-    Pure function (unit-testable without a stream): sessions split
-    where the gap exceeds ``gap_s``; the trailing session stays open.
+    Pure function (unit-testable without a stream): interval merging
+    over the existing open session plus the new fetch times, so a
+    late event BEFORE the open session's start correctly extends
+    ``session_start`` downward (within the gap) or forms its own,
+    immediately-closed earlier session (beyond it).  The trailing
+    session stays open.
     """
+    intervals = [[t, t, 1] for t in ts_sorted]
+    if state is not None:
+        intervals.append([state[0], state[1], state[2]])
+        intervals.sort()
     sessions = []
-    cur = list(state) if state is not None else None
-    for t in ts_sorted:
+    cur = None
+    for iv in intervals:
         if cur is None:
-            cur = [t, t, 0]
-        elif t - cur[1] > gap_s:
+            cur = iv[:]
+        elif iv[0] - cur[1] <= gap_s:
+            cur[1] = max(cur[1], iv[1])
+            cur[2] += iv[2]
+        else:
             sessions.append(tuple(cur))
-            cur = [t, t, 0]
-        cur[1] = max(cur[1], t)
-        cur[2] += 1
+            cur = iv[:]
     return sessions, (tuple(cur) if cur is not None else None)
 
 
@@ -58,18 +67,29 @@ def stream_host_sessions(pages_stream: DataFrame,
                          watermark: str = "1 hour") -> DataFrame:
     """pages stream → closed per-host session rows (append mode)."""
     gap_s = gap_minutes * 60
+    # Arrow hands the Python worker tz-NAIVE timestamps rendered in
+    # the SESSION time zone, while setTimeoutTimestamp compares
+    # against the true-epoch watermark — localize with the session tz
+    # captured here so non-UTC sessions don't close sessions hours
+    # off.  (DST-ambiguous wallclocks raise per pandas; run event-time
+    # pipelines in UTC sessions — the library's factory pins UTC.)
+    tz = pages_stream.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC")
 
     def fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         host = key[0]
 
         def emit(rows):
+            # tz-AWARE UTC outputs: Arrow carries the instant, so the
+            # emitted timestamps are correct in any session time zone
+            # (a naive series would be re-read as session-local)
             return pd.DataFrame(
                 {"host": host,
                  "session_start": pd.to_datetime(
-                     [r[0] for r in rows], unit="s"),
+                     [r[0] for r in rows], unit="s", utc=True),
                  "session_end": pd.to_datetime(
-                     [r[1] for r in rows], unit="s"),
+                     [r[1] for r in rows], unit="s", utc=True),
                  "n_docs": [r[2] for r in rows]})
 
         if state.hasTimedOut:
@@ -82,7 +102,8 @@ def stream_host_sessions(pages_stream: DataFrame,
         ts = sorted(
             int(t)
             for pdf in pdfs
-            for t in pdf["warc_ts"].astype("int64") // 10 ** 9)
+            for t in pd.DatetimeIndex(pdf["warc_ts"])
+            .tz_localize(tz).asi8 // 10 ** 9)
         prev = state.get if state.exists else None
         closed, open_ = _merge_sessions(ts, gap_s, prev)
         if open_ is not None:

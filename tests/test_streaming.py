@@ -342,3 +342,17 @@ def test_stream_host_sessions_stateful(spark, tmp_path):
     assert ("b.example", 5, 1) in rows
     assert ("a.example", 0, 1) in rows  # minute 360 % 60 == 0
     assert not any(h == "c.example" for h, _, _ in rows)
+
+
+def test_merge_sessions_late_events():
+    """Late events BEFORE the open session's start: within the gap
+    they extend session_start downward; beyond it they form their own
+    immediately-closed earlier session."""
+    from neleval_spark.streaming.sessions import _merge_sessions
+
+    # in-gap late event extends start (and counts)
+    closed, open_ = _merge_sessions([4400], 1800, (5000, 5100, 2))
+    assert closed == [] and open_ == (4400, 5100, 3)
+    # beyond-gap late event is its own session, closed immediately
+    closed, open_ = _merge_sessions([1000], 1800, (5000, 5100, 2))
+    assert closed == [(1000, 1000, 1)] and open_ == (5000, 5100, 2)
