@@ -168,6 +168,129 @@ def _measure_query(name: str):
     return fn
 
 
+def q_grouped_eval(spark, sf_dir):
+    """A11 grouped evaluation, relational end-to-end: per-docid
+    strong_mention_match contingency + P/R/F (zero-denominator → 0,
+    reference evaluate.py:279-286), plus the reference's <macro> row
+    (mean of per-group metrics over the GOLD group product,
+    evaluate.py:295-303) and <micro> row (summed counts then derive).
+    Groups are gold docids; macro averages UNROUNDED per-group
+    metrics, then everything rounds to 6 dp for the cross-engine
+    hash."""
+    from neleval_spark.measures import get_measure
+    from neleval_spark.measures.contingency import contingency_df
+
+    gold = _mentions(spark, sf_dir, "gold")
+    sys_ = _mentions(spark, sf_dir, "sys")
+    cdf = contingency_df(sys_, gold,
+                         get_measure("strong_mention_match"),
+                         gcols=["docid"])
+    groups = gold.select("docid").distinct()
+    per = (
+        groups.join(cdf, "docid", "left")
+        .na.fill(0.0, ["ptp", "fp", "rtp", "fn"])
+    )
+
+    def prf(df):
+        p = F.when(F.col("ptp") + F.col("fp") > 0,
+                   F.col("ptp") / (F.col("ptp") + F.col("fp"))) \
+            .otherwise(0.0)
+        r = F.when(F.col("rtp") + F.col("fn") > 0,
+                   F.col("rtp") / (F.col("rtp") + F.col("fn"))) \
+            .otherwise(0.0)
+        df = df.withColumn("precision", p).withColumn("recall", r)
+        f = F.when(F.col("precision") + F.col("recall") > 0,
+                   2 * F.col("precision") * F.col("recall")
+                   / (F.col("precision") + F.col("recall"))) \
+            .otherwise(0.0)
+        return df.withColumn("fscore", f)
+
+    per = prf(per)
+    cols = ["ptp", "fp", "rtp", "fn"]
+    metrics = ["precision", "recall", "fscore"]
+    macro = per.agg(
+        *[F.sum(c).alias(c) for c in cols],
+        *[F.avg(m).alias(m) for m in metrics],
+    ).select(F.lit("<macro>").alias("label"), *cols, *metrics)
+    micro = prf(
+        per.agg(*[F.sum(c).alias(c) for c in cols])
+    ).select(F.lit("<micro>").alias("label"), *cols, *metrics)
+    out = per.select(F.col("docid").alias("label"), *cols, *metrics) \
+        .unionByName(macro).unionByName(micro)
+    return out.select(
+        "label",
+        *[F.round(c, 6).alias(c) for c in cols],
+        *[F.round(m, 6).alias(m) for m in metrics],
+    ).orderBy("label")
+
+
+Q_GROUPED_EVAL_SQL = _MENTIONS_SQL + """
+, gk AS (SELECT DISTINCT docid, start, "end" FROM gold_d),
+sk AS (SELECT DISTINCT docid, start, "end" FROM sys_d),
+tp AS (SELECT docid, COUNT(*) AS c FROM
+        (SELECT * FROM gk INTERSECT SELECT * FROM sk) GROUP BY docid),
+gn AS (SELECT docid, COUNT(*) AS c FROM gk GROUP BY docid),
+sn AS (SELECT docid, COUNT(*) AS c FROM sk GROUP BY docid),
+per0 AS (
+  SELECT gn.docid,
+         CAST(COALESCE(tp.c, 0) AS DOUBLE) AS ptp,
+         CAST(COALESCE(sn.c, 0) - COALESCE(tp.c, 0) AS DOUBLE) AS fp,
+         CAST(COALESCE(tp.c, 0) AS DOUBLE) AS rtp,
+         CAST(gn.c - COALESCE(tp.c, 0) AS DOUBLE) AS fn
+  FROM gn LEFT JOIN sn USING (docid) LEFT JOIN tp USING (docid)),
+per AS (
+  SELECT *,
+    CASE WHEN ptp + fp > 0 THEN ptp / (ptp + fp) ELSE 0 END AS precision,
+    CASE WHEN rtp + fn > 0 THEN rtp / (rtp + fn) ELSE 0 END AS recall
+  FROM per0),
+perf AS (
+  SELECT *,
+    CASE WHEN precision + recall > 0
+         THEN 2 * precision * recall / (precision + recall)
+         ELSE 0 END AS fscore
+  FROM per),
+macro AS (
+  SELECT '<macro>' AS label, SUM(ptp) AS ptp, SUM(fp) AS fp,
+         SUM(rtp) AS rtp, SUM(fn) AS fn,
+         AVG(precision) AS precision, AVG(recall) AS recall,
+         AVG(fscore) AS fscore
+  FROM perf),
+micro0 AS (
+  SELECT SUM(ptp) AS ptp, SUM(fp) AS fp, SUM(rtp) AS rtp,
+         SUM(fn) AS fn FROM perf),
+micro AS (
+  SELECT '<micro>' AS label, ptp, fp, rtp, fn,
+         CASE WHEN ptp + fp > 0 THEN ptp / (ptp + fp) ELSE 0 END
+           AS precision,
+         CASE WHEN rtp + fn > 0 THEN rtp / (rtp + fn) ELSE 0 END
+           AS recall,
+         CASE WHEN (CASE WHEN ptp + fp > 0 THEN ptp / (ptp + fp)
+                         ELSE 0 END)
+                 + (CASE WHEN rtp + fn > 0 THEN rtp / (rtp + fn)
+                         ELSE 0 END) > 0
+              THEN 2 * (CASE WHEN ptp + fp > 0 THEN ptp / (ptp + fp)
+                             ELSE 0 END)
+                     * (CASE WHEN rtp + fn > 0 THEN rtp / (rtp + fn)
+                             ELSE 0 END)
+                   / ((CASE WHEN ptp + fp > 0 THEN ptp / (ptp + fp)
+                            ELSE 0 END)
+                      + (CASE WHEN rtp + fn > 0
+                              THEN rtp / (rtp + fn) ELSE 0 END))
+              ELSE 0 END AS fscore
+  FROM micro0),
+unioned AS (
+  SELECT docid AS label, ptp, fp, rtp, fn, precision, recall, fscore
+  FROM perf
+  UNION ALL SELECT * FROM macro
+  UNION ALL SELECT * FROM micro)
+SELECT label, ROUND(ptp, 6) AS ptp, ROUND(fp, 6) AS fp,
+       ROUND(rtp, 6) AS rtp, ROUND(fn, 6) AS fn,
+       ROUND(precision, 6) AS precision, ROUND(recall, 6) AS recall,
+       ROUND(fscore, 6) AS fscore
+FROM unioned ORDER BY label
+"""
+
+
 def q_error_analysis(spark, sf_dir):
     """Error-analysis taxonomy (J2+A12: full-outer span alignment →
     extra/missing/correct-nil/correct-link/nil-as-link/link-as-nil/
@@ -1729,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _measure_query("strong_typed_link_match"),
         "entity_match": _measure_query("entity_match"),
         "error_analysis": q_error_analysis,
+        "grouped_eval": q_grouped_eval,
         "weighted_match": q_weighted_match,
         # clustering measures (A4-A6)
         "muc": _measure_query("muc"),
@@ -1795,6 +1919,7 @@ def oracle_sql() -> dict[str, str]:
             'docid, start, "end", type, kbid', "NOT is_nil"),
         "entity_match": _sets_oracle("docid, kbid", "NOT is_nil"),
         "error_analysis": Q_ERROR_ANALYSIS_SQL,
+        "grouped_eval": Q_GROUPED_EVAL_SQL,
         "weighted_match": Q_WEIGHTED_MATCH_SQL,
         "muc": Q_MUC_SQL,
         "b_cubed": Q_B_CUBED_SQL,
