@@ -162,6 +162,8 @@ def cmd_significance(args):
         print(json.dumps(results, indent=4, sort_keys=True))
     elif args.fmt == "tab":
         print(significance_tab_format(results, metrics=metrics))
+    else:  # 'none': the reference prints the raw result repr
+        print(results)
 
 
 def cmd_confidence(args):
@@ -199,6 +201,8 @@ def cmd_confidence(args):
     elif args.fmt == "tab":
         print(confidence_tab_format(data, metrics=metrics,
                                     percentiles=percentiles))
+    else:  # 'none': the reference prints the raw result repr
+        print(data)
 
 
 def cmd_list_measures(args):
