@@ -559,6 +559,20 @@ def cmd_run_pipeline(args):
     print(json.dumps({"triples": n, "out": args.out}))
 
 
+def cmd_entity_salience(args):
+    """PageRank-based salience over an emitted triple sink (the
+    graph-analytics layer on top of run-pipeline/stream output)."""
+    from .graph.pagerank import entity_salience
+    from .pipeline.triples import read_triples
+
+    spark = _spark()
+    triples = read_triples(spark, args.triples)
+    out = entity_salience(triples, top_k=args.top)
+    print("entity\tsalience")
+    for r in out.collect():
+        print(f"{r['entity']}\t{r['salience']:.6f}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="neleval_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -711,6 +725,10 @@ def main(argv=None):
         sp.add_argument("--checkpoint",
                         help="stream checkpoint dir (default "
                              "<out>/_checkpoint; pair 1:1 with out)")))
+    add("entity-salience", cmd_entity_salience, lambda sp: (
+        sp.add_argument("triples",
+                        help="triple sink dir (run-pipeline -o)"),
+        sp.add_argument("--top", type=int, default=20)))
 
     args = p.parse_args(argv)
     args.fn(args)

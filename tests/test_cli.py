@@ -350,3 +350,21 @@ def test_cli_evaluate_official_regression(spark, capsys, tmp_path):
                    "-m", "all")
         with open(os.path.join(fixtures, frozen)) as f:
             assert out == f.read(), f"drift vs frozen {frozen}"
+
+
+def test_cli_entity_salience(spark, capsys, tmp_path):
+    """Graph-analytics CLI: run the pipeline into a sink, then rank
+    entities by PageRank salience over the emitted triples."""
+    from neleval_spark.pipeline import synth_corpus
+
+    corpus = str(tmp_path / "pages")
+    synth_corpus(spark, 150).write.parquet(corpus)
+    out = str(tmp_path / "kg")
+    _run(capsys, "run-pipeline", corpus, "-o", out)
+    ranked = _run(capsys, "entity-salience", out, "--top", "5")
+    lines = ranked.strip().split("\n")
+    assert lines[0] == "entity\tsalience"
+    assert 2 <= len(lines) <= 6
+    scores = [float(l.split("\t")[1]) for l in lines[1:]]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)

@@ -66,3 +66,59 @@ def test_assignment_matches_brute_force(rows):
     assert got == best
     # and the max-weight wrapper agrees on the complementary problem
     assert max_weight_assignment_total(-cost) == -best
+
+
+# --- round 3: session merging and PageRank (pure parts) -------------------
+
+@given(
+    ts=st.lists(st.integers(0, 100_000), max_size=40),
+    gap=st.integers(1, 5_000),
+    state=st.one_of(
+        st.none(),
+        st.tuples(st.integers(0, 100_000), st.integers(0, 100_000),
+                  st.integers(1, 50)).map(
+            lambda t: (min(t[0], t[1]), max(t[0], t[1]), t[2]))),
+)
+def test_merge_sessions_invariants(ts, gap, state):
+    """Count conservation; sessions ordered and separated by > gap;
+    every session well-formed; trailing session is the open one."""
+    from neleval_spark.streaming.sessions import _merge_sessions
+
+    ts = sorted(ts)
+    closed, open_ = _merge_sessions(ts, gap, state)
+    total_in = len(ts) + (state[2] if state else 0)
+    total_out = sum(s[2] for s in closed) + (open_[2] if open_ else 0)
+    assert total_out == total_in
+    allsess = closed + ([open_] if open_ else [])
+    if not allsess:
+        assert not ts and state is None
+        return
+    for s in allsess:
+        assert s[0] <= s[1] and s[2] >= 1
+    for a, b in zip(allsess, allsess[1:]):
+        assert b[0] - a[1] > gap  # separated, in order
+    # idempotence: refeeding nothing changes nothing
+    again_closed, again_open = _merge_sessions([], gap, open_)
+    assert again_closed == [] and again_open == open_
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1, max_size=25),
+    damping=st.sampled_from([0.5, 0.85]),
+)
+@settings(max_examples=25, deadline=None)
+def test_pagerank_numpy_model(edges, damping):
+    """The numpy model of the distributed algorithm (same rounding,
+    same dangling handling) conserves mass and stays non-negative on
+    arbitrary small digraphs — the Spark parity with this model is
+    pinned separately in tests/test_pagerank.py."""
+    edges = [(f"v{a}", f"v{b}") for a, b in edges if a != b]
+    if not edges:
+        return
+    from tests.test_pagerank import _numpy_pagerank
+
+    r = _numpy_pagerank(edges, iters=10, damping=damping)
+    assert all(v >= 0 for v in r.values())
+    assert abs(sum(r.values()) - 1.0) < 1e-6
