@@ -86,8 +86,13 @@ def pagerank(
 
     base = (1.0 - damping) / n
     for _ in range(iters):
-        dangling = ranks.where(F.col("deg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0]
+        # dangling mass as an in-plan broadcast scalar (cross-joined
+        # 1-row aggregate) — one Spark job per iteration, not a
+        # driver collect plus the checkpoint job.  Value and rounding
+        # are identical to a driver-side collect: same double sum,
+        # same /n division, inside the same round().
+        dang = ranks.where(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_d"))
         contrib = (
             e.join(ranks.withColumnRenamed("vertex", "src"), "src")
             .groupBy("dst")
@@ -97,13 +102,14 @@ def pagerank(
             ranks.select("vertex", "deg")
             .join(contrib.withColumnRenamed("dst", "vertex"),
                   "vertex", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "vertex", "deg",
                 F.round(
                     F.lit(base)
                     + F.lit(damping)
                     * (F.coalesce(F.col("c"), F.lit(0.0))
-                       + F.lit(dangling / n)),
+                       + F.col("_d") / F.lit(n)),
                     round_scale,
                 ).alias("rank"),
             )
