@@ -1,1 +1,2 @@
 from .connected_components import connected_components  # noqa: F401
+from .pagerank import entity_salience, pagerank  # noqa: F401
