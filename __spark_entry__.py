@@ -258,26 +258,17 @@ macro AS (
 micro0 AS (
   SELECT SUM(ptp) AS ptp, SUM(fp) AS fp, SUM(rtp) AS rtp,
          SUM(fn) AS fn FROM perf),
-micro AS (
-  SELECT '<micro>' AS label, ptp, fp, rtp, fn,
-         CASE WHEN ptp + fp > 0 THEN ptp / (ptp + fp) ELSE 0 END
-           AS precision,
-         CASE WHEN rtp + fn > 0 THEN rtp / (rtp + fn) ELSE 0 END
-           AS recall,
-         CASE WHEN (CASE WHEN ptp + fp > 0 THEN ptp / (ptp + fp)
-                         ELSE 0 END)
-                 + (CASE WHEN rtp + fn > 0 THEN rtp / (rtp + fn)
-                         ELSE 0 END) > 0
-              THEN 2 * (CASE WHEN ptp + fp > 0 THEN ptp / (ptp + fp)
-                             ELSE 0 END)
-                     * (CASE WHEN rtp + fn > 0 THEN rtp / (rtp + fn)
-                             ELSE 0 END)
-                   / ((CASE WHEN ptp + fp > 0 THEN ptp / (ptp + fp)
-                            ELSE 0 END)
-                      + (CASE WHEN rtp + fn > 0
-                              THEN rtp / (rtp + fn) ELSE 0 END))
-              ELSE 0 END AS fscore
+micro1 AS (
+  SELECT *,
+    CASE WHEN ptp + fp > 0 THEN ptp / (ptp + fp) ELSE 0 END AS precision,
+    CASE WHEN rtp + fn > 0 THEN rtp / (rtp + fn) ELSE 0 END AS recall
   FROM micro0),
+micro AS (
+  SELECT '<micro>' AS label, ptp, fp, rtp, fn, precision, recall,
+         CASE WHEN precision + recall > 0
+              THEN 2 * precision * recall / (precision + recall)
+              ELSE 0 END AS fscore
+  FROM micro1),
 unioned AS (
   SELECT docid AS label, ptp, fp, rtp, fn, precision, recall, fscore
   FROM perf
@@ -1215,7 +1206,9 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
-Q_MINHASH_PAIRS_SQL = _TOK_SQL + """
+# shared by the plain and hot-bucket-guarded pair oracles: 4-hash /
+# 2-band MinHash signatures exploded to (doc_id, band, bucket)
+_BANDED_SQL = _TOK_SQL + """
 , sig AS (
   SELECT doc_id,
     CAST(MIN((token_id * 1299721 + 104729) % 2147483647) AS VARCHAR)
@@ -1230,8 +1223,10 @@ Q_MINHASH_PAIRS_SQL = _TOK_SQL + """
 banded AS (
   SELECT doc_id, 0 AS band, b0 AS bucket FROM sig
   UNION ALL
-  SELECT doc_id, 1 AS band, b1 AS bucket FROM sig),
-pairs AS (
+  SELECT doc_id, 1 AS band, b1 AS bucket FROM sig)"""
+
+Q_MINHASH_PAIRS_SQL = _BANDED_SQL + """
+, pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
   FROM banded a JOIN banded b USING (band, bucket)
   WHERE a.doc_id < b.doc_id
@@ -1265,23 +1260,8 @@ def q_minhash_pairs_hotguard(spark, sf_dir):
     )
 
 
-Q_MINHASH_PAIRS_HOTGUARD_SQL = _TOK_SQL + """
-, sig AS (
-  SELECT doc_id,
-    CAST(MIN((token_id * 1299721 + 104729) % 2147483647) AS VARCHAR)
-      || '_' ||
-    CAST(MIN((token_id * 1299743 + 104743) % 2147483647) AS VARCHAR)
-      AS b0,
-    CAST(MIN((token_id * 1299763 + 104759) % 2147483647) AS VARCHAR)
-      || '_' ||
-    CAST(MIN((token_id * 1299791 + 104773) % 2147483647) AS VARCHAR)
-      AS b1
-  FROM tid GROUP BY doc_id),
-banded AS (
-  SELECT doc_id, 0 AS band, b0 AS bucket FROM sig
-  UNION ALL
-  SELECT doc_id, 1 AS band, b1 AS bucket FROM sig),
-bd AS (
+Q_MINHASH_PAIRS_HOTGUARD_SQL = _BANDED_SQL + """
+, bd AS (
   SELECT doc_id, band, bucket,
          COUNT(*) OVER (PARTITION BY band, bucket) AS n,
          MIN(doc_id) OVER (PARTITION BY band, bucket) AS rep

@@ -54,16 +54,15 @@ def build_mentions(pages: DataFrame, kb: DataFrame,
     cands = cands.repartition(F.col("url"))
     # materialize the scored mention table once (canonicalization fans
     # out into ≥3 consumers — nil branch, linked branch, key graph —
-    # and a live plan with Python stages would re-run per consumer).
-    # DISK_ONLY serialized: deserialized in-heap caching of tens of
-    # millions of nested rows is a GC death spiral at high parallelism.
+    # and a live plan with Python stages would re-run per consumer);
+    # see _materialize for the scratch-parquet-vs-persist strategies
     linked = _materialize(score_and_select(cands))
     out = canonicalize_nils(linked)
-    # expose the materialization handle so callers that manage cache
-    # lifetime (e.g. streaming ingest, one unpersist per micro-batch)
-    # can release exactly what this call persisted — a blanket
+    # expose the materialization handle so callers that manage its
+    # lifetime (e.g. streaming ingest, one release per micro-batch)
+    # can free exactly what this call materialized — a blanket
     # catalog.clearCache() would evict the caller's own cached frames
-    out._persisted_deps = [linked]
+    out._materialized_deps = [linked]
     return out
 
 
@@ -177,7 +176,7 @@ def run_pipeline(
     # as soon as the canonicalized snapshot exists
     built = build_mentions(pages, kb)
     mentions = _materialize(built)
-    for h in getattr(built, "_persisted_deps", ()):
+    for h in getattr(built, "_materialized_deps", ()):
         release_materialized(h)
     triples = emit_triples(mentions, n_buckets=n_buckets)
     manifest = None

@@ -297,7 +297,6 @@ def bootstrap_confidence(
     else:
         raise ValueError(f"unknown bootstrap method: {method!r}")
     t = _metrics_from(partials[:, :4])
-    import numpy as np
 
     observed = _metrics_from(np.asarray(
         joined.groupBy().sum("ptp1", "fp1", "rtp1", "fn1").collect(),

@@ -111,7 +111,7 @@ def stream_construct(pages_stream: DataFrame, kb: DataFrame,
             # caller cached (e.g. a persisted kb dim)
             from ..pipeline.run import release_materialized
 
-            for h in getattr(mentions, "_persisted_deps", ()):
+            for h in getattr(mentions, "_materialized_deps", ()):
                 release_materialized(h)
 
     writer = (
