@@ -559,6 +559,25 @@ def cmd_run_pipeline(args):
     print(json.dumps({"triples": n, "out": args.out}))
 
 
+def cmd_compact_sink(args):
+    """Compact an accumulated streaming triple sink (many run_id
+    partitions of small files) into the batch layout — the
+    operational analogue of Iceberg's rewrite_data_files; ends the
+    sink's streaming lifecycle."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.triples import compact_triples
+
+    spark = _spark()
+    manifest = compact_triples(spark, args.triples,
+                               n_buckets=args.buckets)
+    rows = manifest.agg(
+        F.sum("n_rows").alias("n"),
+        F.count(F.lit(1)).alias("parts")).collect()[0]
+    print(json.dumps({"triples": rows["n"], "partitions": rows["parts"],
+                      "out": args.triples}))
+
+
 def cmd_entity_salience(args):
     """PageRank-based salience over an emitted triple sink (the
     graph-analytics layer on top of run-pipeline/stream output)."""
@@ -729,6 +748,10 @@ def main(argv=None):
         sp.add_argument("triples",
                         help="triple sink dir (run-pipeline -o)"),
         sp.add_argument("--top", type=int, default=20)))
+    add("compact-sink", cmd_compact_sink, lambda sp: (
+        sp.add_argument("triples",
+                        help="streaming triple sink dir to compact"),
+        sp.add_argument("--buckets", type=int, default=64)))
 
     args = p.parse_args(argv)
     args.fn(args)

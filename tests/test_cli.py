@@ -368,3 +368,22 @@ def test_cli_entity_salience(spark, capsys, tmp_path):
     scores = [float(l.split("\t")[1]) for l in lines[1:]]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_cli_compact_sink(spark, capsys, tmp_path):
+    """Full operational lifecycle from the CLI: stream-ingest into a
+    run_id-partitioned sink, compact to the batch layout, then rank
+    salience over the compacted sink."""
+    from neleval_spark.pipeline import synth_corpus
+
+    corpus = str(tmp_path / "pages")
+    synth_corpus(spark, 120).write.parquet(corpus)
+    out = str(tmp_path / "kg")
+    streamed = json.loads(_run(
+        capsys, "run-pipeline", corpus, "-o", out, "--stream"))
+    compacted = json.loads(_run(capsys, "compact-sink", out))
+    assert compacted["triples"] == streamed["triples"]
+    triples = spark.read.parquet(os.path.join(out, "triples"))
+    assert "run_id" not in triples.columns  # batch layout now
+    ranked = _run(capsys, "entity-salience", out, "--top", "3")
+    assert ranked.startswith("entity\tsalience")
