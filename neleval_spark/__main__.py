@@ -559,6 +559,74 @@ def cmd_run_pipeline(args):
     print(json.dumps({"triples": n, "out": args.out}))
 
 
+def cmd_track_eval(args):
+    """Whole-track evaluation in ONE session (analogue of reference
+    scripts/run_tac14_evaluation.sh + run_evaluate.sh +
+    run_tac14_report.sh): prepare gold, prepare every system tab/xml
+    pair in a directory, evaluate each against gold with the track
+    measure set (incl. the custom ``:is_first:span`` measure strings
+    the reference pipeline passes), and write the TAC-2014-format
+    report.  The reference fans out with ``xargs -P`` because each
+    process is single-threaded; here one Spark session parallelizes
+    internally — no per-system process spawn."""
+    import glob
+    import os
+
+    from .measures import evaluate
+    from .measures.contingency import tab_format
+    from .sources.tac import prepare_tac, read_excluded_spans_file
+    from .sources.tsv import annotations_to_tsv_lines
+
+    spark = _spark()
+    os.makedirs(args.out, exist_ok=True)
+    excluded = (read_excluded_spans_file(spark, args.excluded)
+                if args.excluded else None)
+
+    def write_tsv(df, path):
+        with open(path, "w") as f:
+            for r in annotations_to_tsv_lines(df).orderBy(
+                    "docid", "start", "end").collect():
+                f.write(r["value"] + "\n")
+
+    gold = prepare_tac(spark, args.gold_tab, args.gold_xml,
+                       excluded=excluded)
+    write_tsv(gold, os.path.join(args.out, "gold.combined.tsv"))
+    gold.persist()
+    # run_evaluate.sh measure set: 'all' plus the custom
+    # agg:filter:key strings
+    measures = ["all", "mention_ceaf:is_first:span",
+                "b_cubed:is_first:span", "muc:is_first:span"]
+    report = []
+    try:
+        for tab in sorted(glob.glob(os.path.join(args.sysdir,
+                                                 "*.tab"))):
+            xml = tab[:-4] + ".xml"
+            if not os.path.exists(xml):
+                raise SystemExit(f"could not find xml for {tab}")
+            name = os.path.basename(tab)[:-4]
+            sys_df = prepare_tac(spark, tab, xml, excluded=excluded)
+            write_tsv(sys_df,
+                      os.path.join(args.out, f"{name}.combined.tsv"))
+            res = evaluate(sys_df, gold, measures=measures)
+            with open(os.path.join(args.out,
+                                   f"{name}.evaluation"), "w") as f:
+                f.write(tab_format(res) + "\n")
+            report.append([name] + [
+                f"{res[m][k]:.3f}"
+                for m in ("strong_typed_mention_match",
+                          "strong_all_match", "mention_ceaf")
+                for k in ("precision", "recall", "fscore")])
+    finally:
+        gold.unpersist()
+    # TAC-2014 report layout (run_tac14_report.sh): scores, then name
+    with open(os.path.join(args.out, "00report.tab"), "w") as f:
+        f.write("DiscP\tDiscR\tDiscF\tLinkP\tLinkR\tLinkF\t"
+                "CEAFmP\tCEAFmR\tCEAFmF\tSystem\n")
+        for row in report:
+            f.write("\t".join(row[1:] + [row[0]]) + "\n")
+    print(json.dumps({"systems": len(report), "out": args.out}))
+
+
 def cmd_compact_sink(args):
     """Compact an accumulated streaming triple sink (many run_id
     partitions of small files) into the batch layout — the
@@ -752,6 +820,12 @@ def main(argv=None):
         sp.add_argument("triples",
                         help="streaming triple sink dir to compact"),
         sp.add_argument("--buckets", type=int, default=64)))
+    add("track-eval", cmd_track_eval, lambda sp: (
+        sp.add_argument("gold_xml"),
+        sp.add_argument("gold_tab"),
+        sp.add_argument("sysdir"),
+        sp.add_argument("-o", "--out", required=True),
+        sp.add_argument("-x", "--excluded")))
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -387,3 +387,42 @@ def test_cli_compact_sink(spark, capsys, tmp_path):
     assert "run_id" not in triples.columns  # batch layout now
     ranked = _run(capsys, "entity-salience", out, "--top", "3")
     assert ranked.startswith("entity\tsalience")
+
+
+def test_cli_track_eval(spark, capsys, tmp_path):
+    """Track pipeline analogue (reference run_tac14_evaluation.sh):
+    prepare gold + every system in a dir, evaluate with the track
+    measure set incl. custom :is_first:span strings, write the
+    TAC-2014-format report — one session, no per-system processes."""
+    import shutil
+
+    sysdir = tmp_path / "systems"
+    sysdir.mkdir()
+    shutil.copy(os.path.join(EXAMPLES, "tac_system.tab"),
+                sysdir / "teamA.tab")
+    shutil.copy(os.path.join(EXAMPLES, "tac_system.xml"),
+                sysdir / "teamA.xml")
+    out = tmp_path / "track"
+    res = json.loads(_run(
+        capsys, "track-eval",
+        os.path.join(EXAMPLES, "tac_gold.xml"),
+        os.path.join(EXAMPLES, "tac_gold.tab"),
+        str(sysdir), "-o", str(out)))
+    assert res["systems"] == 1
+    # gold conversion matches the committed combined fixture
+    with open(out / "gold.combined.tsv") as f:
+        got = sorted(f.read().rstrip("\n").split("\n"))
+    with open(os.path.join(EXAMPLES, "tac_gold.combined.tsv")) as f:
+        want = sorted(f.read().rstrip("\n").split("\n"))
+    assert got == want
+    # evaluation file carries standard AND custom measures
+    with open(out / "teamA.evaluation") as f:
+        ev = f.read()
+    assert "mention_ceaf:is_first:span" in ev
+    assert "strong_all_match" in ev
+    # report: header + one row, perfect system scores 1.000 across
+    with open(out / "00report.tab") as f:
+        lines = f.read().rstrip("\n").split("\n")
+    assert lines[0].split("\t")[-1] == "System"
+    row = lines[1].split("\t")
+    assert row[-1] == "teamA" and set(row[:-1]) == {"1.000"}
