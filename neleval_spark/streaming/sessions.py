@@ -7,21 +7,28 @@ host goes quiet for ``gap``).
 Semantics: consecutive fetches from one host belong to one session
 while the event-time gap between them stays below ``gap_minutes``; a
 session row (host, session_start, session_end, n_docs) is emitted
-when the watermark passes the session's last fetch + gap (event-time
-timeout), so output is final — late data inside the watermark still
-extends its session.
+only once the watermark passes the session's last fetch + gap, so
+output is FINAL — any late event the watermark still admits (event
+time >= watermark) that lands within ``gap`` of a pending session
+extends or merges it before emission.  Gap-closed sessions therefore
+stay in state as *pending* until watermark-finality, rather than
+being emitted eagerly in the data path (which would make a
+late-but-admissible event split the session — the round-3 advice
+defect).
 
-Scale: state is ONE row of three longs per active host (bounded by
-live hosts, not documents); the only shuffle is the groupBy(host)
-exchange that any per-host operator needs; timeouts mean idle hosts
-leave the state store.  Skew (one hot host) is bounded by the
-per-batch group size, not history — history lives in the 3-long
-state.
+Scale: state is one (start, last, n) triple per PENDING session for
+the host — bounded by ceil(watermark_delay / gap) + 1 sessions, since
+pending sessions older than the watermark are flushed every batch; it
+is NOT proportional to document count.  The only shuffle is the
+groupBy(host) exchange any per-host operator needs; event-time
+timeouts evict idle hosts from the state store.  Skew (one hot host)
+is bounded by the per-batch group size, not history — history lives
+in the few-longs state.
 """
 
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+from typing import Iterator, List, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -30,25 +37,28 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_SCHEMA = ("host string, session_start timestamp, "
                   "session_end timestamp, n_docs long")
-_STATE_SCHEMA = "start long, last long, n long"  # epoch seconds
+# pending sessions, time-sorted, parallel arrays (epoch seconds)
+_STATE_SCHEMA = ("starts array<long>, lasts array<long>, "
+                 "ns array<long>")
+
+Session = Tuple[int, int, int]  # (start, last, n_docs)
 
 
 def _merge_sessions(ts_sorted: list[int], gap_s: int,
-                    state: tuple[int, int, int] | None):
-    """Fold sorted fetch times into (closed_sessions, open_session).
+                    pending: List[Session]) -> List[Session]:
+    """Fold sorted fetch times into the pending-session list.
 
     Pure function (unit-testable without a stream): interval merging
-    over the existing open session plus the new fetch times, so a
-    late event BEFORE the open session's start correctly extends
-    ``session_start`` downward (within the gap) or forms its own,
-    immediately-closed earlier session (beyond it).  The trailing
-    session stays open.
+    over ALL pending sessions plus the new fetch times, so a late
+    event may extend a pending session's start downward, bridge two
+    pending sessions into one, or form its own earlier session.
+    Returns the merged, time-sorted session list; finality is the
+    caller's concern (watermark vs last+gap).
     """
     intervals = [[t, t, 1] for t in ts_sorted]
-    if state is not None:
-        intervals.append([state[0], state[1], state[2]])
-        intervals.sort()
-    sessions = []
+    intervals.extend([s, e, n] for s, e, n in pending)
+    intervals.sort()
+    sessions: List[Session] = []
     cur = None
     for iv in intervals:
         if cur is None:
@@ -59,13 +69,24 @@ def _merge_sessions(ts_sorted: list[int], gap_s: int,
         else:
             sessions.append(tuple(cur))
             cur = iv[:]
-    return sessions, (tuple(cur) if cur is not None else None)
+    if cur is not None:
+        sessions.append(tuple(cur))
+    return sessions
+
+
+def _split_final(sessions: List[Session], gap_s: int,
+                 wm_s: int) -> Tuple[List[Session], List[Session]]:
+    """(final, still_pending): a session is final once the watermark
+    passes last_fetch + gap — no admissible event can extend it."""
+    final = [s for s in sessions if s[1] + gap_s <= wm_s]
+    keep = [s for s in sessions if s[1] + gap_s > wm_s]
+    return final, keep
 
 
 def stream_host_sessions(pages_stream: DataFrame,
                          gap_minutes: int = 30,
                          watermark: str = "1 hour") -> DataFrame:
-    """pages stream → closed per-host session rows (append mode)."""
+    """pages stream → watermark-final per-host session rows (append)."""
     gap_s = gap_minutes * 60
     # Arrow hands the Python worker tz-NAIVE timestamps rendered in
     # the SESSION time zone, while setTimeoutTimestamp compares
@@ -92,26 +113,35 @@ def stream_host_sessions(pages_stream: DataFrame,
                      [r[1] for r in rows], unit="s", utc=True),
                  "n_docs": [r[2] for r in rows]})
 
-        if state.hasTimedOut:
-            rows = [state.get] if state.exists else []
-            state.remove()
-            if rows:
-                yield emit(rows)
-            return
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        pending: List[Session] = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            pending = list(zip(starts, lasts, ns))
 
-        ts = sorted(
-            int(t)
-            for pdf in pdfs
-            for t in pd.DatetimeIndex(pdf["warc_ts"])
-            .tz_localize(tz).asi8 // 10 ** 9)
-        prev = state.get if state.exists else None
-        closed, open_ = _merge_sessions(ts, gap_s, prev)
-        if open_ is not None:
-            state.update(open_)
-            # close when the watermark passes last-fetch + gap
-            state.setTimeoutTimestamp((open_[1] + gap_s) * 1000)
-        if closed:
-            yield emit(closed)
+        if state.hasTimedOut:
+            ts: list[int] = []
+        else:
+            ts = sorted(
+                int(t)
+                for pdf in pdfs
+                for t in pd.DatetimeIndex(pdf["warc_ts"])
+                .tz_localize(tz).asi8 // 10 ** 9)
+
+        sessions = _merge_sessions(ts, gap_s, pending)
+        final, keep = _split_final(sessions, gap_s, wm_s)
+        if keep:
+            state.update(([s[0] for s in keep],
+                          [s[1] for s in keep],
+                          [s[2] for s in keep]))
+            # wake when the EARLIEST pending session becomes final;
+            # keep[0][1]+gap > wm_s by construction, so the timestamp
+            # is strictly ahead of the watermark as the API requires
+            state.setTimeoutTimestamp((keep[0][1] + gap_s) * 1000)
+        elif state.exists:
+            state.remove()
+        if final:
+            yield emit(final)
 
     pages = (
         pages_stream

@@ -73,33 +73,37 @@ def test_assignment_matches_brute_force(rows):
 @given(
     ts=st.lists(st.integers(0, 100_000), max_size=40),
     gap=st.integers(1, 5_000),
-    state=st.one_of(
-        st.none(),
+    pending=st.lists(
         st.tuples(st.integers(0, 100_000), st.integers(0, 100_000),
                   st.integers(1, 50)).map(
-            lambda t: (min(t[0], t[1]), max(t[0], t[1]), t[2]))),
+            lambda t: (min(t[0], t[1]), max(t[0], t[1]), t[2])),
+        max_size=5),
 )
-def test_merge_sessions_invariants(ts, gap, state):
+def test_merge_sessions_invariants(ts, gap, pending):
     """Count conservation; sessions ordered and separated by > gap;
-    every session well-formed; trailing session is the open one."""
-    from neleval_spark.streaming.sessions import _merge_sessions
+    every session well-formed; merging is idempotent."""
+    from neleval_spark.streaming.sessions import (_merge_sessions,
+                                                  _split_final)
 
     ts = sorted(ts)
-    closed, open_ = _merge_sessions(ts, gap, state)
-    total_in = len(ts) + (state[2] if state else 0)
-    total_out = sum(s[2] for s in closed) + (open_[2] if open_ else 0)
-    assert total_out == total_in
-    allsess = closed + ([open_] if open_ else [])
-    if not allsess:
-        assert not ts and state is None
+    sessions = _merge_sessions(ts, gap, pending)
+    total_in = len(ts) + sum(p[2] for p in pending)
+    assert sum(s[2] for s in sessions) == total_in
+    if not sessions:
+        assert not ts and not pending
         return
-    for s in allsess:
+    for s in sessions:
         assert s[0] <= s[1] and s[2] >= 1
-    for a, b in zip(allsess, allsess[1:]):
+    for a, b in zip(sessions, sessions[1:]):
         assert b[0] - a[1] > gap  # separated, in order
     # idempotence: refeeding nothing changes nothing
-    again_closed, again_open = _merge_sessions([], gap, open_)
-    assert again_closed == [] and again_open == open_
+    assert _merge_sessions([], gap, sessions) == sessions
+    # finality split partitions the list and preserves order
+    for wm in (0, sessions[0][1] + gap, sessions[-1][1] + gap):
+        final, keep = _split_final(sessions, gap, wm)
+        assert final + keep == sessions
+        assert all(s[1] + gap <= wm for s in final)
+        assert all(s[1] + gap > wm for s in keep)
 
 
 @given(

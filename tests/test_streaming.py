@@ -274,19 +274,24 @@ def test_ingest_keeps_caller_cached_frames(spark, tmp_path):
 
 
 def test_merge_sessions_pure():
-    """The session fold is a pure function: split on gap, trailing
-    session stays open, existing state extends."""
-    from neleval_spark.streaming.sessions import _merge_sessions
+    """The session fold is a pure function: split on gap, pending
+    state extends, finality is decided separately by the watermark."""
+    from neleval_spark.streaming.sessions import (_merge_sessions,
+                                                  _split_final)
 
-    closed, open_ = _merge_sessions([0, 100, 5000, 5100], 1800, None)
-    assert closed == [(0, 100, 2)]
-    assert open_ == (5000, 5100, 2)
-    # existing open session extends with new in-gap fetches
-    closed, open_ = _merge_sessions([5200], 1800, (5000, 5100, 2))
-    assert closed == [] and open_ == (5000, 5200, 3)
-    # and closes when the next fetch is beyond the gap
-    closed, open_ = _merge_sessions([9000], 1800, (5000, 5200, 3))
-    assert closed == [(5000, 5200, 3)] and open_ == (9000, 9000, 1)
+    sessions = _merge_sessions([0, 100, 5000, 5100], 1800, [])
+    assert sessions == [(0, 100, 2), (5000, 5100, 2)]
+    # pending sessions extend with new in-gap fetches
+    assert _merge_sessions([5200], 1800, [(5000, 5100, 2)]) == \
+        [(5000, 5200, 3)]
+    # beyond-gap fetch is a separate session; BOTH stay pending until
+    # the watermark passes their end+gap
+    sessions = _merge_sessions([9000], 1800, [(5000, 5200, 3)])
+    assert sessions == [(5000, 5200, 3), (9000, 9000, 1)]
+    assert _split_final(sessions, 1800, 5000) == ([], sessions)
+    assert _split_final(sessions, 1800, 7000) == \
+        ([(5000, 5200, 3)], [(9000, 9000, 1)])
+    assert _split_final(sessions, 1800, 10800) == (sessions, [])
 
 
 def test_stream_host_sessions_stateful(spark, tmp_path):
@@ -345,14 +350,73 @@ def test_stream_host_sessions_stateful(spark, tmp_path):
 
 
 def test_merge_sessions_late_events():
-    """Late events BEFORE the open session's start: within the gap
+    """Late events BEFORE a pending session's start: within the gap
     they extend session_start downward; beyond it they form their own
-    immediately-closed earlier session."""
+    earlier session; BETWEEN two pending sessions they may bridge
+    them into one (the case eager emission can never get right)."""
     from neleval_spark.streaming.sessions import _merge_sessions
 
     # in-gap late event extends start (and counts)
-    closed, open_ = _merge_sessions([4400], 1800, (5000, 5100, 2))
-    assert closed == [] and open_ == (4400, 5100, 3)
-    # beyond-gap late event is its own session, closed immediately
-    closed, open_ = _merge_sessions([1000], 1800, (5000, 5100, 2))
-    assert closed == [(1000, 1000, 1)] and open_ == (5000, 5100, 2)
+    assert _merge_sessions([4400], 1800, [(5000, 5100, 2)]) == \
+        [(4400, 5100, 3)]
+    # beyond-gap late event is its own session
+    assert _merge_sessions([1000], 1800, [(5000, 5100, 2)]) == \
+        [(1000, 1000, 1), (5000, 5100, 2)]
+    # bridging: the late event is within gap of BOTH pending sessions
+    assert _merge_sessions([3500], 1800, [(0, 2000, 2),
+                                          (5000, 5100, 2)]) == \
+        [(0, 5100, 5)]
+
+
+def test_stream_sessions_late_event_extends_pending(spark, tmp_path):
+    """Round-3 ADVICE regression: an event that gap-closes a session
+    must NOT force eager emission — a later-arriving event that the
+    watermark still admits and that falls within the gap of that
+    session extends it, yielding ONE merged session row, never a
+    split/overlapping pair."""
+    import datetime as dt
+
+    from neleval_spark.streaming import (stream_host_sessions,
+                                         stream_pages)
+    from neleval_spark.streaming.ingest import PAGES_SCHEMA
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def page(minutes):
+        ts = t0 + dt.timedelta(minutes=minutes)
+        return (f"https://a.example/p{minutes}", ts, b"<p>x</p>",
+                "x", "en")
+
+    pages_dir = str(tmp_path / "pages")
+    # batch 1: session (0,10) then a gap-closing fetch at minute 70
+    # (gap=30).  Eager emission would flush (0,10,2) here.
+    spark.createDataFrame(
+        [page(0), page(10), page(70)],
+        PAGES_SCHEMA).coalesce(1).write.mode("append").parquet(pages_dir)
+    # batch 2: late event at minute 35 — above the watermark
+    # (70-60=10), within gap of (0,10): must extend it to (0,35,3)
+    spark.createDataFrame(
+        [page(35)],
+        PAGES_SCHEMA).coalesce(1).write.mode("append").parquet(pages_dir)
+    # batch 3: far-future fetch advances the watermark past both
+    # pending sessions' end+gap, making them final
+    spark.createDataFrame(
+        [page(600)],
+        PAGES_SCHEMA).coalesce(1).write.mode("append").parquet(pages_dir)
+
+    stream = stream_pages(spark, pages_dir, max_files_per_trigger=1)
+    q = (
+        stream_host_sessions(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.format("memory").queryName("late_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = sorted(
+        (r["session_start"].minute, r["n_docs"])
+        for r in spark.sql("SELECT * FROM late_sessions").collect())
+    # one MERGED session (0..35, 3 docs) + the minute-70 session;
+    # no (0,10,2)/(35,35,1) split pair
+    assert rows == [(0, 3), (10, 1)]  # minute 70 % 60 == 10
