@@ -208,8 +208,10 @@ def q_grouped_eval(spark, sf_dir):
     per = prf(per)
     cols = ["ptp", "fp", "rtp", "fn"]
     metrics = ["precision", "recall", "fscore"]
+    # reference macro_average (evaluate.py:295) averages EVERY field,
+    # counts included — so the macro row AVGs ptp/fp/rtp/fn too
     macro = per.agg(
-        *[F.sum(c).alias(c) for c in cols],
+        *[F.avg(c).alias(c) for c in cols],
         *[F.avg(m).alias(m) for m in metrics],
     ).select(F.lit("<macro>").alias("label"), *cols, *metrics)
     micro = prf(
@@ -250,8 +252,8 @@ perf AS (
          ELSE 0 END AS fscore
   FROM per),
 macro AS (
-  SELECT '<macro>' AS label, SUM(ptp) AS ptp, SUM(fp) AS fp,
-         SUM(rtp) AS rtp, SUM(fn) AS fn,
+  SELECT '<macro>' AS label, AVG(ptp) AS ptp, AVG(fp) AS fp,
+         AVG(rtp) AS rtp, AVG(fn) AS fn,
          AVG(precision) AS precision, AVG(recall) AS recall,
          AVG(fscore) AS fscore
   FROM perf),

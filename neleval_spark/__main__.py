@@ -588,8 +588,10 @@ def cmd_track_eval(args):
                     "docid", "start", "end").collect():
                 f.write(r["value"] + "\n")
 
+    # gold=True mirrors the reference's awk projection of the gold
+    # tab to ($1,$2,$3,"1.0") before prepare (run_tac14_evaluation.sh:24)
     gold = prepare_tac(spark, args.gold_tab, args.gold_xml,
-                       excluded=excluded)
+                       excluded=excluded, gold=True)
     write_tsv(gold, os.path.join(args.out, "gold.combined.tsv"))
     gold.persist()
     # run_evaluate.sh measure set: 'all' plus the custom

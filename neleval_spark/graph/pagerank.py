@@ -24,10 +24,26 @@ Spark-first design, fixed iteration count:
   This is the determinism contract: double addition is
   order-dependent, so unrounded power iteration drifts across
   engines/partitionings; rounding each iteration's OUTPUT pins every
-  iteration's INPUT bit-identical everywhere, which is what lets a
-  DuckDB oracle hash-match the distributed run exactly
-  (``__spark_entry__.Q_ENTITY_SALIENCE_SQL`` unrolls the same
-  iterations as CTEs).
+  iteration's INPUT, which is what lets a DuckDB oracle hash-match
+  the distributed run (``__spark_entry__.Q_ENTITY_SALIENCE_SQL``
+  unrolls the same iterations as CTEs).  Caveat (not a guarantee):
+  the WITHIN-iteration double sums (contribution aggregate, dangling
+  mass) are still order-dependent, so a sum landing within one ulp of
+  a ``round_scale`` boundary could round differently across engines
+  or partitionings — per-iteration rounding makes divergence
+  overwhelmingly unlikely (it must hit a half-ulp boundary at 9 dp),
+  not impossible.  Partitioning-invariance and the cross-engine hash
+  are pinned empirically in tests; for a hard guarantee, use
+  fixed-point integer ranks (not implemented — doubles + rounding is
+  the pragmatic contract, same float-tie caveat as CLAUDE.md's
+  cross-engine oracle rule);
+* early stop: when the ROUNDED ranks reach a fixed point
+  (max |Δrank| ≤ ``tol``, checked every ``check_every`` iterations),
+  remaining iterations are provably no-ops at ``tol=0.0`` — identical
+  output to the fixed iteration count, so converged graphs don't pay
+  all ``iters`` rounds at scale.  The check is a 1-row aggregate over
+  the (vertex-count-sized, checkpointed) rank table — constant driver
+  traffic, never edge-proportional.
 
 At 10^12 edges: the join is src-partitioned (AQE skew splitting for
 hub vertices), the aggregate has map-side partials, and the rank
@@ -48,11 +64,23 @@ def pagerank(
     iters: int = 10,
     damping: float = 0.85,
     round_scale: int = 9,
+    tol: float | None = 0.0,
+    check_every: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Rank vertices of a directed graph; returns (vertex, rank).
 
     ``edges``: one row per directed edge (parallel edges count once —
     deduped here).  Ranks sum to ~1 (up to rounding).
+
+    ``tol``: early-stop tolerance on max |Δrank| between consecutive
+    ROUNDED rank vectors.  The default 0.0 stops only at an exact
+    fixed point of the rounded iteration — output is then identical
+    to running all ``iters`` rounds (every further round is a no-op),
+    so the DuckDB oracle's unrolled-CTE iterations still hash-match.
+    ``None`` disables the check (always run ``iters`` rounds).
+    ``stats`` (optional dict) receives ``{"iterations": k}`` — the
+    number of rounds actually executed.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -85,7 +113,8 @@ def pagerank(
     )
 
     base = (1.0 - damping) / n
-    for _ in range(iters):
+    done = 0
+    for i in range(iters):
         # dangling mass as an in-plan broadcast scalar (cross-joined
         # 1-row aggregate) — one Spark job per iteration, not a
         # driver collect plus the checkpoint job.  Value and rounding
@@ -99,12 +128,13 @@ def pagerank(
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
         )
         ranks = (
-            ranks.select("vertex", "deg")
+            ranks.select("vertex", "deg",
+                         F.col("rank").alias("_prev"))
             .join(contrib.withColumnRenamed("dst", "vertex"),
                   "vertex", "left")
             .crossJoin(F.broadcast(dang))
             .select(
-                "vertex", "deg",
+                "vertex", "deg", "_prev",
                 F.round(
                     F.lit(base)
                     + F.lit(damping)
@@ -113,9 +143,21 @@ def pagerank(
                     round_scale,
                 ).alias("rank"),
             )
-            .select("vertex", "rank", "deg")
+            .select("vertex", "rank", "deg", "_prev")
             .localCheckpoint(eager=True)
         )
+        done = i + 1
+        if tol is not None and done % check_every == 0 \
+                and done < iters:
+            # 1-row agg over the checkpointed vertex table (NOT the
+            # edge table): constant driver traffic per check
+            delta = ranks.agg(
+                F.max(F.abs(F.col("rank") - F.col("_prev")))
+            ).first()[0]
+            if delta is not None and delta <= tol:
+                break
+    if stats is not None:
+        stats["iterations"] = done
     return ranks.select("vertex", "rank")
 
 

@@ -67,9 +67,16 @@ def read_tac_queries(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-def read_tac_links(spark: SparkSession, path: str) -> DataFrame:
+def read_tac_links(spark: SparkSession, path: str,
+                   gold: bool = False) -> DataFrame:
     """Read the links tab file; score defaults to 1.0 when absent and
     header/short rows are dropped (reference: neleval/tac.py:137-149).
+
+    ``gold=True`` projects to the first three columns with a literal
+    1.0 score, mirroring the reference track pipeline's awk step
+    (scripts/run_tac14_evaluation.sh:24 ``{print $1,$2,$3,"1.0"}``) —
+    a real TAC gold tab carries a non-numeric 4th column (genre)
+    that must never reach the float parse or the score ordering.
 
     ``line_ord`` preserves file order (monotonically_increasing_id is
     ordered within and across the ordered file splits) so equal-score
@@ -79,13 +86,15 @@ def read_tac_links(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.csv(path, sep="\t", header=False,
                          schema="c0 string, c1 string, c2 string, c3 string")
     raw = raw.withColumn("line_ord", F.monotonically_increasing_id())
+    score = (F.lit(1.0) if gold else
+             F.coalesce(F.col("c3").cast("double"), F.lit(1.0)))
     return (
         raw.where(F.col("c2").isNotNull() & (F.col("c0") != "query_id"))
         .select(
             F.col("c0").alias("qid"),
             F.col("c1").alias("eid"),
             F.col("c2").alias("type"),
-            F.coalesce(F.col("c3").cast("double"), F.lit(1.0)).alias("score"),
+            score.alias("score"),
             F.col("line_ord"),
         )
     )
@@ -194,8 +203,13 @@ def prepare_tac(
     excluded: DataFrame | None = None,
     mapping: DataFrame | None = None,
     strict: bool = True,
+    gold: bool = False,
 ) -> DataFrame:
     """TAC queries+links → normalized mentions DataFrame.
+
+    ``gold=True`` applies the reference track pipeline's gold-tab
+    projection (first three columns + literal 1.0 score; see
+    read_tac_links).
 
     Candidate lists for queries sharing a span are concatenated then
     sorted by descending score (stable on link-file order), replicating
@@ -210,7 +224,7 @@ def prepare_tac(
     # annotations() order); unaligned links are checked against ALL
     # queries since reference exclusion happens after pairing
     queries = filter_excluded_spans(queries_all, excluded)
-    links = read_tac_links(spark, links_path)
+    links = read_tac_links(spark, links_path, gold=gold)
     if strict:
         _validate_alignment(queries, links, queries_all=queries_all)
 

@@ -236,6 +236,13 @@ def calibrate_trials(
     return out
 
 
+# _multinomial_trials collects the per-doc matrix table to the
+# driver; beyond this many docs that is a driver OOM risk, so the
+# call refuses and tells the user to use the distributed Poisson mode
+# (the at-scale default, which never materializes the doc table).
+MULTINOMIAL_MAX_DOCS = 1_000_000
+
+
 def _multinomial_trials(joined: DataFrame, n_trials: int,
                         seed: int) -> np.ndarray:
     """Exact multinomial document resampling (the reference's
@@ -246,7 +253,16 @@ def _multinomial_trials(joined: DataFrame, n_trials: int,
     ⇒ deterministic results regardless of partitioning), then chunks
     of trials draw Multinomial(N, 1/N) count vectors and matrix-
     multiply them into per-trial sums. Use the default Poisson mode at
-    scale — it never materializes the doc table."""
+    scale — it never materializes the doc table; this path is BOUNDED
+    at ``MULTINOMIAL_MAX_DOCS`` per-doc rows (≈32 MB of float64 at the
+    bound) and raises beyond it rather than OOMing the driver."""
+    n_docs_actual = joined.count()
+    if n_docs_actual > MULTINOMIAL_MAX_DOCS:
+        raise ValueError(
+            f"method='multinomial' collects the per-doc table to the "
+            f"driver and is bounded at {MULTINOMIAL_MAX_DOCS:,} docs "
+            f"(got {n_docs_actual:,}); use the distributed "
+            f"method='poisson' (the default) at this scale")
     pdf = joined.select("docid", "ptp1", "fp1", "rtp1", "fn1") \
         .orderBy("docid").toPandas()
     m = pdf[["ptp1", "fp1", "rtp1", "fn1"]].to_numpy(dtype=np.float64)
@@ -365,9 +381,13 @@ def confidence_tab_format(data: list[dict],
               + ["{:d}%(".format(p) for p in reversed(percentiles)]
               + ["score"]
               + ["){:d}%".format(p) for p in percentiles])
+    # widths pad only to the longest measure/metric NAME — no header
+    # minimum — exactly like the reference (significance.py:350-352),
+    # so output is byte-identical even when all names are short
+    # (str.format never truncates, so the header renders intact)
     measures = [entry["measure"] for entry in data]
-    measure_width = max([len(m) for m in measures] + [7])
-    metric_width = max([len(m) for m in metrics] + [6])
+    measure_width = max(len(m) for m in measures)
+    metric_width = max(len(m) for m in metrics)
     fmt = "{:%ds}\t{:%ds}" % (measure_width, metric_width)
     rows = []
     for entry in data:

@@ -191,6 +191,19 @@ def test_cli_significance_and_confidence(spark, capsys, tmp_path,
     from neleval_spark.stats.significance import (
         read_confidence_tab_format)
 
+    # byte-level width parity with reference Confidence.tab_format
+    # (significance.py:350-352): pad only to the longest NAME, no
+    # header-derived minimum — short names yield short columns
+    from neleval_spark.stats.significance import confidence_tab_format
+    short = confidence_tab_format(
+        [{"measure": "m1",
+          "overall": {"f": 0.5},
+          "intervals": {"f": {90: (0.4, 0.6)}}}],
+        metrics=("f",), percentiles=(90,))
+    slines = short.split("\n")
+    assert slines[0].startswith("measure\tmetric\t")  # never truncated
+    assert slines[1] == "m1\tf\t0.400\t0.500\t0.600"
+
     back = read_confidence_tab_format(io.StringIO(out))
     by_measure = {e["measure"]: e for e in back}
     assert set(by_measure) == {"strong_link_match",

@@ -96,6 +96,27 @@ def test_bootstrap_ci_contains_point(spark):
         assert lo > 0.5
 
 
+def test_multinomial_bootstrap_doc_bound(spark, monkeypatch):
+    """method='multinomial' collects per-doc rows to the driver; above
+    MULTINOMIAL_MAX_DOCS it must refuse with a pointer to the
+    distributed Poisson default, not OOM."""
+    import pytest
+
+    from neleval_spark.stats import (bootstrap_confidence,
+                                     per_doc_contingency)
+    from neleval_spark.stats import significance as sig
+
+    gold = _read(spark, f"{EXAMPLES}/tac_gold.combined.tsv")
+    sys_ = _read(spark, f"{EXAMPLES}/tac_system.combined.tsv")
+    pdc = per_doc_contingency(sys_, gold, "strong_all_match")
+    monkeypatch.setattr(sig, "MULTINOMIAL_MAX_DOCS", 1)
+    with pytest.raises(ValueError, match="poisson"):
+        bootstrap_confidence(pdc, n_trials=10, method="multinomial")
+    # poisson mode is unaffected by the bound
+    cis = bootstrap_confidence(pdc, n_trials=10, method="poisson")
+    assert "fscore" in cis
+
+
 # --- select-alternatives ------------------------------------------------------
 
 @pytest.mark.parametrize("fields,expected_file", [

@@ -58,6 +58,27 @@ def test_pagerank_partitioning_invariant(spark):
     assert a == b
 
 
+def test_pagerank_early_convergence_stop(spark):
+    """A symmetric ring hits the rounded fixed point (uniform ranks)
+    after one round: the default tol=0.0 stop must cut iterations
+    short AND produce output identical to the full fixed-count run."""
+    from neleval_spark.graph.pagerank import pagerank
+
+    ring = [(f"v{i}", f"v{(i + 1) % 12}") for i in range(12)]
+    df = spark.createDataFrame(ring, "src string, dst string")
+    stats = {}
+    early = {r["vertex"]: r["rank"]
+             for r in pagerank(df, iters=30, stats=stats).collect()}
+    assert stats["iterations"] < 30  # converged graphs stop early
+    full = {r["vertex"]: r["rank"]
+            for r in pagerank(df, iters=30, tol=None).collect()}
+    assert early == full  # fixed-point stop is output-identical
+    # check_every batches the convergence probes
+    stats2 = {}
+    pagerank(df, iters=30, check_every=5, stats=stats2).count()
+    assert stats2["iterations"] == 5
+
+
 def test_entity_salience_over_triples(spark):
     from neleval_spark.graph.pagerank import entity_salience
 

@@ -91,6 +91,32 @@ def test_prepare_tac_equal_score_tiebreak(spark, tmp_path):
     ]
 
 
+def test_prepare_tac_gold_projection(spark, tmp_path):
+    """gold=True mirrors the reference awk step
+    (run_tac14_evaluation.sh:24): a real TAC gold tab carries a
+    NON-NUMERIC 4th column (genre) that must neither crash the float
+    parse (ANSI cast) nor perturb score ordering — every gold
+    candidate scores a literal 1.0."""
+    from neleval_spark.sources.tac import prepare_tac
+    from neleval_spark.sources.tsv import annotations_to_tsv_lines
+
+    q = tmp_path / "q.xml"
+    q.write_text(TIE_QUERIES_XML)
+    links = tmp_path / "gold.tab"
+    links.write_text(
+        "q1\tE_one\tPER\tWB\n"
+        "q2\tE_two\tPER\tNW\n"
+        "q2\tE_three\tORG\tNW\n"
+        "q3\tNIL1\tGPE\tWB\n")
+    df = prepare_tac(spark, str(links), str(q), gold=True)
+    lines = sorted(r["value"]
+                   for r in annotations_to_tsv_lines(df).collect())
+    assert lines == [
+        "D1\t5\t9\tE_two\t1.0\tPER\tE_three\t1.0\tORG\tE_one\t1.0\tPER",
+        "D2\t1\t3\tNIL1\t1.0\tGPE",
+    ]
+
+
 def test_prepare_tac_mapping_file(spark, tmp_path):
     """Mapping file: first col canonical, rest aliases, spaces→_,
     later lines overwrite earlier (reference tac.py:83-95)."""
