@@ -1820,6 +1820,116 @@ FROM best, tot
 """
 
 
+def q_ceaf_small_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mention_ceaf through the REAL per-component assignment solver
+    (clustering.py:288 ``_solve_components_pandas``) on NON-star
+    components: mentions are bucketed into components g = orderkey %
+    200, and within each component j = (orderkey div 200) % 9 routes to
+    gold cluster j//3 and sys cluster j%3 — every overlap-graph
+    component is a complete-bipartite 3×3 block, so none hits the
+    trivial-star shortcut, yet the optimum is SQL-enumerable as the max
+    over the 6 row↔column permutations of the (integer) intersection
+    matrix.  Complements ``ceaf_star`` (which pins the star shortcut);
+    together they leave only unbounded-component Hungarian
+    (``mention_ceaf``) as rows-only."""
+    from neleval_spark.measures import get_measure
+    from neleval_spark.measures.contingency import contingency_df
+
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.lit("d").alias("docid"),
+        F.col("o_orderkey").cast("long").alias("start"),
+        (F.col("o_orderkey") + 1).cast("long").alias("end"),
+        (F.col("o_orderkey") % 200).alias("g"),
+        (F.expr("o_orderkey div 200") % 9).alias("j"),
+    )
+    gold = ords.select(
+        "docid", "start", "end",
+        F.concat(F.lit("g"), F.col("g").cast("string"), F.lit("_"),
+                 F.expr("j div 3").cast("string")).alias("eid"))
+    sys_ = ords.select(
+        "docid", "start", "end",
+        F.concat(F.lit("s"), F.col("g").cast("string"), F.lit("_"),
+                 (F.col("j") % 3).cast("string")).alias("eid"))
+    out = contingency_df(sys_, gold, get_measure("mention_ceaf"))
+    return out.select(
+        F.round("ptp", 6).alias("ptp"),
+        F.round("fp", 6).alias("fp"),
+        F.round("rtp", 6).alias("rtp"),
+        F.round("fn", 6).alias("fn"),
+    )
+
+
+# optimal 1:1 alignment of a 3×3 integer intersection matrix = max
+# over the 6 permutations (assignment value is permutation-enumerable
+# at this size; integer weights per the cross-engine float-tie rule)
+Q_CEAF_SMALL_COMPONENTS_SQL = """
+WITH m AS (SELECT o_orderkey % 200 AS g,
+                  (o_orderkey // 200) % 9 AS j FROM orders),
+cnt AS (SELECT g, j // 3 AS r, j % 3 AS s, COUNT(*) AS c
+        FROM m GROUP BY 1, 2, 3),
+mat AS (SELECT g,
+          SUM(CASE WHEN r=0 AND s=0 THEN c ELSE 0 END) AS c00,
+          SUM(CASE WHEN r=0 AND s=1 THEN c ELSE 0 END) AS c01,
+          SUM(CASE WHEN r=0 AND s=2 THEN c ELSE 0 END) AS c02,
+          SUM(CASE WHEN r=1 AND s=0 THEN c ELSE 0 END) AS c10,
+          SUM(CASE WHEN r=1 AND s=1 THEN c ELSE 0 END) AS c11,
+          SUM(CASE WHEN r=1 AND s=2 THEN c ELSE 0 END) AS c12,
+          SUM(CASE WHEN r=2 AND s=0 THEN c ELSE 0 END) AS c20,
+          SUM(CASE WHEN r=2 AND s=1 THEN c ELSE 0 END) AS c21,
+          SUM(CASE WHEN r=2 AND s=2 THEN c ELSE 0 END) AS c22
+        FROM cnt GROUP BY g),
+best AS (SELECT CAST(SUM(GREATEST(
+           c00 + c11 + c22, c00 + c12 + c21,
+           c01 + c10 + c22, c01 + c12 + c20,
+           c02 + c10 + c21, c02 + c11 + c20)) AS DOUBLE) AS num
+         FROM mat),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM m)
+SELECT ROUND(num, 6) AS ptp, ROUND(n - num, 6) AS fp,
+       ROUND(num, 6) AS rtp, ROUND(n - num, 6) AS fn
+FROM best, tot
+"""
+
+
+def q_pipeline_triples_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's hot sink (``emit_triples``,
+    pipeline/triples.py:32) hash-checked end-to-end: a deterministic
+    (url, sent_uid, eid) mention table derived from lineitem feeds the
+    REAL sink, whose groupBy + sorted-set + in-row pair expansion is
+    pure relational algebra — DuckDB replicates it as DISTINCT
+    projections and a within-sentence a<b self-join.  The full
+    pipeline (``pipeline_triples``) stays rows-only (pandas-UDF
+    extraction + NER); this closes the sink half of that gap."""
+    from neleval_spark.pipeline.triples import emit_triples
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_orderkey") % 37 == 0)
+    m = li.select(
+        F.concat(F.lit("doc_"),
+                 (F.col("l_orderkey") % 41).cast("string")).alias("url"),
+        F.col("l_linenumber").cast("long").alias("sent_uid"),
+        F.concat(F.lit("E"),
+                 (F.col("l_partkey") % 23).cast("string")).alias("eid"),
+    )
+    return emit_triples(m).drop("part_id")
+
+
+Q_PIPELINE_TRIPLES_SQL = """
+WITH m AS (
+  SELECT 'doc_' || CAST(l_orderkey % 41 AS VARCHAR) AS url,
+         CAST(l_linenumber AS BIGINT) AS sent_uid,
+         'E' || CAST(l_partkey % 23 AS VARCHAR) AS eid
+  FROM lineitem WHERE l_orderkey % 37 = 0),
+ment AS (SELECT DISTINCT url, eid FROM m),
+pairs AS (SELECT DISTINCT a.url, a.eid AS s, b.eid AS o
+          FROM m a JOIN m b
+            ON a.url = b.url AND a.sent_uid = b.sent_uid
+           AND a.eid < b.eid)
+SELECT eid AS subj, 'mentioned_in' AS pred, url AS obj, url FROM ment
+UNION ALL
+SELECT s AS subj, 'cooccurs_with' AS pred, o AS obj, url FROM pairs
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # sets measures (J1/A1)
@@ -1844,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_negative": _measure_query("pairwise_negative:None:span"),
         "mention_ceaf": q_mention_ceaf,
         "ceaf_star": q_ceaf_star,
+        "ceaf_small_components": q_ceaf_small_components,
         # row transforms / joins / windows
         "is_first": q_is_first,
         "top_candidate": q_top_candidate,
@@ -1880,8 +1991,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (rows-only)
         "multimodal_features": q_multimodal_features,
         "media_meta": q_media_meta,
-        # construction pipeline (rows-only)
+        # construction pipeline (full run rows-only; sink hash-checked)
         "pipeline_triples": q_pipeline_triples,
+        "pipeline_triples_sql": q_pipeline_triples_sql,
     }
     return qs
 
@@ -1908,7 +2020,10 @@ def oracle_sql() -> dict[str, str]:
         "pairwise": Q_PAIRWISE_SQL,
         "pairwise_negative": Q_PAIRWISE_NEGATIVE_SQL,
         "ceaf_star": Q_CEAF_STAR_SQL,
-        # mention_ceaf: omitted (Hungarian assignment — rows-only)
+        "ceaf_small_components": Q_CEAF_SMALL_COMPONENTS_SQL,
+        # mention_ceaf: omitted (UNBOUNDED-component Hungarian is not
+        # SQL; the star shortcut is pinned by ceaf_star and the real
+        # multi-edge solver by ceaf_small_components)
         "is_first": Q_IS_FIRST_SQL,
         "top_candidate": Q_TOP_CANDIDATE_SQL,
         "normalise_link": Q_NORMALISE_LINK_SQL,
@@ -1938,5 +2053,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": Q_QUALITY_SQL,
         "media_meta": Q_MEDIA_META_SQL,
         # multimodal_features: omitted (binary decode stubs)
-        # pipeline_triples: omitted (pandas UDFs + iterative CC)
+        # pipeline_triples: omitted (pandas UDFs + iterative CC);
+        # the sink itself is hash-checked by pipeline_triples_sql
+        "pipeline_triples_sql": Q_PIPELINE_TRIPLES_SQL,
     }
