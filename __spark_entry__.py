@@ -1723,21 +1723,67 @@ ORDER BY asset_id
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing (full pixel decode stubbed, deterministic
-    fake features) — rows-only check; header-level decode is
-    value-checked by ``media_meta``."""
+    """Default feature extraction over REAL container bytes, exactly
+    oracle-checked: ``synth_media_assets`` builds genuine GIF/WAV/MP4
+    blobs whose parameters are integer arithmetic on (o_orderkey,
+    o_custkey); the Spark path must PARSE those bytes
+    (``header_feature`` → decode_headers) while the DuckDB oracle
+    predicts every vector component arithmetically.  Error rows
+    (headerless filler) pin the never-fail contract.  Content-level
+    (pixel/sample) features remain the documented fake behind
+    ``fake_feature`` — the only remaining stub."""
     from neleval_spark.functions.multimodal import (
-        bucketed, extract_features, synth_assets)
+        extract_features, synth_media_assets)
 
-    assets = bucketed(synth_assets(spark, 200))
-    feats = extract_features(assets.drop("bucket"))
-    return (
-        feats.groupBy("kind")
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum(F.element_at("feature", 1)), 4)
-             .alias("f0_sum"))
-        .orderBy("kind")
-    )
+    keys = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderkey") % 23 == 0)
+        .select(F.col("o_orderkey").cast("long").alias("k"),
+                F.col("o_custkey").cast("long").alias("c")))
+    feats = extract_features(synth_media_assets(keys))
+    f = lambda i: F.element_at("feature", i).cast("double")  # noqa: E731
+    return feats.select(
+        "asset_id",
+        f(1).alias("ok"), f(2).alias("fmt"),
+        f(3).alias("width"), f(4).alias("height"),
+        f(5).alias("channels"), f(6).alias("rate_hz"),
+        f(7).alias("bits"), f(8).alias("dur_ms"),
+        f(9).alias("n_bytes"))
+
+
+Q_MULTIMODAL_FEATURES_SQL = """
+WITH p AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+         o_orderkey % 3 AS kind3, (o_orderkey % 17 = 0) AS bad,
+         10 + (o_orderkey % 100) AS fill,
+         1 + (o_orderkey % 1024) AS w, 1 + (o_custkey % 1024) AS h,
+         1 + (o_orderkey % 2) AS ch, 1 + (o_custkey % 3) AS r,
+         48 * (5 + (o_custkey % 40)) AS ns,
+         500 + (o_custkey % 9999) AS d
+  FROM orders WHERE o_orderkey % 23 = 0)
+SELECT 'm' || CAST(k AS VARCHAR) AS asset_id,
+  CASE WHEN bad THEN 0.0 ELSE 1.0 END AS ok,
+  CAST(CASE WHEN bad THEN 0 WHEN kind3 = 0 THEN 2
+            WHEN kind3 = 1 THEN 4 ELSE 5 END AS DOUBLE) AS fmt,
+  CAST(CASE WHEN NOT bad AND kind3 = 0 THEN w ELSE 0 END
+       AS DOUBLE) AS width,
+  CAST(CASE WHEN NOT bad AND kind3 = 0 THEN h ELSE 0 END
+       AS DOUBLE) AS height,
+  CAST(CASE WHEN NOT bad AND kind3 = 1 THEN ch ELSE 0 END
+       AS DOUBLE) AS channels,
+  CAST(CASE WHEN NOT bad AND kind3 = 1 THEN 8000 * r ELSE 0 END
+       AS DOUBLE) AS rate_hz,
+  CAST(CASE WHEN NOT bad AND kind3 = 1 THEN 16 ELSE 0 END
+       AS DOUBLE) AS bits,
+  CAST(CASE WHEN bad THEN 0
+            WHEN kind3 = 1 THEN (1000 * ns) // (8000 * r)
+            WHEN kind3 = 2 THEN d ELSE 0 END AS DOUBLE) AS dur_ms,
+  CAST(CASE WHEN bad THEN fill
+            WHEN kind3 = 0 THEN 10 + fill
+            WHEN kind3 = 1 THEN 44 + ns * ch * 2
+            ELSE 52 + fill END AS DOUBLE) AS n_bytes
+FROM p
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1988,7 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id": q_lang_id,
         "quality": q_quality,
-        # multimodal plumbing (rows-only)
+        # multimodal
         "multimodal_features": q_multimodal_features,
         "media_meta": q_media_meta,
         # construction pipeline (full run rows-only; sink hash-checked)
@@ -2052,7 +2098,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": Q_LANG_ID_SQL,
         "quality": Q_QUALITY_SQL,
         "media_meta": Q_MEDIA_META_SQL,
-        # multimodal_features: omitted (binary decode stubs)
+        "multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
         # pipeline_triples: omitted (pandas UDFs + iterative CC);
         # the sink itself is hash-checked by pipeline_triples_sql
         "pipeline_triples_sql": Q_PIPELINE_TRIPLES_SQL,

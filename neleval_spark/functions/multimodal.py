@@ -1,16 +1,21 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched UDFs.
 
-The decode step is STUBBED — the image/audio libraries are not in this
-container — behind ``decode_stub`` (NotImplementedError) and a
-deterministic fake used by tests/benchmarks. What IS real and tested:
-the asset schema, the partitioning strategy (bucket by asset id so a
-re-run co-locates), the ``mapInPandas`` batch shapes, and the
-feature-table contract downstream ops consume (fixed-length
-``array<float>`` + metadata map).
+What is REAL here: container-header decode (PNG/JPEG/GIF dims, WAV
+audio params, MP4 duration/dims — :func:`decode_headers`), the default
+feature extractor built on it (:func:`header_feature` — integer-valued
+header stats, exactly oracle-checkable), the asset schema, the
+partitioning strategy (bucket by asset id so a re-run co-locates), the
+``mapInPandas`` batch shapes, and the feature-table contract
+downstream ops consume (fixed-length ``array<float>`` + metadata map).
 
-Swap ``FEATURE_FN`` for a real decoder (PIL/torchaudio/decord) when
-deploying; nothing else changes.
+What is STUBBED (no media codecs ship in this container): pixel /
+sample / frame CONTENT decode — ``decode_stub`` raises, and
+``sample_frames``' pixel payload plus :func:`fake_feature` are
+clearly-marked deterministic fakes kept only where actual content
+decoding would be required.  Swap ``FEATURE_FN`` / the frame decoder
+for a real binding (PIL/torchaudio/decord) when deploying; nothing
+else changes.
 """
 
 from __future__ import annotations
@@ -197,9 +202,11 @@ def extract_media_meta(assets: DataFrame) -> DataFrame:
 
 
 def fake_feature(data: bytes, kind: str, dim: int = FEATURE_DIM):
-    """Deterministic stand-in feature extractor: sha256 bytes → unit
-    vector. Pure function of the asset bytes, so tests can pin
-    outputs."""
+    """Deterministic stand-in for a CONTENT (pixel/sample) feature
+    extractor: sha256 bytes → unit vector. Pure function of the asset
+    bytes, so tests can pin outputs. Kept only for content-level
+    features (which need codecs this container lacks); the default
+    ``FEATURE_FN`` is the real :func:`header_feature`."""
     h = hashlib.sha256(kind.encode() + b"\x00" + (data or b"")).digest()
     v = np.frombuffer(h[: dim * 2], dtype=np.uint16).astype(np.float32)
     v = v - v.mean()
@@ -207,7 +214,45 @@ def fake_feature(data: bytes, kind: str, dim: int = FEATURE_DIM):
     return (v / n if n else v).tolist()
 
 
-FEATURE_FN = fake_feature
+_FORMAT_CODE = {"png": 1, "gif": 2, "jpeg": 3, "wav": 4, "mp4": 5}
+
+
+def header_feature(data: bytes, kind: str, dim: int = FEATURE_DIM):
+    """REAL default feature extractor: a fixed-dim vector of decoded
+    container-header stats —
+
+      [0] decode_ok (1/0)      [1] format code (png1 gif2 jpeg3 wav4
+      [2] width                    mp4 5; 0 on failure)
+      [3] height               [4] channels
+      [5] sample_rate_hz       [6] bits_per_sample
+      [7] duration_ms          [8] n_bytes          [9..] zero pad
+
+    Every component is integer-valued by construction (the
+    cross-engine float-tie rule: exact equality survives any engine's
+    float handling), so the driver oracle can predict the whole vector
+    arithmetically from an asset table's generating parameters while
+    THIS path earns it by parsing the actual bytes.  Undecodable input
+    yields the zero vector with only n_bytes set — never an error."""
+    import struct
+
+    v = [0.0] * dim
+    v[8] = float(len(data or b""))
+    try:
+        meta = decode_headers(data, kind)
+    except (ValueError, struct.error):
+        return v
+    v[0] = 1.0
+    v[1] = float(_FORMAT_CODE.get(meta.get("format"), 0))
+    v[2] = float(meta.get("width", 0))
+    v[3] = float(meta.get("height", 0))
+    v[4] = float(meta.get("channels", 0))
+    v[5] = float(meta.get("sample_rate_hz", 0))
+    v[6] = float(meta.get("bits_per_sample", 0))
+    v[7] = float(meta.get("duration_ms", 0))
+    return v
+
+
+FEATURE_FN = header_feature
 
 
 def extract_features(assets: DataFrame,
@@ -260,6 +305,67 @@ def synth_assets(spark, n: int, seed: int = 42) -> DataFrame:
                                               "bytes", "meta"])
 
     return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def synth_media_assets(keys: DataFrame) -> DataFrame:
+    """Deterministic REAL container bytes from an integer key table
+    ``(k long, c long)``: kind cycles GIF image / WAV audio / MP4
+    video by ``k % 3``, and every container parameter is integer
+    arithmetic on (k, c) —
+
+      * GIF:  w = 1 + k%1024, h = 1 + c%1024
+      * WAV:  channels 1 + k%2, rate 8000*(1 + c%3), 16-bit,
+              n_samples 48*(5 + c%40) (48 divides evenly by every
+              rate/1000, so duration_ms is an exact integer)
+      * MP4:  mvhd timescale 1000, duration 500 + c%9999 ms
+      * k%17==0 rows: headerless filler only (decode-error coverage)
+
+    plus ``10 + k%100`` trailing filler bytes of value ``k%251``.
+    Because the parameters are plain arithmetic, an external oracle
+    (DuckDB) can predict :func:`header_feature`'s output per asset
+    WITHOUT parsing bytes — while the Spark path must actually parse
+    the real containers it builds here.  Used by the
+    ``multimodal_features`` driver oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def build(k: int, c: int) -> tuple[str, bytes]:
+            kind = ("image", "audio", "video")[k % 3]
+            filler = bytes([k % 251]) * (10 + k % 100)
+            if k % 17 == 0:
+                return kind, filler
+            if kind == "image":
+                w, h = 1 + k % 1024, 1 + c % 1024
+                return kind, b"GIF89a" + struct.pack("<HH", w, h) + filler
+            if kind == "audio":
+                ch, rate = 1 + k % 2, 8000 * (1 + c % 3)
+                n_samples = 48 * (5 + c % 40)
+                dsize = n_samples * ch * 2
+                fmt = struct.pack("<HHIIHH", 1, ch, rate,
+                                  ch * rate * 2, ch * 2, 16)
+                body = (b"fmt " + struct.pack("<I", 16) + fmt
+                        + b"data" + struct.pack("<I", dsize)
+                        + bytes([k % 251]) * dsize)
+                return kind, (b"RIFF" + struct.pack("<I", 4 + len(body))
+                              + b"WAVE" + body)
+            dur = 500 + c % 9999
+            mvhd = (struct.pack(">I", 28) + b"mvhd" + b"\x00\x00\x00\x00"
+                    + struct.pack(">IIII", 0, 0, 1000, dur))
+            moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+            ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+            return kind, ftyp + moov + filler
+
+        for pdf in batches:
+            rows = []
+            for k, c in zip(pdf["k"], pdf["c"]):
+                kind, blob = build(int(k), int(c))
+                rows.append({"asset_id": f"m{int(k)}", "kind": kind,
+                             "bytes": blob, "meta": {}})
+            yield pd.DataFrame(rows, columns=["asset_id", "kind",
+                                              "bytes", "meta"])
+
+    return keys.select("k", "c").mapInPandas(gen, schema=ASSET_SCHEMA)
 
 
 def bucketed(assets: DataFrame, n_buckets: int = 64) -> DataFrame:

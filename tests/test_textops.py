@@ -207,6 +207,60 @@ def test_decode_headers_pure():
         decode_headers(b"\x00" * 64)
 
 
+def test_header_feature_pinned():
+    """Default FEATURE_FN is the real header-derived vector:
+    [ok, fmt, w, h, ch, rate, bits, dur_ms, n_bytes, 0...]."""
+    from neleval_spark.functions.multimodal import (
+        FEATURE_DIM, FEATURE_FN, header_feature)
+
+    assert FEATURE_FN is header_feature
+    png = _png(640, 480)
+    v = header_feature(png, "image")
+    assert v[:9] == [1.0, 1.0, 640.0, 480.0, 0.0, 0.0, 0.0, 0.0,
+                     float(len(png))]
+    assert v[9:] == [0.0] * (FEATURE_DIM - 9)
+    wav = _wav(rate=8000, n_samples=4000)
+    assert header_feature(wav, "audio")[:9] == [
+        1.0, 4.0, 0.0, 0.0, 1.0, 8000.0, 16.0, 500.0, float(len(wav))]
+    # undecodable input: zero vector + n_bytes, never an error
+    assert header_feature(b"\x00" * 64, "image")[:9] == [
+        0.0] * 8 + [64.0]
+    assert header_feature(None, "image")[8] == 0.0
+
+
+def test_synth_media_assets_real_containers(spark):
+    """synth_media_assets emits PARSEABLE containers whose header
+    params equal the generating arithmetic (the oracle contract)."""
+    from neleval_spark.functions.multimodal import (
+        decode_headers, synth_media_assets)
+
+    keys = spark.createDataFrame(
+        [(k, 7 * k + 3) for k in range(1, 60)], "k long, c long")
+    rows = {r["asset_id"]: r
+            for r in synth_media_assets(keys).collect()}
+    assert len(rows) == 59
+    for k in range(1, 60):
+        c = 7 * k + 3
+        r = rows[f"m{k}"]
+        if k % 17 == 0:
+            with pytest.raises(ValueError):
+                decode_headers(r["bytes"])
+            continue
+        meta = decode_headers(r["bytes"])
+        if k % 3 == 0:
+            assert (meta["format"], meta["width"], meta["height"]) == \
+                ("gif", 1 + k % 1024, 1 + c % 1024)
+        elif k % 3 == 1:
+            assert meta["format"] == "wav"
+            assert meta["channels"] == 1 + k % 2
+            assert meta["sample_rate_hz"] == 8000 * (1 + c % 3)
+            assert meta["duration_ms"] == \
+                (1000 * 48 * (5 + c % 40)) // (8000 * (1 + c % 3))
+        else:
+            assert meta["format"] == "mp4"
+            assert meta["duration_ms"] == 500 + c % 9999
+
+
 def test_extract_media_meta_spark(spark):
     """Distributed header decode: one mapInPandas hop, undecodable
     rows carry error instead of failing the job."""
