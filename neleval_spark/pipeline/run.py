@@ -28,7 +28,7 @@ from .triples import emit_triples
 def build_mentions(pages: DataFrame, kb: DataFrame,
                    use_stored_text: bool = False) -> DataFrame:
     """web_pages + alias dict → linked, canonicalized mentions."""
-    from .ner import extract_and_detect
+    from .ner import extract_and_detect, gazetteer_from_kb
 
     from .candidates import with_context_features
 
@@ -37,11 +37,15 @@ def build_mentions(pages: DataFrame, kb: DataFrame,
     # measurement) — a conf.set here would leak into the caller's
     # session permanently, so it lives with the session factory.
     pages = pages.where(F.col("lang") == "en")
+    # the alias dim doubles as the tagger's dictionary (ner.py):
+    # known names are found by longest-match even where the casing
+    # heuristics alone would hesitate
+    gaz = gazetteer_from_kb(kb)
     if use_stored_text:
-        mentions = detect_mentions(pages)
+        mentions = detect_mentions(pages, gazetteer=gaz)
     else:
         # extraction + NER fused into one Python hop (see ner.py)
-        mentions = extract_and_detect(pages)
+        mentions = extract_and_detect(pages, gazetteer=gaz)
     # candidate gen (broadcast join — no shuffle) and the
     # context-feature projection run in the SAME stage as NER, so the
     # wide context strings are dropped BEFORE the exchange; the
