@@ -85,12 +85,18 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 60,
     driver_max_edges: int = DRIVER_CC_MAX_EDGES,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Compute connected components of an undirected graph.
 
     Parameters
     ----------
     edges : DataFrame with two string columns ``src`` and ``dst``.
+    stats : optional dict; receives ``{"driver_path": bool,
+        "rounds": k, "round_edges": [n1, ...]}`` — the per-round edge
+        counts come free from the convergence signature and are the
+        skew-safety witness (a hot hub must never expand the edge
+        multiset quadratically; see tests/test_graph_cc.py).
 
     Returns
     -------
@@ -105,9 +111,13 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    if stats is not None:
+        stats.update(driver_path=False, rounds=0, round_edges=[])
     if driver_max_edges:
         sample = e0.limit(driver_max_edges + 1).collect()
         if len(sample) <= driver_max_edges:
+            if stats is not None:
+                stats["driver_path"] = True
             from ..functions.unionfind import UnionFind
 
             uf = UnionFind()
@@ -130,9 +140,12 @@ def connected_components(
 
     e = e0.where(F.col("a") != F.col("b"))
     prev_sig = None
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         sig = _signature(e)
+        if stats is not None:
+            stats["rounds"] = i + 1
+            stats["round_edges"].append(sig[0])
         if sig == prev_sig:
             break
         prev_sig = sig
