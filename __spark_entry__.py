@@ -1561,12 +1561,15 @@ def q_lang_id(spark, sf_dir):
 
 def _lang_id_sql() -> str:
     """DuckDB oracle for q_lang_id, generated from the SAME
-    CHAR_TRIGRAM_PROFILES constant the Spark path uses: space-padded
-    lowercase letter trigrams, per-language integer-weight sums via a
-    CASE lookup, argmax with the same fixed-order tie-break.  Integer
-    weights ⇒ cross-engine classification is exact."""
+    CHAR_TRIGRAM_PROFILES / SCRIPT_PATTERNS / SCRIPT_LANGS constants
+    the Spark path uses: script counts via single-char regexes
+    (length-diff trick), space-padded lowercase letter trigrams,
+    per-language integer-weight sums via a CASE lookup, and the same
+    fixed-order decision chain.  Integer arithmetic throughout ⇒
+    cross-engine classification is exact."""
     from neleval_spark.functions.textops import (
-        CHAR_TRIGRAM_PROFILES, trigram_weights)
+        CHAR_TRIGRAM_PROFILES, SCRIPT_LANGS, SCRIPT_PATTERNS,
+        trigram_weights)
 
     score_cols = []
     for lang in CHAR_TRIGRAM_PROFILES:
@@ -1576,26 +1579,43 @@ def _lang_id_sql() -> str:
         score_cols.append(
             "coalesce(list_sum(list_transform(tris, "
             f"x -> CASE x {cases} ELSE 0 END)), 0) AS s_{lang}")
+    script_cols = [
+        f"length(text) - length(regexp_replace(text, '{pat}', '', "
+        f"'g')) AS c_{name}"
+        for name, pat in SCRIPT_PATTERNS.items()]
+
+    langs = list(CHAR_TRIGRAM_PROFILES)
+    tri_best = "GREATEST(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    latin_case = (
+        f"CASE WHEN {tri_best} <= 0 THEN 'und' "
+        + " ".join(f"WHEN s_{lg} = {tri_best} THEN '{lg}'"
+                   for lg in langs[:-1])
+        + f" ELSE '{langs[-1]}' END")
+    scr_best = ("GREATEST(c_latin, "
+                + ", ".join(f"c_{s}" for s, _ in SCRIPT_LANGS)
+                + ", c_han + c_kana)")
+    guess_case = (
+        f"CASE WHEN {scr_best} = 0 THEN 'und' "
+        f"WHEN c_latin = {scr_best} THEN {latin_case} "
+        + " ".join(f"WHEN c_{s} = {scr_best} THEN '{lg}'"
+                   for s, lg in SCRIPT_LANGS)
+        + " ELSE (CASE WHEN 2 * c_kana > c_han THEN 'ja' "
+          "ELSE 'zh' END) END")
     return (
-        "WITH norm AS (SELECT lang, ' ' || "
+        "WITH norm AS (SELECT lang, text, ' ' || "
         "regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' ' "
         "AS t FROM documents),\n"
-        "tri AS (SELECT lang, list_transform("
+        "tri AS (SELECT lang, text, list_transform("
         "range(1, CAST(greatest(length(t) - 1, 1) AS BIGINT)), "
         "i -> substring(t, CAST(i AS INT), 3)) AS tris FROM norm),\n"
         "scored AS (SELECT lang, "
-        + ", ".join(score_cols)
-        + """ FROM tri),
-guessed AS (
-  SELECT lang,
-         CASE WHEN GREATEST(s_en, s_de, s_fr) <= 0 THEN 'und'
-              WHEN s_en = GREATEST(s_en, s_de, s_fr) THEN 'en'
-              WHEN s_de = GREATEST(s_en, s_de, s_fr) THEN 'de'
-              ELSE 'fr' END AS lang_guess
-  FROM scored)
-SELECT lang, lang_guess, COUNT(*) AS n
-FROM guessed GROUP BY 1, 2 ORDER BY 1, 2
-""")
+        + ", ".join(score_cols) + ", "
+        + ", ".join(script_cols)
+        + " FROM tri),\n"
+        "guessed AS (SELECT lang, " + guess_case + " AS lang_guess "
+        "FROM scored)\n"
+        "SELECT lang, lang_guess, COUNT(*) AS n\n"
+        "FROM guessed GROUP BY 1, 2 ORDER BY 1, 2\n")
 
 
 Q_LANG_ID_SQL = _lang_id_sql()

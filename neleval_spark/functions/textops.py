@@ -323,6 +323,106 @@ CHAR_TRIGRAM_PROFILES = {
 }
 
 
+# Embedded training text for the round-4 profile additions; the
+# profiles are DERIVED from these with the exact normalization the
+# classifier applies (Cavnar-Trenkle: rank the most frequent space-
+# padded trigrams).  Profiles are data, not code — at real scale swap
+# in corpus-trained profiles built the same way.
+_LATIN_TRAIN = {
+    "es": (
+        "el gobierno anunció ayer una nueva política económica para "
+        "las ciudades más grandes del país. los investigadores "
+        "estudian desde hace años estas cuestiones en sus "
+        "laboratorios. la comisión publicó su informe anual sobre el "
+        "crecimiento económico y el empleo esta mañana. cuando los "
+        "estudiantes discuten sus ideas la comprensión mejora mucho. "
+        "no hay nada más importante que la educación de los niños en "
+        "todas las regiones del mundo. esto es una de las preguntas "
+        "que se hacen los científicos cada día en su trabajo."),
+    "it": (
+        "il governo ha annunciato ieri una nuova politica economica "
+        "per le città più grandi del paese. i ricercatori studiano da "
+        "anni queste questioni nei loro laboratori. la commissione ha "
+        "pubblicato questa mattina il suo rapporto annuale sulla "
+        "crescita economica e sull'occupazione. quando gli studenti "
+        "discutono le loro idee la comprensione migliora molto. non "
+        "c'è niente di più importante dell'educazione dei bambini in "
+        "tutte le regioni del mondo. questa è una delle domande che "
+        "gli scienziati si pongono ogni giorno nel loro lavoro."),
+    "pt": (
+        "o governo anunciou ontem uma nova política econômica para as "
+        "maiores cidades do país. os pesquisadores estudam há anos "
+        "estas questões nos seus laboratórios. a comissão publicou "
+        "esta manhã o seu relatório anual sobre o crescimento "
+        "econômico e o emprego. quando os estudantes discutem as suas "
+        "ideias a compreensão melhora muito. não há nada mais "
+        "importante do que a educação das crianças em todas as "
+        "regiões do mundo. esta é uma das perguntas que os cientistas "
+        "fazem todos os dias no seu trabalho."),
+    "nl": (
+        "de regering heeft gisteren een nieuw economisch beleid "
+        "aangekondigd voor de grootste steden van het land. "
+        "onderzoekers bestuderen deze vragen al jaren in hun "
+        "laboratoria. de commissie publiceerde vanochtend haar "
+        "jaarverslag over de economische groei en de "
+        "werkgelegenheid. wanneer studenten hun ideeën bespreken "
+        "verbetert het begrip aanzienlijk. er is niets belangrijker "
+        "dan het onderwijs van kinderen in alle regio's van de "
+        "wereld. dit is een van de vragen die wetenschappers zich "
+        "elke dag stellen in hun werk."),
+    "sv": (
+        "regeringen tillkännagav i går en ny ekonomisk politik för "
+        "landets största städer. forskare har i många år studerat "
+        "dessa frågor i sina laboratorier. kommissionen publicerade i "
+        "morse sin årliga rapport om den ekonomiska tillväxten och "
+        "sysselsättningen. när studenterna diskuterar sina idéer "
+        "förbättras förståelsen avsevärt. det finns ingenting "
+        "viktigare än utbildningen av barn i alla regioner i "
+        "världen. detta är en av de frågor som forskarna ställer sig "
+        "varje dag i sitt arbete."),
+}
+
+
+def _derive_profile(text: str, k: int = 45) -> list[str]:
+    """Top-k space-padded lowercase-letter trigrams of ``text`` under
+    the classifier's own normalization; count-desc then lexicographic
+    for determinism.  The all-space trigram carries no signal."""
+    import re as _re
+    from collections import Counter
+
+    t = " " + _re.sub("[^a-z]+", " ", text.lower()) + " "
+    c = Counter(t[i:i + 3] for i in range(len(t) - 2))
+    c.pop("   ", None)
+    return [g for g, _ in sorted(c.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))[:k]]
+
+
+CHAR_TRIGRAM_PROFILES.update(
+    {lg: _derive_profile(txt) for lg, txt in _LATIN_TRAIN.items()})
+
+
+# Unicode-script character classes (literal BMP ranges — identical
+# semantics in Java regex and RE2, so the DuckDB oracle can reuse
+# them verbatim).  Non-Latin languages are identified by dominant
+# script (the CLD-style first stage); only Latin text proceeds to the
+# trigram profiles.
+SCRIPT_PATTERNS = {
+    "latin": "[A-Za-zÀ-ɏ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "arabic": "[؀-ۿ]",
+    "devanagari": "[ऀ-ॿ]",
+    "hangul": "[가-힣]",
+    "kana": "[぀-ヿ]",
+    "han": "[一-鿿]",
+}
+
+SCRIPT_LANGS = [  # fixed priority order (mirrored in the SQL oracle)
+    ("cyrillic", "ru"), ("greek", "el"), ("arabic", "ar"),
+    ("devanagari", "hi"), ("hangul", "ko"),
+]
+
+
 def trigram_weights(lang: str) -> dict[str, int]:
     """trigram → integer weight (descending rank) for one profile."""
     tris = CHAR_TRIGRAM_PROFILES[lang]
@@ -344,18 +444,29 @@ def _char_trigrams(text_col) -> F.Column:
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Character-trigram language guess: per language, sum the profile
-    weights of every trigram in the document; argmax wins (fixed
-    profile order breaks ties, zero total ⇒ 'und').
+    """Two-stage language guess over 15 languages (CLD-style):
+
+    1. **Script detection** — count characters per Unicode script
+       (``SCRIPT_PATTERNS``); the dominant script decides directly for
+       ru/el/ar/hi/ko, and CJK resolves ja-vs-zh by kana share
+       (Japanese prose is kana-heavy: ja iff 2·kana > han).
+    2. **Trigram profiles** — Latin-script text goes to the Cavnar-
+       Trenkle rank-profile argmax over en/de/fr/es/it/pt/nl/sv
+       (fixed profile order breaks ties, zero total ⇒ 'und').
+
+    Everything is integer arithmetic (cross-engine float-tie rule),
+    so the DuckDB oracle reproduces the classification exactly.
 
     Plan shape: the profiles are tiny map literals evaluated inside
-    one narrow projection (``aggregate`` over the trigram array) — no
+    one narrow projection (``aggregate`` over the trigram array) and
+    the script counters are ``regexp_count`` projections — no
     explode, no join, no shuffle; the per-doc work is O(len(text) ×
     n_languages) inside whole-stage codegen.  A corpus-trained
     profile TABLE would broadcast-join the exploded trigrams instead;
     at 10^12 docs the literal-map form is strictly better (no
     mention-scale explode)."""
-    tris = _char_trigrams(F.col(text_col))
+    text = F.col(text_col)
+    tris = _char_trigrams(text)
     scores = []
     for lang in CHAR_TRIGRAM_PROFILES:
         wmap = F.create_map(*[
@@ -367,14 +478,32 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 lambda acc, t: acc + F.coalesce(  # noqa: B023
                     F.try_element_at(wmap, t), F.lit(0)),  # noqa: B023
             ).alias(f"s_{lang}"))
-    scored = docs.select("*", *scores)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).alias(f"c_{name}")
+        for name, pat in SCRIPT_PATTERNS.items()]
+    scored = docs.select("*", *scores, *counts)
+
     langs = list(CHAR_TRIGRAM_PROFILES)
-    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
-    guess = F.when(best <= 0, F.lit("und"))
+    tri_best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    latin_guess = F.when(tri_best <= 0, F.lit("und"))
     for lg in langs:  # first max wins, fixed order
-        guess = guess.when(F.col(f"s_{lg}") == best, F.lit(lg))
+        latin_guess = latin_guess.when(
+            F.col(f"s_{lg}") == tri_best, F.lit(lg))
+
+    cjk = F.col("c_han") + F.col("c_kana")
+    scr_best = F.greatest(
+        F.col("c_latin"),
+        *[F.col(f"c_{s}") for s, _ in SCRIPT_LANGS], cjk)
+    guess = F.when(scr_best == 0, F.lit("und")) \
+        .when(F.col("c_latin") == scr_best, latin_guess)
+    for script, lg in SCRIPT_LANGS:
+        guess = guess.when(F.col(f"c_{script}") == scr_best, F.lit(lg))
+    guess = guess.otherwise(  # CJK: kana share separates ja from zh
+        F.when(2 * F.col("c_kana") > F.col("c_han"), F.lit("ja"))
+        .otherwise(F.lit("zh")))
     return scored.withColumn("lang_guess", guess).drop(
-        *[f"s_{lg}" for lg in langs])
+        *[f"s_{lg}" for lg in langs],
+        *[f"c_{name}" for name in SCRIPT_PATTERNS])
 
 
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:

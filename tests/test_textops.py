@@ -565,3 +565,80 @@ def test_lang_id_trigram_accuracy_mixed(spark):
     got = {r["doc_id"]: r["lang_guess"] for r in lang_id(d).collect()}
     exp = {r[0]: r[2] for r in rows}
     assert got == exp
+
+
+def test_lang_id_15_languages_heldout(spark):
+    """Held-out accuracy sweep over all 15 supported languages (none
+    of these sentences appear in the embedded training snippets);
+    asserts a clean confusion-matrix diagonal. Script languages take
+    the Unicode-script stage; Latin languages the trigram stage."""
+    from collections import defaultdict
+
+    from neleval_spark.functions.textops import lang_id
+
+    heldout = [
+        ("en", "We expect the weather to improve before the weekend "
+               "so the match can be played outside."),
+        ("en", "She wrote a long letter to her brother about the trip "
+               "and the people they had met."),
+        ("de", "Der Zug nach Berlin hatte wegen eines Unwetters mehr "
+               "als zwei Stunden Verspätung."),
+        ("de", "Im Herbst werden die Blätter bunt und viele Menschen "
+               "wandern durch die Wälder."),
+        ("fr", "Nous avons visité le musée avant de prendre le train "
+               "pour rentrer à la maison."),
+        ("fr", "Il faut beaucoup de patience pour apprendre à jouer "
+               "du piano correctement."),
+        ("es", "Mi hermana quiere viajar a la montaña este verano con "
+               "sus amigos de la universidad."),
+        ("es", "Los niños juegan en el parque mientras sus padres "
+               "preparan la comida."),
+        ("it", "Domani andiamo al mare con gli amici se il tempo "
+               "rimane bello tutta la giornata."),
+        ("it", "Il treno per Milano parte alle otto dal secondo "
+               "binario della stazione centrale."),
+        ("pt", "Amanhã vamos à praia com os amigos se o tempo "
+               "continuar bom durante todo o dia."),
+        ("pt", "As crianças brincam no parque enquanto os pais "
+               "preparam o almoço de domingo."),
+        ("nl", "Morgen gaan we met de fiets naar de markt om verse "
+               "groenten en fruit te kopen."),
+        ("nl", "Het museum is op maandag gesloten maar de rest van de "
+               "week geopend voor bezoekers."),
+        ("sv", "I morgon åker vi till stranden med vännerna om vädret "
+               "fortsätter att vara fint."),
+        ("sv", "Barnen leker i parken medan föräldrarna lagar middag "
+               "hemma i köket."),
+        ("ru", "Правительство объявило вчера новую экономическую "
+               "политику для крупнейших городов страны."),
+        ("ru", "Дети играют в парке, пока родители готовят обед."),
+        ("el", "Η κυβέρνηση ανακοίνωσε χθες μια νέα οικονομική "
+               "πολιτική για τις μεγαλύτερες πόλεις της χώρας."),
+        ("el", "Τα παιδιά παίζουν στο πάρκο ενώ οι γονείς ετοιμάζουν "
+               "το φαγητό."),
+        ("ar", "أعلنت الحكومة أمس عن سياسة اقتصادية جديدة لأكبر مدن "
+               "البلاد."),
+        ("ar", "يلعب الأطفال في الحديقة بينما يعد الآباء الطعام."),
+        ("hi", "सरकार ने कल देश के सबसे बड़े शहरों के लिए एक नई "
+               "आर्थिक नीति की घोषणा की।"),
+        ("hi", "बच्चे बगीचे में खेलते हैं जबकि माता-पिता खाना बनाते "
+               "हैं।"),
+        ("ko", "정부는 어제 국가의 가장 큰 도시들을 위한 새로운 경제 "
+               "정책을 발표했다."),
+        ("ko", "아이들은 부모가 저녁을 준비하는 동안 공원에서 논다."),
+        ("ja", "政府は昨日、国内の大都市のための新しい経済政策を発表"
+               "しました。"),
+        ("ja", "子供たちは公園で遊んでいて、親は夕食を作っています。"),
+        ("zh", "政府昨天宣布了针对全国大城市的新经济政策。"),
+        ("zh", "孩子们在公园里玩耍，父母在家准备晚饭。"),
+    ]
+    rows = [(i, t, lg) for i, (lg, t) in enumerate(heldout)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, "
+                              "expected string")
+    got = {r["doc_id"]: r["lang_guess"] for r in lang_id(d).collect()}
+    confusion = defaultdict(int)
+    for i, (lg, _) in enumerate(heldout):
+        confusion[(lg, got[i])] += 1
+    off_diagonal = {k: v for k, v in confusion.items() if k[0] != k[1]}
+    assert not off_diagonal, (
+        f"misclassified: {off_diagonal}; full matrix: {dict(confusion)}")
