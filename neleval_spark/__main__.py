@@ -493,7 +493,17 @@ def cmd_plot_systems(args):
         has_mpl = True
     except ImportError:
         has_mpl = False
-    if args.out_fmt and has_mpl:
+    if args.out_fmt and args.out_fmt.endswith(".svg"):
+        # dependency-free built-in renderer (figures.py) — real image
+        # artifacts even without matplotlib
+        from .figures import render_figure_svg
+
+        for fig in figures:
+            path = args.out_fmt.format(name=fig["figure"])
+            with open(path, "w") as f:
+                f.write(render_figure_svg(fig))
+            print(path)
+    elif args.out_fmt and has_mpl:
         import matplotlib.pyplot as plt
 
         for fig in figures:
