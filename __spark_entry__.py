@@ -1621,6 +1621,74 @@ def _lang_id_sql() -> str:
 Q_LANG_ID_SQL = _lang_id_sql()
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing (textops.pack_sequences): per-lang
+    shards, 512-token chunks; the whole layout (start offsets, chunk
+    ids, span counts) is integer window arithmetic, reproduced
+    exactly by the DuckDB oracle."""
+    from neleval_spark.functions.textops import pack_sequences
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(d, capacity=512).select(
+        "doc_id", "lang", "pack_weight", "pack_start",
+        "chunk_id", "chunk_offset", "n_chunks")
+
+
+Q_PACK_SEQUENCES_SQL = """
+WITH w AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+                                                    '[^a-z0-9]+'),
+                              t -> t != '')) AS BIGINT) AS pack_weight
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, pack_weight,
+         SUM(pack_weight) OVER (PARTITION BY lang ORDER BY doc_id)
+           - pack_weight AS pack_start
+  FROM w)
+SELECT doc_id, lang, pack_weight,
+       CAST(pack_start AS BIGINT) AS pack_start,
+       CAST(pack_start // 512 AS BIGINT) AS chunk_id,
+       CAST(pack_start % 512 AS BIGINT) AS chunk_offset,
+       CAST(CASE WHEN pack_weight > 0
+                 THEN (pack_start + pack_weight - 1) // 512
+                      - pack_start // 512 + 1
+                 ELSE 1 END AS BIGINT) AS n_chunks
+FROM c
+"""
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic stratified sampling (textops.hash_sample): keep
+    iff poly-hash(doc_id) mod 1e6 falls under the per-lang threshold
+    — consistent sampling a rerun or a grown dataset preserves.  The
+    oracle computes the identical hash and thresholds."""
+    from neleval_spark.functions.textops import hash_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = hash_sample(
+        d, {"en": 0.25, "de": 1.0, "fr": 0.5, "es": 0.1, "zh": 0.0})
+    return kept.select("doc_id", "lang", "sample_hash").orderBy("doc_id")
+
+
+Q_HASH_SAMPLE_SQL = """
+WITH t AS (SELECT doc_id, lang,
+                  CAST(doc_id AS VARCHAR) || '#sample' AS token
+           FROM documents),
+h AS (SELECT doc_id, lang,
+             """ + _TOKEN_HASH_SQL + """ % 1000000 AS sample_hash
+      FROM t)
+SELECT doc_id, lang, sample_hash FROM h
+WHERE sample_hash < CASE lang WHEN 'en' THEN 250000
+                              WHEN 'de' THEN 1000000
+                              WHEN 'fr' THEN 500000
+                              WHEN 'es' THEN 100000
+                              WHEN 'zh' THEN 0
+                              ELSE 0 END
+ORDER BY doc_id
+"""
+
+
 def q_quality(spark, sf_dir):
     from neleval_spark.functions.textops import quality_features
 
@@ -2054,6 +2122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id": q_lang_id,
         "quality": q_quality,
+        "pack_sequences": q_pack_sequences,
+        "hash_sample": q_hash_sample,
         # multimodal
         "multimodal_features": q_multimodal_features,
         "media_meta": q_media_meta,
@@ -2117,6 +2187,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,
         "lang_id": Q_LANG_ID_SQL,
         "quality": Q_QUALITY_SQL,
+        "pack_sequences": Q_PACK_SEQUENCES_SQL,
+        "hash_sample": Q_HASH_SAMPLE_SQL,
         "media_meta": Q_MEDIA_META_SQL,
         "multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
         # pipeline_triples: omitted (pandas UDFs + iterative CC);

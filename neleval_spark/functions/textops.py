@@ -506,6 +506,87 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         *[f"c_{name}" for name in SCRIPT_PATTERNS])
 
 
+def pack_sequences(docs: DataFrame, capacity: int,
+                   shard_col: str = "lang", id_col: str = "doc_id",
+                   weight_col: str | None = None,
+                   text_col: str = "text") -> DataFrame:
+    """Concat-and-chunk packing for LLM training batches: within each
+    shard, documents are laid out contiguously in id order and cut
+    into fixed-``capacity`` token chunks — the standard pretraining
+    data layout (concatenate, then split at the context length).
+
+    Adds ``pack_weight`` (the document's token count unless
+    ``weight_col`` supplies one), ``pack_start`` (its offset in the
+    shard's token stream), ``chunk_id`` / ``chunk_offset`` (where its
+    first token lands) and ``n_chunks`` (how many chunks it spans —
+    always ≥1 so empty documents stay addressable).
+
+    Scale shape: ONE window partitioned by ``shard_col`` — never a
+    global ordering.  Shards (language, source, date bucket) are the
+    parallelism unit; a global pack over 10^12 docs would serialize
+    on a single partition, which is exactly the
+    ``WindowExec: No Partition Defined`` trap.  All arithmetic is
+    integer, so the DuckDB oracle reproduces the layout exactly."""
+    from pyspark.sql import Window
+
+    weight = (F.col(weight_col) if weight_col else
+              F.size(F.filter(
+                  F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                  lambda t: t != ""))).cast("long")
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    out = docs.withColumn("pack_weight", weight).withColumn(
+        "pack_start",
+        (F.sum("pack_weight").over(w) - F.col("pack_weight"))
+        .cast("long"))
+    cap = int(capacity)
+    return out.withColumns({
+        "chunk_id": F.expr(f"pack_start div {cap}"),
+        "chunk_offset": F.pmod("pack_start", F.lit(cap)).cast("long"),
+        "n_chunks": F.when(
+            F.col("pack_weight") > 0,
+            F.expr(f"(pack_start + pack_weight - 1) div {cap}")
+            - F.expr(f"pack_start div {cap}") + 1,
+        ).otherwise(F.lit(1)).cast("long"),
+    })
+
+
+def hash_sample(docs: DataFrame, rates: dict[str, float],
+                stratum_col: str = "lang", key_col: str = "doc_id",
+                default_rate: float = 0.0,
+                denom: int = 1_000_000,
+                salt: str = "#sample") -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff the
+    polynomial hash of its salted key (the same engine-agnostic
+    :func:`token_hash` the dedup family uses) falls under its
+    stratum's integer threshold (``rate`` in parts-per-``denom``).
+
+    ``salt`` is appended to the key before hashing: short keys (small
+    integer ids) don't accumulate enough polynomial wraps mod 2³¹−1
+    to be uniform mod ``denom`` — the suffix lengthens every key past
+    the mixing threshold (measured: unsalted 4-digit ids keep 50% at
+    a 30% threshold; salted, 29.7%).  Changing the salt draws an
+    independent sample (e.g. train/validation splits).
+
+    Properties a training-data pipeline needs that ``DataFrame
+    .sampleBy`` doesn't give: reproducible across runs, engines,
+    partitionings AND dataset growth (a kept key stays kept when new
+    data arrives — hash thresholds are consistent sampling), with no
+    RNG state to ship.  Narrow projection + filter, no shuffle.
+    Keeps ``sample_hash`` for audit."""
+    h = F.pmod(token_hash(F.concat(F.col(key_col).cast("string"),
+                                   F.lit(salt))),
+               F.lit(denom))
+    thr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(stratum_col) == stratum
+        val = F.lit(int(round(rate * denom)))
+        thr = F.when(cond, val) if thr is None else thr.when(cond, val)
+    default = F.lit(int(round(default_rate * denom)))
+    thr = default if thr is None else thr.otherwise(default)
+    return (docs.withColumn("sample_hash", h)
+            .where(F.col("sample_hash") < thr))
+
+
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality signals."""
     text = F.col(text_col)

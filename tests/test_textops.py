@@ -642,3 +642,59 @@ def test_lang_id_15_languages_heldout(spark):
     off_diagonal = {k: v for k, v in confusion.items() if k[0] != k[1]}
     assert not off_diagonal, (
         f"misclassified: {off_diagonal}; full matrix: {dict(confusion)}")
+
+
+def test_pack_sequences_layout(spark):
+    """Concat-and-chunk invariants: contiguous offsets per shard,
+    chunk ids/offsets from integer arithmetic, multi-chunk spans,
+    empty docs addressable."""
+    from neleval_spark.functions.textops import pack_sequences
+
+    rows = [
+        (1, "a b c d", "en"),        # 4 tokens, start 0
+        (2, "e f g", "en"),          # 3 tokens, start 4
+        (3, "", "en"),               # 0 tokens, start 7
+        (4, "h i j k l m n", "en"),  # 7 tokens, start 7, spans 2 chunks
+        (5, "x y", "de"),            # separate shard restarts at 0
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in
+           pack_sequences(d, capacity=8).collect()}
+    assert [got[i]["pack_start"] for i in (1, 2, 3, 4)] == [0, 4, 7, 7]
+    assert got[4]["chunk_id"] == 0 and got[4]["chunk_offset"] == 7
+    assert got[4]["n_chunks"] == 2  # tokens 7..13 span chunks 0 and 1
+    assert got[3]["pack_weight"] == 0 and got[3]["n_chunks"] == 1
+    assert got[5]["pack_start"] == 0 and got[5]["chunk_id"] == 0
+    # shard-partitioned window: the plan must NOT collapse to a single
+    # partition (the WindowExec no-partition trap)
+    plan = pack_sequences(d, capacity=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:1500]
+
+
+def test_hash_sample_consistent_and_stratified(spark):
+    """Hash thresholds give per-stratum rates, full determinism, and
+    CONSISTENCY: the kept-set of a subset is the subset of the
+    kept-set (what RNG sampling cannot promise)."""
+    from neleval_spark.functions.textops import hash_sample
+
+    rows = [(i, "t", "en" if i % 2 == 0 else "de")
+            for i in range(2000)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = hash_sample(d, {"en": 0.3, "de": 1.0}).collect()
+    en = [r["doc_id"] for r in kept if r["lang"] == "en"]
+    de = [r["doc_id"] for r in kept if r["lang"] == "de"]
+    assert len(de) == 1000  # rate 1.0 keeps everything
+    assert 200 <= len(en) <= 400  # ~0.3 of 1000
+    # determinism
+    again = {r["doc_id"] for r in
+             hash_sample(d, {"en": 0.3, "de": 1.0}).collect()}
+    assert again == {r["doc_id"] for r in kept}
+    # consistency under dataset growth: sampling half the data keeps
+    # exactly the intersection
+    half = hash_sample(d.where(F.col("doc_id") < 1000),
+                       {"en": 0.3, "de": 1.0})
+    assert {r["doc_id"] for r in half.collect()} == \
+        {i for i in again if i < 1000}
+    # default rate drops unknown strata
+    assert hash_sample(d, {"zz": 1.0}).count() == 0
