@@ -1810,6 +1810,229 @@ ORDER BY asset_id
 """
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition signals
+    (webquality.repetition_signals): duplicate line / paragraph
+    fractions plus duplicate and modal n-gram fractions, all computed
+    in-row (sort + adjacency / run-length fold — zero shuffles, zero
+    explodes).  Rational arithmetic rounded at 6 dp only at the edge,
+    so the relational DuckDB oracle reproduces every value exactly."""
+    from neleval_spark.functions.webquality import repetition_signals
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_signals(d, ngram_ns=(2, 3)).select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
+        "dup_2gram_frac", "top_2gram_char_frac",
+        "dup_3gram_frac", "top_3gram_char_frac").orderBy("doc_id")
+
+
+Q_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(list_transform(regexp_split_to_array(text, '\n'),
+                               x -> trim(x)), x -> x != '') AS lines,
+    list_filter(list_transform(regexp_split_to_array(text, '\n{2,}'),
+                               x -> trim(x)), x -> x != '') AS paras,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t != '') AS tok
+  FROM documents),
+grams AS (
+  SELECT doc_id, lines, paras, tok,
+    list_transform(generate_series(1, len(tok) - 1),
+                   i -> array_to_string(tok[i:i+1], ' ')) AS g2,
+    list_transform(generate_series(1, len(tok) - 2),
+                   i -> array_to_string(tok[i:i+2], ' ')) AS g3,
+    length(array_to_string(tok, ' ')) AS stream_len
+  FROM base),
+lrel AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS dupc,
+         sum(c * l) AS totc
+  FROM (SELECT doc_id, x, count(*) AS c, length(x) AS l
+        FROM (SELECT doc_id, unnest(lines) AS x FROM base)
+        GROUP BY doc_id, x)
+  GROUP BY doc_id),
+prel AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS dupc,
+         sum(c * l) AS totc
+  FROM (SELECT doc_id, x, count(*) AS c, length(x) AS l
+        FROM (SELECT doc_id, unnest(paras) AS x FROM base)
+        GROUP BY doc_id, x)
+  GROUP BY doc_id),
+t2 AS (
+  SELECT doc_id, c, g FROM (
+    SELECT doc_id, g, count(*) AS c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, g ASC) AS rn
+    FROM (SELECT doc_id, unnest(g2) AS g FROM grams)
+    GROUP BY doc_id, g) WHERE rn = 1),
+t3 AS (
+  SELECT doc_id, c, g FROM (
+    SELECT doc_id, g, count(*) AS c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, g ASC) AS rn
+    FROM (SELECT doc_id, unnest(g3) AS g FROM grams)
+    GROUP BY doc_id, g) WHERE rn = 1)
+SELECT g.doc_id,
+  CASE WHEN len(g.lines) > 0
+       THEN round((len(g.lines) - len(list_distinct(g.lines)))
+                  / len(g.lines), 6)
+       ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN coalesce(lrel.totc, 0) > 0
+       THEN round(lrel.dupc / lrel.totc, 6)
+       ELSE 0.0 END AS dup_line_char_frac,
+  CASE WHEN len(g.paras) > 0
+       THEN round((len(g.paras) - len(list_distinct(g.paras)))
+                  / len(g.paras), 6)
+       ELSE 0.0 END AS dup_para_frac,
+  CASE WHEN coalesce(prel.totc, 0) > 0
+       THEN round(prel.dupc / prel.totc, 6)
+       ELSE 0.0 END AS dup_para_char_frac,
+  CASE WHEN len(g.g2) > 0
+       THEN round((len(g.g2) - len(list_distinct(g.g2)))
+                  / len(g.g2), 6)
+       ELSE 0.0 END AS dup_2gram_frac,
+  CASE WHEN g.stream_len > 0 AND t2.c IS NOT NULL
+       THEN round(t2.c * length(t2.g) / CAST(g.stream_len AS DOUBLE), 6)
+       ELSE 0.0 END AS top_2gram_char_frac,
+  CASE WHEN len(g.g3) > 0
+       THEN round((len(g.g3) - len(list_distinct(g.g3)))
+                  / len(g.g3), 6)
+       ELSE 0.0 END AS dup_3gram_frac,
+  CASE WHEN g.stream_len > 0 AND t3.c IS NOT NULL
+       THEN round(t3.c * length(t3.g) / CAST(g.stream_len AS DOUBLE), 6)
+       ELSE 0.0 END AS top_3gram_char_frac
+FROM grams g
+LEFT JOIN lrel USING (doc_id)
+LEFT JOIN prel USING (doc_id)
+LEFT JOIN t2 USING (doc_id)
+LEFT JOIN t3 USING (doc_id)
+ORDER BY g.doc_id
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (webquality.contamination): distinct
+    token 3-gram overlap of every document against a deterministic
+    'eval suite' (docs with ``doc_id % 97 == 0``).  The eval gram set
+    is broadcast; the corpus side is one explode + one partial-agged
+    exchange.  Counts are integers, the fraction rounds at 6 dp —
+    exact DuckDB oracle."""
+    from neleval_spark.functions.webquality import contamination
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return contamination(
+        d, d.where(F.col("doc_id") % 97 == 0), n=3).orderBy("doc_id")
+
+
+Q_CONTAMINATION_SQL = """
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t != '') AS tok
+  FROM documents),
+gram AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(tok) - 2),
+                        i -> array_to_string(tok[i:i+2], ' ')) AS g3
+  FROM tokd),
+eg AS (
+  SELECT DISTINCT unnest(g3) AS gram FROM gram WHERE doc_id % 97 = 0),
+dg AS (
+  SELECT DISTINCT doc_id, unnest(g3) AS gram FROM gram),
+counts AS (
+  SELECT d.doc_id, count(*) AS n_grams, count(e.gram) AS n_contaminated
+  FROM dg d LEFT JOIN eg e USING (gram) GROUP BY d.doc_id)
+SELECT g.doc_id,
+       CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CASE WHEN coalesce(c.n_grams, 0) > 0
+            THEN round(c.n_contaminated / CAST(c.n_grams AS DOUBLE), 6)
+            ELSE 0.0 END AS contamination_frac,
+       (CASE WHEN coalesce(c.n_grams, 0) > 0
+             THEN round(c.n_contaminated / CAST(c.n_grams AS DOUBLE), 6)
+             ELSE 0.0 END) >= 0.05 AS is_contaminated
+FROM gram g LEFT JOIN counts c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary (webquality.vocab_stats): term + document
+    frequency per token (the tokenizer-training / idf table), top 50
+    with the deterministic (tf DESC, token ASC) tie-break."""
+    from neleval_spark.functions.webquality import vocab_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_stats(d).orderBy(F.desc("tf"), "token").limit(50)
+
+
+Q_VOCAB_TOPK_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           x -> x != '')) AS token
+  FROM documents)
+SELECT token, CAST(count(*) AS BIGINT) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM t GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT 50
+"""
+
+
+def q_associations(spark, sf_dir):
+    """PMI edge weighting over the REAL triple sink
+    (graph.associations.association_scores ∘ emit_triples): the same
+    deterministic lineitem-derived mention table that
+    ``pipeline_triples_sql`` feeds, scored as the exact scaled integer
+    ``c_pair * N * 1e6 div (c_subj * c_obj)`` — the log is monotone,
+    so ranking/pruning semantics live entirely in integers both
+    engines agree on bit-for-bit."""
+    from neleval_spark.graph.associations import association_scores
+    from neleval_spark.pipeline.triples import emit_triples
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_orderkey") % 37 == 0)
+    m = li.select(
+        F.concat(F.lit("doc_"),
+                 (F.col("l_orderkey") % 41).cast("string")).alias("url"),
+        F.col("l_linenumber").cast("long").alias("sent_uid"),
+        F.concat(F.lit("E"),
+                 (F.col("l_partkey") % 23).cast("string")).alias("eid"))
+    return association_scores(emit_triples(m)).orderBy("subj", "obj")
+
+
+Q_ASSOCIATIONS_SQL = """
+WITH m AS (
+  SELECT DISTINCT 'doc_' || (l_orderkey % 41) AS url,
+         l_linenumber AS sent_uid,
+         'E' || (l_partkey % 23) AS eid
+  FROM lineitem WHERE l_orderkey % 37 = 0),
+ment AS (SELECT DISTINCT url, eid FROM m),
+occ AS (SELECT eid, count(DISTINCT url) AS c FROM ment GROUP BY eid),
+nd AS (SELECT count(DISTINCT url) AS n FROM ment),
+sp AS (
+  SELECT DISTINCT a.url, a.eid AS s, b.eid AS o
+  FROM m a JOIN m b
+    ON a.url = b.url AND a.sent_uid = b.sent_uid AND a.eid < b.eid),
+p AS (SELECT s, o, count(DISTINCT url) AS c_pair FROM sp GROUP BY s, o)
+SELECT p.s AS subj, p.o AS obj,
+       CAST(p.c_pair AS BIGINT) AS c_pair,
+       CAST(cs.c AS BIGINT) AS c_subj,
+       CAST(co.c AS BIGINT) AS c_obj,
+       CAST(nd.n AS BIGINT) AS n_docs,
+       CAST((p.c_pair * nd.n * 1000000) // (cs.c * co.c) AS BIGINT)
+         AS pmi_scaled
+FROM p JOIN occ cs ON p.s = cs.eid
+       JOIN occ co ON p.o = co.eid
+       CROSS JOIN nd
+ORDER BY subj, obj
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Default feature extraction over REAL container bytes, exactly
     oracle-checked: ``synth_media_assets`` builds genuine GIF/WAV/MP4
@@ -2124,6 +2347,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "pack_sequences": q_pack_sequences,
         "hash_sample": q_hash_sample,
+        "repetition": q_repetition,
+        "contamination": q_contamination,
+        "vocab_topk": q_vocab_topk,
+        "associations": q_associations,
         # multimodal
         "multimodal_features": q_multimodal_features,
         "media_meta": q_media_meta,
@@ -2189,6 +2416,10 @@ def oracle_sql() -> dict[str, str]:
         "quality": Q_QUALITY_SQL,
         "pack_sequences": Q_PACK_SEQUENCES_SQL,
         "hash_sample": Q_HASH_SAMPLE_SQL,
+        "repetition": Q_REPETITION_SQL,
+        "contamination": Q_CONTAMINATION_SQL,
+        "vocab_topk": Q_VOCAB_TOPK_SQL,
+        "associations": Q_ASSOCIATIONS_SQL,
         "media_meta": Q_MEDIA_META_SQL,
         "multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
         # pipeline_triples: omitted (pandas UDFs + iterative CC);

@@ -1,0 +1,227 @@
+"""Web-corpus quality signals for training-data curation.
+
+Three operator families a 100 TB pretraining pipeline filters with:
+
+* :func:`repetition_signals` — the Gopher-style intra-document
+  repetition measures (duplicate line / paragraph fractions, duplicate
+  and top n-gram fractions; Rae et al. 2021, "Scaling Language Models:
+  Methods, Analysis & Insights from Training Gopher", table A1).
+* :func:`contamination` — benchmark decontamination by n-gram overlap
+  (the GPT-3 appendix-C / PaLM style eval-set n-gram collision scan).
+* :func:`vocab_stats` — corpus vocabulary with term and document
+  frequencies (tokenizer training / idf tables).
+
+Scale notes (audited in docs/PLANS.md):
+
+* ``repetition_signals`` is a pure per-row projection — every signal,
+  including the per-document modal n-gram, is computed in-row with
+  ``array_sort`` + adjacency/run-length expressions (O(G log G) per
+  document, G = grams per doc).  Zero shuffles, zero explodes, full
+  whole-stage codegen; at 10^12 documents the operator is
+  embarrassingly parallel.
+* ``contamination`` explodes document n-grams narrowly (no exchange),
+  hash-joins them against a **broadcast** eval-gram set (eval suites
+  are ~10^5-10^6 grams — always broadcastable), and aggregates back to
+  one row per document with map-side partial aggregation: exactly ONE
+  exchange, carrying one row per document.
+* ``vocab_stats`` is the canonical two-phase aggregate (partial
+  map-side counts, one exchange keyed by token).  Token keys are
+  Zipf-skewed; the partial aggregation absorbs hot tokens map-side,
+  the same argument the CC hub-skew witness proves for graph hubs.
+
+Everything is integer / rational arithmetic (ratios rounded at 6 dp
+only at the output edge), so every operator has an exact DuckDB oracle
+in ``__spark_entry__``.
+
+No counterpart in the reference (an evaluation engine); these extend
+the construction surface the north rule's web-scale corpus implies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _nonempty(col):
+    return F.filter(col, lambda t: t != "")
+
+
+def _tokens(text_col):
+    return _nonempty(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"))
+
+
+def _ngrams(tok, n: int):
+    """Space-joined token n-grams, in-row; empty when the doc is
+    shorter than n tokens (guarded — ANSI ``sequence`` raises on
+    inverted bounds)."""
+    return F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(tok, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _dup_frac(arr):
+    """Fraction of elements that are repeats of an earlier element."""
+    n = F.size(arr)
+    return F.when(
+        n > 0,
+        F.round((n - F.size(F.array_distinct(arr)))
+                / n.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+
+
+def _dup_char_frac(arr):
+    """Fraction of characters in elements that occur more than once.
+
+    In-row O(L log L): sort, then an element is duplicated iff it
+    equals a sorted neighbour (``try_element_at`` is 1-based and null
+    out of bounds, so the boundaries fall out)."""
+    s = F.array_sort(arr)
+    # transform's second lambda arg is the 0-based index; try_element_at
+    # is 1-based (and raises on index 0 even in the try_ form, hence
+    # the i > 0 guard), so neighbours sit at positions i and i + 2.
+    dup_chars = F.aggregate(
+        F.transform(
+            s,
+            lambda x, i: F.when(
+                (x == F.when(i > 0, F.try_element_at(s, i)))
+                | (x == F.try_element_at(s, i + 2)),
+                F.length(x)).otherwise(F.lit(0))),
+        F.lit(0), lambda acc, x: acc + x)
+    total = F.aggregate(s, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(
+        total > 0, F.round(dup_chars / total.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+
+
+def _top_run(arr):
+    """(count, value) of the modal element, smallest value on ties.
+
+    In-row O(G log G): sort, then one linear fold with a struct
+    accumulator tracking the current and best run.  Because the array
+    is sorted ascending and a later value only replaces the best on a
+    STRICTLY longer run, ties resolve to the lexicographically
+    smallest value — the documented cross-engine tie-break."""
+    s = F.array_sort(arr)
+    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"), F.lit("").alias("bestval"))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bestval"]).alias("bestval"),
+        )
+
+    acc = F.aggregate(s, init, step)
+    return acc["best"], acc["bestval"]
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       ngram_ns: tuple[int, ...] = (2, 3, 4)) -> DataFrame:
+    """Gopher-style intra-document repetition signals, one row per doc.
+
+    Adds, all rounded at 6 dp:
+
+    * ``dup_line_frac`` / ``dup_line_char_frac`` — fraction of
+      non-empty lines (split on newline, trimmed) that are repeats /
+      fraction of line characters inside repeated lines;
+    * ``dup_para_frac`` / ``dup_para_char_frac`` — same over
+      blank-line-separated paragraphs;
+    * per n in ``ngram_ns``: ``dup_{n}gram_frac`` (fraction of token
+      n-grams that are repeats) and ``top_{n}gram_char_frac``
+      (characters covered by the most frequent n-gram's occurrences,
+      over the normalized token stream; modal gram ties break to the
+      lexicographically smallest).
+
+    Everything is computed in-row (see module scale notes): the plan
+    is a single projection over the scan."""
+    text = F.col(text_col)
+    lines = _nonempty(F.transform(F.split(text, r"\n"),
+                                  lambda t: F.trim(t)))
+    paras = _nonempty(F.transform(F.split(text, r"\n{2,}"),
+                                  lambda t: F.trim(t)))
+    tok = _tokens(text_col)
+    stream_len = F.length(F.concat_ws(" ", tok))
+
+    cols = {
+        "dup_line_frac": _dup_frac(lines),
+        "dup_line_char_frac": _dup_char_frac(lines),
+        "dup_para_frac": _dup_frac(paras),
+        "dup_para_char_frac": _dup_char_frac(paras),
+    }
+    for n in ngram_ns:
+        grams = _ngrams(tok, n)
+        best, bestval = _top_run(grams)
+        cols[f"dup_{n}gram_frac"] = _dup_frac(grams)
+        cols[f"top_{n}gram_char_frac"] = F.when(
+            stream_len > 0,
+            F.round(best * F.length(bestval)
+                    / stream_len.cast("double"), 6),
+        ).otherwise(F.lit(0.0))
+    return docs.withColumns(cols)
+
+
+def contamination(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  threshold: float = 0.05) -> DataFrame:
+    """Benchmark decontamination: per-document overlap of distinct
+    token ``n``-grams with the eval corpus' n-gram set.
+
+    Returns one row per input document: ``n_grams`` (distinct n-grams
+    in the doc), ``n_contaminated`` (of those, how many occur anywhere
+    in ``eval_docs``), ``contamination_frac`` (6 dp) and
+    ``is_contaminated`` (frac ≥ ``threshold``; gram-less docs are
+    clean).
+
+    Plan shape: the eval side is tiny by nature (benchmarks, not
+    corpora) — its distinct gram set is **broadcast**; the document
+    side explodes its distinct grams narrowly (``explode_outer`` keeps
+    gram-less docs addressable), probes the broadcast table, and
+    partial-aggregates back to one row per document before the single
+    exchange.  No corpus-scale join, no second pass."""
+    eval_grams = (
+        eval_docs.select(F.explode(_ngrams(_tokens(text_col), n))
+                         .alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1)))
+
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(_ngrams(_tokens(text_col), n)))
+        .alias("gram"))
+    per_doc = (
+        doc_grams.join(F.broadcast(eval_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(F.count("gram").alias("n_grams"),
+             F.count("hit").alias("n_contaminated")))
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.round(F.col("n_contaminated")
+                / F.col("n_grams").cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    return per_doc.withColumn("contamination_frac", frac).withColumn(
+        "is_contaminated",
+        (F.col("contamination_frac") >= threshold).cast("boolean"))
+
+
+def vocab_stats(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary: one row per token with ``tf`` (total
+    occurrences) and ``df`` (documents containing it).
+
+    The canonical two-phase aggregate: one exchange keyed by token;
+    Zipf-hot tokens are absorbed by map-side partial aggregation
+    (``count`` and the count-distinct expansion both combine
+    partially).  Callers take top-K with an explicit
+    ``orderBy(tf DESC, token)`` — deterministic under ties."""
+    toks = docs.select(F.col(id_col).alias("_doc"),
+                       F.explode(_tokens(text_col)).alias("token"))
+    return toks.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("_doc").alias("df"))

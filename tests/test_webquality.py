@@ -1,0 +1,121 @@
+"""Web-corpus quality operators: Gopher-style repetition signals,
+benchmark decontamination, vocabulary stats, and PMI association
+scoring over the triple sink — hand-computed fixtures plus plan-shape
+assertions (the at-scale contracts: repetition is shuffle-free, the
+contamination eval side is broadcast)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neleval_spark.functions.webquality import (
+    contamination, repetition_signals, vocab_stats)
+from neleval_spark.graph.associations import association_scores
+from neleval_spark.pipeline.triples import emit_triples
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "a b a b a b c", "en"),                # modal 2-gram "a b" ×3
+        (2, "x y z w", "en"),                      # no repetition
+        (3, "", "en"),                             # empty
+        (4, "l1\nl2\nl1\n\npara2\n\npara2", "en"),  # dup lines + paras
+        (5, "q", "en"),                            # single token < n
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+
+
+def test_repetition_signals_values(spark, docs):
+    got = {r["doc_id"]: r for r in
+           repetition_signals(docs, ngram_ns=(2, 3)).collect()}
+    # doc 1: tokens a b a b a b c -> six 2-grams, three distinct
+    assert got[1]["dup_2gram_frac"] == 0.5
+    # modal 2-gram "a b" occurs 3x, len 3, stream "a b a b a b c" len 13
+    assert got[1]["top_2gram_char_frac"] == round(3 * 3 / 13, 6)
+    # doc 2: all distinct; top 2-gram is the lexicographically
+    # smallest single-occurrence gram "x y" (len 3 / stream 7)
+    assert got[2]["dup_2gram_frac"] == 0.0
+    assert got[2]["top_2gram_char_frac"] == round(3 / 7, 6)
+    # doc 4: lines [l1,l2,l1,para2,para2] -> 2 of 5 repeat; repeated
+    # chars (2+2)+(5+5)=14 of 16
+    assert got[4]["dup_line_frac"] == 0.4
+    assert got[4]["dup_line_char_frac"] == 0.875
+    # paragraphs ["l1\nl2\nl1","para2","para2"]
+    assert got[4]["dup_para_frac"] == 0.333333
+    assert got[4]["dup_para_char_frac"] == round(10 / 18, 6)
+    # degenerate docs: all-zero, never null
+    for d in (3, 5):
+        for c in ("dup_line_frac", "dup_2gram_frac",
+                  "top_3gram_char_frac"):
+            assert got[d][c] == 0.0
+
+
+def test_repetition_signals_shuffle_free(spark, docs):
+    """The at-scale contract: every signal (including the per-doc
+    modal n-gram) is in-row — the executed plan has NO exchange."""
+    plan = _plan(repetition_signals(docs))
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_contamination_counts_and_plan(spark, docs):
+    ev = spark.createDataFrame([(100, "a b a b a", "en")],
+                               "doc_id long, text string, lang string")
+    out = contamination(docs, ev, n=2, threshold=0.3)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # doc 1 distinct 2-grams {a b, b a, b c}; eval set {a b, b a}
+    assert (got[1]["n_grams"], got[1]["n_contaminated"]) == (3, 2)
+    assert got[1]["contamination_frac"] == 0.666667
+    assert got[1]["is_contaminated"]
+    assert not got[2]["is_contaminated"]
+    # gram-less docs stay addressable and clean
+    assert (got[3]["n_grams"], got[5]["n_grams"]) == (0, 0)
+    assert not got[3]["is_contaminated"]
+    assert len(got) == 5
+    # eval side rides a broadcast join, never a corpus-scale shuffle
+    assert "BroadcastExchange" in _plan(out)
+
+
+def test_vocab_stats(spark, docs):
+    got = {r["token"]: (r["tf"], r["df"]) for r in
+           vocab_stats(docs).collect()}
+    assert got["a"] == (3, 1)
+    assert got["b"] == (3, 1)
+    assert got["l1"] == (2, 1)
+    assert got["q"] == (1, 1)
+    assert "" not in got
+
+
+def test_association_scores_exact(spark):
+    m = spark.createDataFrame(
+        [("u1", 1, "A"), ("u1", 1, "B"), ("u1", 2, "A"), ("u1", 2, "C"),
+         ("u2", 1, "A"), ("u2", 1, "B"), ("u3", 1, "C")],
+        "url string, sent_uid long, eid string")
+    out = association_scores(emit_triples(m))
+    got = {(r["subj"], r["obj"]): r for r in out.collect()}
+    # A,B co-occur in u1,u2; each occurs in 2 docs; N=3 -> pmi 2*3/(2*2)
+    ab = got[("A", "B")]
+    assert (ab["c_pair"], ab["c_subj"], ab["c_obj"], ab["n_docs"]) == \
+        (2, 2, 2, 3)
+    assert ab["pmi_scaled"] == 1_500_000
+    # A,C co-occur only in u1 -> 1*3/(2*2)
+    assert got[("A", "C")]["pmi_scaled"] == 750_000
+    # B,C never share a sentence
+    assert ("B", "C") not in got
+    # entity counts join back broadcast; N is an in-plan scalar
+    assert "BroadcastExchange" in _plan(out)
+
+
+def test_association_scores_partitioning_invariant(spark):
+    rows = [("u%d" % (i % 17), i % 5, "E%d" % (i % 7))
+            for i in range(500)]
+    m = spark.createDataFrame(rows, "url string, sent_uid long, eid string")
+    a = {tuple(r) for r in
+         association_scores(emit_triples(m)).collect()}
+    b = {tuple(r) for r in
+         association_scores(emit_triples(m.repartition(7))).collect()}
+    assert a == b and a
