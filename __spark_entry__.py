@@ -888,18 +888,23 @@ Q_ENTITY_SALIENCE_SQL = _entity_salience_sql()
 
 
 def q_rank_systems(spark, sf_dir):
-    """A14: rank-with-ties (dense rank over scores)."""
+    """A14: rank-with-ties (dense rank over scores).
+
+    Top-k shape: the global ``limit(10)`` plans as
+    TakeOrderedAndProject (per-partition partial top-k, then a 10-row
+    merge), and only THEN does the unpartitioned row_number window
+    run — over exactly 10 rows.  Ranking the full per-customer table
+    through a global window would serialize it on one partition (the
+    ``WindowExec: No Partition Defined`` trap)."""
     from pyspark.sql import Window
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     per_cust = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    top = per_cust.orderBy(
+        F.col("revenue").desc(), F.col("o_custkey").asc()).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
-    return (
-        per_cust.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 10)
-        .orderBy("rnk")
-    )
+    return top.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")
 
 
 Q_RANK_SYSTEMS_SQL = """
