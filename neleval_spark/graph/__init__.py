@@ -1,2 +1,3 @@
+from .associations import association_scores  # noqa: F401
 from .connected_components import connected_components  # noqa: F401
 from .pagerank import entity_salience, pagerank  # noqa: F401
