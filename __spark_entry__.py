@@ -1403,6 +1403,91 @@ FROM cc ORDER BY doc_id
 Q_DEDUP_CLUSTER_SQL = _dedup_cluster_sql()
 
 
+def q_dedup_increment(spark, sf_dir):
+    """Incremental index dedup: split documents deterministically into
+    an 'index' (doc_id % 4 != 0) and an 'increment' (doc_id % 4 == 0),
+    then run the REAL check_increment
+    (neleval_spark/functions/dedup_index.py) — banded LSH against the
+    index's signatures plus the increment itself, broadcast
+    active-bucket filter, per-bucket candidate cap (3, small enough to
+    exercise the cap on this corpus), signature-agreement verification
+    at threshold 0.75, first-wins within the increment.  One verdict
+    row per signature-bearing increment doc; the oracle replicates
+    every step relationally, so cap + filter + verify + best-match
+    semantics are hash-checked cross-engine."""
+    from neleval_spark.functions.dedup_index import check_increment
+    from neleval_spark.functions.textops import minhash_signatures
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx_docs = d.where(F.col("doc_id") % 4 != 0)
+    inc_docs = d.where(F.col("doc_id") % 4 == 0)
+    index_sig = minhash_signatures(idx_docs, n_hashes=4)
+    v = check_increment(inc_docs, index_sig, n_hashes=4, band_size=2,
+                        shingle=None, threshold=0.75, max_candidates=3)
+    return (v.select("doc_id", "dup_of", "est_jaccard", "is_duplicate")
+            .orderBy("doc_id"))
+
+
+Q_DEDUP_INCREMENT_SQL = _TOK_SQL + """
+, sig AS (
+  SELECT doc_id,
+    CAST(MIN((token_id * 1299721 + 104729) % 2147483647) AS BIGINT) AS h0,
+    CAST(MIN((token_id * 1299743 + 104743) % 2147483647) AS BIGINT) AS h1,
+    CAST(MIN((token_id * 1299763 + 104759) % 2147483647) AS BIGINT) AS h2,
+    CAST(MIN((token_id * 1299791 + 104773) % 2147483647) AS BIGINT) AS h3
+  FROM tid GROUP BY doc_id),
+sig_new AS (SELECT * FROM sig WHERE doc_id % 4 = 0),
+banded_new AS (
+  SELECT doc_id AS new_id, 0 AS band,
+         CAST(h0 AS VARCHAR) || '_' || CAST(h1 AS VARCHAR) AS bucket
+  FROM sig_new
+  UNION ALL
+  SELECT doc_id, 1, CAST(h2 AS VARCHAR) || '_' || CAST(h3 AS VARCHAR)
+  FROM sig_new),
+banded_all AS (
+  SELECT doc_id AS other_id, 0 AS band,
+         CAST(h0 AS VARCHAR) || '_' || CAST(h1 AS VARCHAR) AS bucket
+  FROM sig
+  UNION ALL
+  SELECT doc_id, 1, CAST(h2 AS VARCHAR) || '_' || CAST(h3 AS VARCHAR)
+  FROM sig),
+active AS (SELECT DISTINCT band, bucket FROM banded_new),
+capped AS (
+  SELECT band, bucket, other_id FROM (
+    SELECT b.band, b.bucket, b.other_id,
+           ROW_NUMBER() OVER (PARTITION BY b.band, b.bucket
+                              ORDER BY b.other_id) AS rn
+    FROM banded_all b JOIN active USING (band, bucket))
+  WHERE rn <= 3),
+cand AS (
+  SELECT DISTINCT n.new_id, c.other_id
+  FROM banded_new n JOIN capped c USING (band, bucket)
+  WHERE c.other_id != n.new_id
+    AND (c.other_id % 4 != 0 OR c.other_id < n.new_id)),
+ver AS (
+  SELECT c.new_id, c.other_id,
+         ROUND(((CASE WHEN x.h0 = y.h0 THEN 1 ELSE 0 END)
+              + (CASE WHEN x.h1 = y.h1 THEN 1 ELSE 0 END)
+              + (CASE WHEN x.h2 = y.h2 THEN 1 ELSE 0 END)
+              + (CASE WHEN x.h3 = y.h3 THEN 1 ELSE 0 END)) / 4.0,
+               6) AS est_jaccard
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.new_id
+  JOIN sig y ON y.doc_id = c.other_id),
+best AS (
+  SELECT new_id, MIN(other_id) AS dup_of
+  FROM ver WHERE est_jaccard >= 0.75 GROUP BY new_id),
+bestj AS (
+  SELECT b.new_id, b.dup_of, v.est_jaccard
+  FROM best b
+  JOIN ver v ON v.new_id = b.new_id AND v.other_id = b.dup_of)
+SELECT s.doc_id, bj.dup_of, bj.est_jaccard,
+       bj.dup_of IS NOT NULL AS is_duplicate
+FROM sig_new s LEFT JOIN bestj bj ON bj.new_id = s.doc_id
+ORDER BY s.doc_id
+"""
+
+
 def q_redact_pii(spark, sf_dir):
     """PII scrub over documents. The synthetic corpus carries no PII,
     so each doc is salted with deterministic doc_id-derived
@@ -2344,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "minhash_pairs_hotguard": q_minhash_pairs_hotguard,
         "dedup_cluster": q_dedup_cluster,
+        "dedup_increment": q_dedup_increment,
         "redact_pii": q_redact_pii,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2413,6 +2499,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": Q_MINHASH_PAIRS_SQL,
         "minhash_pairs_hotguard": Q_MINHASH_PAIRS_HOTGUARD_SQL,
         "dedup_cluster": Q_DEDUP_CLUSTER_SQL,
+        "dedup_increment": Q_DEDUP_INCREMENT_SQL,
         "redact_pii": Q_REDACT_PII_SQL,
         "simhash": Q_SIMHASH_SQL,
         "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
