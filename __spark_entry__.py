@@ -1488,6 +1488,94 @@ ORDER BY s.doc_id
 """
 
 
+def q_dedup_lines(spark, sf_dir):
+    """Cross-document LINE dedup (corpusops.dedup_corpus_lines,
+    CCNet/RefinedWeb boilerplate-line removal).  The synthetic corpus
+    is single-line, so each doc is re-lined first (every 5th word
+    boundary becomes a newline — the small shared vocabulary then
+    yields genuinely repeated lines across docs); lines appearing in
+    ≥2 distinct documents are deleted everywhere.  Output pins the
+    full cleaned text via md5."""
+    from neleval_spark.functions.corpusops import dedup_corpus_lines
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    relined = d.select(
+        "doc_id",
+        F.regexp_replace(
+            "text", r"(\S+ \S+ \S+ \S+ \S+) ", "$1\n").alias("text"))
+    out = dedup_corpus_lines(relined, min_docs=2)
+    return out.select(
+        "doc_id", "n_lines", "n_kept",
+        F.md5("clean_text").alias("clean_md5")).orderBy("doc_id")
+
+
+Q_DEDUP_LINES_SQL = r"""
+WITH relined AS (
+  SELECT doc_id,
+         regexp_replace(text, '(\S+ \S+ \S+ \S+ \S+) ',
+                        '\1' || chr(10), 'g') AS text
+  FROM documents),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM relined),
+lines AS (
+  SELECT doc_id, UNNEST(arr) AS line,
+         UNNEST(range(1, len(arr) + 1)) AS pos
+  FROM ls),
+counts AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+  FROM lines GROUP BY line),
+common AS (SELECT line FROM counts WHERE n_docs >= 2),
+kept AS (
+  SELECT l.doc_id, l.line, l.pos
+  FROM lines l ANTI JOIN common c ON l.line = c.line),
+reb AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(t.n_lines, 0) AS n_lines,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       md5(COALESCE(r.clean_text, '')) AS clean_md5
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN reb r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q_cap_domain(spark, sf_dir):
+    """Per-domain document cap (corpusops.cap_per_domain): keep at
+    most 10 docs per source (25 exist per source, so the cap BINDS
+    for every domain), chosen by the salted deterministic hash.  The
+    oracle ranks with ONE window — the implementation's two-phase
+    partial-top-k must be semantics-identical to it."""
+    from neleval_spark.functions.corpusops import cap_per_domain
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cap_per_domain(d, cap=10)
+    return out.select(
+        "doc_id", "source",
+        F.col("domain_rank").cast("long").alias("domain_rank"),
+    ).orderBy("doc_id")
+
+
+Q_CAP_DOMAIN_SQL = """
+WITH t AS (SELECT doc_id, source,
+                  CAST(doc_id AS VARCHAR) || '#cap' AS token
+           FROM documents),
+h AS (SELECT doc_id, source,
+             """ + _TOKEN_HASH_SQL + """ AS hh
+      FROM t),
+r AS (SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY hh, doc_id) AS domain_rank
+      FROM h)
+SELECT doc_id, source, CAST(domain_rank AS BIGINT) AS domain_rank
+FROM r WHERE domain_rank <= 10 ORDER BY doc_id
+"""
+
+
 def q_redact_pii(spark, sf_dir):
     """PII scrub over documents. The synthetic corpus carries no PII,
     so each doc is salted with deterministic doc_id-derived
@@ -2430,6 +2518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_hotguard": q_minhash_pairs_hotguard,
         "dedup_cluster": q_dedup_cluster,
         "dedup_increment": q_dedup_increment,
+        "dedup_lines": q_dedup_lines,
+        "cap_domain": q_cap_domain,
         "redact_pii": q_redact_pii,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2500,6 +2590,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_hotguard": Q_MINHASH_PAIRS_HOTGUARD_SQL,
         "dedup_cluster": Q_DEDUP_CLUSTER_SQL,
         "dedup_increment": Q_DEDUP_INCREMENT_SQL,
+        "dedup_lines": Q_DEDUP_LINES_SQL,
+        "cap_domain": Q_CAP_DOMAIN_SQL,
         "redact_pii": Q_REDACT_PII_SQL,
         "simhash": Q_SIMHASH_SQL,
         "ngram_jaccard": Q_NGRAM_JACCARD_SQL,

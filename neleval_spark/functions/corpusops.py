@@ -1,0 +1,126 @@
+"""Corpus-curation operators: cross-document line deduplication and
+per-domain document caps — the two RefinedWeb/CCNet-style cleanup
+steps the dedup family didn't cover yet.
+
+``dedup_corpus_lines`` removes boilerplate LINES that repeat across
+documents (nav bars, cookie banners, footers): a line appearing in
+``min_docs`` or more distinct documents is deleted from every
+document.  ``cap_per_domain`` bounds any one domain's contribution to
+the corpus with a deterministic pseudo-random top-``cap`` per domain.
+
+No reference counterpart (the reference is an evaluation engine);
+both are public-knowledge web-corpus practice (line-level dedup and
+per-host caps as described in the CCNet and RefinedWeb papers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import token_hash
+
+
+def dedup_corpus_lines(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       line_sep: str = "\n",
+                       join_sep: str | None = None,
+                       min_docs: int = 2,
+                       broadcast_common: bool = True) -> DataFrame:
+    """Remove lines shared by ``min_docs``+ distinct documents.
+
+    Returns one row per input document:
+    ``(doc_id, n_lines, n_kept, clean_text)`` — ``clean_text`` is the
+    document with its common lines deleted (surviving lines keep
+    their original order), empty when every line was boilerplate.
+
+    ``line_sep`` splits as a Java regex; surviving lines re-join with
+    the literal ``join_sep`` (defaults to ``line_sep``, correct for
+    plain separators like the default newline).
+
+    Scale shape (10^12 docs): lines explode narrowly (doc_id, pos,
+    8-byte ``xxhash64`` line key — the line TEXT is carried only to
+    rebuild, never grouped on); the distinct (line_key, doc_id) pair
+    aggregate spreads a Zipf-hot line over its document space, so no
+    hot key; the per-line document count gets map-side partial
+    aggregation; the resulting common-line set is boilerplate-only —
+    tiny relative to the corpus — and is BROADCAST back onto the line
+    table (``broadcast_common=False`` opts out if the corpus is
+    degenerate enough that it isn't small); the rebuild is one
+    groupBy(doc_id) whose groups are bounded by document size.  Line
+    identity is the 64-bit hash: two distinct lines colliding would
+    be co-deleted — the standard accepted risk at this hash width.
+    """
+    doc_id = F.col(id_col).alias("doc_id")
+    lines = docs.select(
+        doc_id,
+        F.posexplode(F.split(F.col(text_col), line_sep))
+        .alias("pos", "line"),
+    ).withColumn("line_key", F.xxhash64("line"))
+
+    counts = (lines.select("line_key", "doc_id").distinct()
+              .groupBy("line_key")
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    common = counts.where(F.col("n_docs") >= min_docs) \
+                   .select("line_key")
+    if broadcast_common:
+        common = F.broadcast(common)
+
+    kept = lines.join(common, "line_key", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"]),
+            join_sep if join_sep is not None else line_sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"))
+    return (docs.select(doc_id)
+            .join(totals, "doc_id", "left")
+            .join(rebuilt, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            ))
+
+
+def cap_per_domain(docs: DataFrame, cap: int,
+                   domain_col: str = "source",
+                   id_col: str = "doc_id",
+                   salt: str = "#cap",
+                   n_partial: int = 32) -> DataFrame:
+    """Keep at most ``cap`` documents per domain, chosen
+    deterministically (pseudo-random by the salted polynomial key
+    hash — the same engine-agnostic hash :func:`hash_sample` uses, so
+    the choice is reproducible across runs, engines and
+    partitionings; change ``salt`` for an independent draw).
+
+    Adds ``domain_rank`` (1-based hash-order rank within the domain)
+    for audit.  Unlike :func:`hash_sample`, the kept set is NOT
+    monotone under corpus growth: a new document with a smaller hash
+    evicts the current rank-``cap`` one — inherent to any exact
+    top-k.
+
+    Scale shape: hot domains are exactly the ones being capped, so a
+    single ``row_number`` window per domain would sort the full hot
+    domain.  Two-phase instead: a first window over
+    (domain, hash-bucket) keeps ``cap`` per bucket, so the final
+    per-domain window ranks at most ``cap * n_partial`` rows
+    regardless of domain size — the same partial-top-k shape as
+    ``TakeOrderedAndProject``, expressed per group."""
+    h = token_hash(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    bucket = F.pmod(h, F.lit(int(n_partial)))
+    w1 = Window.partitionBy(domain_col, "_bucket").orderBy("_h", id_col)
+    w2 = Window.partitionBy(domain_col).orderBy("_h", id_col)
+    return (docs.withColumn("_h", h).withColumn("_bucket", bucket)
+            .withColumn("_rn", F.row_number().over(w1))
+            .where(F.col("_rn") <= cap)
+            .drop("_rn", "_bucket")
+            .withColumn("domain_rank", F.row_number().over(w2))
+            .where(F.col("domain_rank") <= cap)
+            .drop("_h"))

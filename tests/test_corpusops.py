@@ -1,0 +1,85 @@
+"""Corpus curation ops: cross-document line dedup semantics (shared
+lines removed everywhere, order preserved, fully-boilerplate docs
+emptied, within-doc repeats counted once) and per-domain caps
+(two-phase partial top-k ≡ the one-window reference, deterministic
+across n_partial, no unpartitioned window)."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from neleval_spark.functions.corpusops import (
+    cap_per_domain, dedup_corpus_lines)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_lines_semantics(spark):
+    d = _docs(spark, [
+        (1, "unique alpha\ncookie banner\nunique beta"),
+        (2, "cookie banner\nanother body line"),
+        (3, "cookie banner"),                    # all boilerplate
+        (4, "repeat me\nrepeat me\nsolo tail"),  # within-doc repeat
+    ])
+    out = {r["doc_id"]: r for r in
+           dedup_corpus_lines(d, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "unique alpha\nunique beta"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
+    assert out[2]["clean_text"] == "another body line"
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    # "repeat me" occurs twice in ONE doc only -> 1 distinct doc,
+    # below min_docs=2 -> kept, order preserved
+    assert out[4]["clean_text"] == "repeat me\nrepeat me\nsolo tail"
+
+
+def test_dedup_lines_common_set_is_broadcast(spark):
+    d = _docs(spark, [(i, f"body {i}\nshared footer") for i in range(6)])
+    plan = (dedup_corpus_lines(d)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastExchange" in plan
+
+
+def test_cap_per_domain_matches_one_window_reference(spark):
+    rows = [(i, f"line {i}", "en", f"src{i % 3}", 10)
+            for i in range(200)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = cap_per_domain(d, cap=7)
+    from neleval_spark.functions.textops import token_hash
+    h = token_hash(F.concat(F.col("doc_id").cast("string"),
+                            F.lit("#cap")))
+    w = Window.partitionBy("source").orderBy("_h", "doc_id")
+    want = (d.withColumn("_h", h)
+            .withColumn("domain_rank", F.row_number().over(w))
+            .where(F.col("domain_rank") <= 7).drop("_h"))
+    key = ["doc_id", "source", "domain_rank"]
+    assert sorted(map(tuple, got.select(*key).collect())) == \
+        sorted(map(tuple, want.select(*key).collect()))
+    per = {r["source"]: r["n"] for r in
+           got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 7 for n in per.values())
+
+
+def test_cap_per_domain_invariant_to_n_partial(spark):
+    rows = [(i, "t", "en", "only", 1) for i in range(50)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    a = sorted(r["doc_id"] for r in
+               cap_per_domain(d, cap=5, n_partial=2).collect())
+    b = sorted(r["doc_id"] for r in
+               cap_per_domain(d, cap=5, n_partial=64).collect())
+    assert a == b and len(a) == 5
+
+
+def test_cap_per_domain_no_global_window(spark):
+    d = spark.createDataFrame(
+        [(1, "t", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    plan = (cap_per_domain(d, cap=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    # every Window node must be partitioned (no single-partition sort)
+    assert "SinglePartition" not in plan
