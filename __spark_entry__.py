@@ -1576,6 +1576,100 @@ FROM r WHERE domain_rank <= 10 ORDER BY doc_id
 """
 
 
+def q_budget_sample(spark, sf_dir):
+    """Token-budget mixture sampling (corpusops.budget_sample):
+    per-lang token budgets realized as in-plan integer thresholds
+    over the consistent hash — en/fr/es budgets BIND (threshold
+    < denom), de saturates (keeps all), zh is absent (dropped).  The
+    oracle recomputes totals, thresholds and the kept set exactly."""
+    from neleval_spark.functions.corpusops import budget_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = budget_sample(
+        d, {"en": 1000, "de": 10_000_000, "fr": 500, "es": 200})
+    return out.select(
+        "doc_id", "lang", "sample_weight", "sample_hash", "threshold",
+    ).orderBy("doc_id")
+
+
+Q_BUDGET_SAMPLE_SQL = """
+WITH w AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+                                                    '[^a-z0-9]+'),
+                              t -> t != '')) AS BIGINT)
+           AS sample_weight,
+         CAST(doc_id AS VARCHAR) || '#budget' AS token
+  FROM documents),
+tot AS (SELECT lang, SUM(sample_weight) AS t FROM w GROUP BY lang),
+j AS (
+  SELECT w.doc_id, w.lang, w.sample_weight, w.token, tot.t,
+         CAST(CASE w.lang WHEN 'en' THEN 1000
+                          WHEN 'de' THEN 10000000
+                          WHEN 'fr' THEN 500
+                          WHEN 'es' THEN 200
+                          ELSE 0 END AS BIGINT) AS bud
+  FROM w JOIN tot USING (lang)),
+h AS (
+  SELECT doc_id, lang, sample_weight,
+         LEAST(CAST(1000000 AS BIGINT),
+               (bud * 1000000) // GREATEST(t, 1)) AS threshold,
+         """ + _TOKEN_HASH_SQL + """ % 1000000 AS sample_hash
+  FROM j)
+SELECT doc_id, lang, sample_weight, sample_hash, threshold
+FROM h WHERE sample_hash < threshold ORDER BY doc_id
+"""
+
+
+def q_triangles(spark, sf_dir):
+    """Triangle count of the entity co-occurrence graph
+    (graph.triangles.triangle_count over the REAL triple sink — the
+    same lineitem-derived mention table associations/
+    pipeline_triples_sql use).  The implementation counts via
+    degree-oriented wedges; the oracle counts via the id-ordered
+    3-way join — equal iff every triangle is counted exactly once."""
+    from neleval_spark.graph.triangles import triangle_count
+    from neleval_spark.pipeline.triples import emit_triples
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_orderkey") % 37 == 0)
+    m = li.select(
+        F.concat(F.lit("doc_"),
+                 (F.col("l_orderkey") % 41).cast("string")).alias("url"),
+        F.col("l_linenumber").cast("long").alias("sent_uid"),
+        F.concat(F.lit("E"),
+                 (F.col("l_partkey") % 23).cast("string")).alias("eid"))
+    edges = (emit_triples(m).where(F.col("pred") == "cooccurs_with")
+             .select(F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    return triangle_count(edges)
+
+
+Q_TRIANGLES_SQL = """
+WITH m AS (
+  SELECT DISTINCT 'doc_' || (l_orderkey % 41) AS url,
+         l_linenumber AS sent_uid,
+         'E' || (l_partkey % 23) AS eid
+  FROM lineitem WHERE l_orderkey % 37 = 0),
+sp AS (
+  SELECT DISTINCT a.eid AS s, b.eid AS o
+  FROM m a JOIN m b
+    ON a.url = b.url AND a.sent_uid = b.sent_uid AND a.eid < b.eid),
+e AS (SELECT DISTINCT s, o FROM sp),
+verts AS (
+  SELECT COUNT(DISTINCT v) AS n
+  FROM (SELECT s AS v FROM e UNION ALL SELECT o FROM e)),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM e ab JOIN e bc ON bc.s = ab.o
+            JOIN e ac ON ac.s = ab.s AND ac.o = bc.o)
+SELECT CAST(verts.n AS BIGINT) AS n_vertices,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       CAST(tri.t AS BIGINT) AS n_triangles
+FROM verts, tri
+"""
+
+
 def q_redact_pii(spark, sf_dir):
     """PII scrub over documents. The synthetic corpus carries no PII,
     so each doc is salted with deterministic doc_id-derived
@@ -2520,6 +2614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_increment": q_dedup_increment,
         "dedup_lines": q_dedup_lines,
         "cap_domain": q_cap_domain,
+        "budget_sample": q_budget_sample,
+        "triangles": q_triangles,
         "redact_pii": q_redact_pii,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2592,6 +2688,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_increment": Q_DEDUP_INCREMENT_SQL,
         "dedup_lines": Q_DEDUP_LINES_SQL,
         "cap_domain": Q_CAP_DOMAIN_SQL,
+        "budget_sample": Q_BUDGET_SAMPLE_SQL,
+        "triangles": Q_TRIANGLES_SQL,
         "redact_pii": Q_REDACT_PII_SQL,
         "simhash": Q_SIMHASH_SQL,
         "ngram_jaccard": Q_NGRAM_JACCARD_SQL,

@@ -89,6 +89,69 @@ def dedup_corpus_lines(docs: DataFrame, id_col: str = "doc_id",
             ))
 
 
+def budget_sample(docs: DataFrame, budgets: dict[str, int],
+                  stratum_col: str = "lang",
+                  key_col: str = "doc_id",
+                  text_col: str = "text",
+                  weight_col: str | None = None,
+                  denom: int = 1_000_000,
+                  salt: str = "#budget") -> DataFrame:
+    """Token-budget mixture sampling: keep a hash-consistent subset of
+    each stratum whose EXPECTED token total equals the stratum's
+    budget — the static-mixture-weights step of a pretraining data
+    recipe ("2e10 tokens of code, 5e9 of forum text, all of the
+    books").
+
+    Per stratum, rate = min(1, budget / total_tokens), realized as
+    the integer threshold ``budget * denom div total`` over the same
+    salted consistent hash :func:`~neleval_spark.functions.textops.
+    hash_sample` uses — so the kept set is reproducible across runs,
+    engines and partitionings, and changing ``salt`` draws an
+    independent mixture.  A stratum whose budget exceeds its supply
+    keeps everything; strata absent from ``budgets`` are dropped.
+    The budget is met in expectation (hash sampling), not exactly —
+    exact-to-the-token packing is :func:`~neleval_spark.functions.
+    textops.pack_sequences`' job downstream.
+
+    Scale shape: ONE tiny per-stratum aggregate (total tokens —
+    map-side partials absorb any stratum skew) joined back BROADCAST;
+    thresholds are derived in-plan (no driver collect); the filter
+    itself is a narrow projection.  Integer arithmetic throughout
+    (``budget * denom`` must stay under 2^63 — i.e. budgets up to
+    ~9e12 tokens at the default denom), so a DuckDB oracle reproduces
+    the kept set exactly.  Keeps ``sample_weight`` (the row's token
+    count), ``sample_hash`` and ``threshold`` for audit."""
+    weight = (F.col(weight_col) if weight_col else
+              F.size(F.filter(
+                  F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                  lambda t: t != ""))).cast("long")
+    with_w = docs.withColumn("sample_weight", weight)
+    totals = with_w.groupBy(stratum_col).agg(
+        F.sum("sample_weight").alias("_tot"))
+
+    bud = None
+    for stratum, b in sorted(budgets.items()):
+        cond = F.col(stratum_col) == stratum
+        val = F.lit(int(b)).cast("long")
+        bud = F.when(cond, val) if bud is None else bud.when(cond, val)
+    bud = (F.lit(0).cast("long") if bud is None
+           else bud.otherwise(F.lit(0).cast("long")))
+
+    h = F.pmod(token_hash(F.concat(F.col(key_col).cast("string"),
+                                   F.lit(salt))),
+               F.lit(denom))
+    return (with_w.join(F.broadcast(totals), stratum_col)
+            .withColumn("_bud", bud)
+            .withColumn(
+                "threshold",
+                F.least(F.lit(denom).cast("long"),
+                        F.expr(f"_bud * CAST({int(denom)} AS BIGINT) "
+                               f"div greatest(_tot, 1)")))
+            .withColumn("sample_hash", h)
+            .where(F.col("sample_hash") < F.col("threshold"))
+            .drop("_bud", "_tot"))
+
+
 def cap_per_domain(docs: DataFrame, cap: int,
                    domain_col: str = "source",
                    id_col: str = "doc_id",

@@ -1,3 +1,4 @@
 from .associations import association_scores  # noqa: F401
 from .connected_components import connected_components  # noqa: F401
 from .pagerank import entity_salience, pagerank  # noqa: F401
+from .triangles import triangle_count  # noqa: F401

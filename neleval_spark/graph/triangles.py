@@ -1,0 +1,76 @@
+"""Exact distributed triangle counting for the constructed knowledge
+graph (clustering structure of the entity co-occurrence graph).
+
+Degree-orientation node-iterator (public knowledge: Suri &
+Vassilvitskii's MapReduce triangle counting / Schank-Wagner forward
+algorithm): orient every undirected edge from its lower-(degree, id)
+endpoint to the higher one, enumerate wedges at each vertex over its
+OUT-neighbours only, and close them against the oriented edge set.
+Every triangle is counted exactly once — at its minimum-(degree, id)
+corner.
+
+Why this shape at 10^9+ edges: out-degree under degree orientation is
+O(sqrt(E)) for ANY graph, so the wedge self-join at a hub entity
+("United States" with 10^7 co-occurrence partners) generates
+O(sqrt(E)) wedges per hub instead of the O(deg²) a naive
+neighbour-pair expansion pays — the hub's edges are oriented INTO it
+and contribute no wedges there.  No reference counterpart (the
+reference has no graph analytics); extends the graph family
+(connected_components, pagerank, associations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Count triangles in the undirected simple graph of ``edges``.
+
+    Input direction, duplicates and self-loops are normalized away
+    first, so any (src, dst) table works — e.g. the triple sink's
+    ``cooccurs_with`` rows.  Returns ONE row:
+    ``(n_vertices, n_edges, n_triangles)`` — all orientation- and
+    partitioning-invariant quantities."""
+    e = (edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct())
+
+    deg = (e.select(F.col("a").alias("v"))
+           .unionAll(e.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
+
+    # orient each edge from lower (deg, id) to higher
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    ed = e.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a"))
+        .alias("deg_w"))
+
+    # wedges at u over out-neighbours, ordered by (deg, id) so each
+    # wedge closes against exactly one oriented edge
+    o1 = o.select("u", F.col("w").alias("w1"),
+                  F.col("deg_w").alias("deg_w1"))
+    o2 = o.select("u", F.col("w").alias("w2"),
+                  F.col("deg_w").alias("deg_w2"))
+    wedge_order = (F.col("deg_w1") < F.col("deg_w2")) | (
+        (F.col("deg_w1") == F.col("deg_w2"))
+        & (F.col("w1") < F.col("w2")))
+    wedges = o1.join(o2, "u").where(wedge_order).select("w1", "w2")
+
+    closed = wedges.join(
+        o.select(F.col("u").alias("w1"), F.col("w").alias("w2")),
+        ["w1", "w2"])
+    return (closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+            .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_vertices")))
+            .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+            .select("n_vertices", "n_edges", "n_triangles"))

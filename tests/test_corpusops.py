@@ -83,3 +83,30 @@ def test_cap_per_domain_no_global_window(spark):
             ._jdf.queryExecution().executedPlan().toString())
     # every Window node must be partitioned (no single-partition sort)
     assert "SinglePartition" not in plan
+
+
+def test_budget_sample_semantics(spark):
+    from neleval_spark.functions.corpusops import budget_sample
+    rows = [(i, "w " * 10, ["en", "de", "zh"][i % 3], "s", 1)
+            for i in range(90)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    # en: 30 docs x 10 tokens = 300 total; budget 100 -> thr 1/3
+    # de: budget >> supply -> saturates (keeps all 30)
+    # zh: absent from budgets -> dropped entirely
+    out = budget_sample(d, {"en": 100, "de": 10_000})
+    by_lang = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count("*").alias("n"))
+               .collect()}
+    assert by_lang.get("de") == 30
+    assert "zh" not in by_lang
+    assert 0 < by_lang.get("en", 0) < 30
+    thr = {r["lang"]: r["threshold"] for r in
+           out.select("lang", "threshold").distinct().collect()}
+    assert thr["de"] == 1_000_000 and thr["en"] == 333_333
+    # consistent: kept ids are a fixed hash property, not sampled anew
+    again = sorted(r["doc_id"] for r in
+                   budget_sample(d, {"en": 100, "de": 10_000})
+                   .collect())
+    assert again == sorted(r["doc_id"] for r in out.collect())
