@@ -672,6 +672,63 @@ def cmd_entity_salience(args):
         print(f"{r['entity']}\t{r['salience']:.6f}")
 
 
+def cmd_curate(args):
+    """Corpus-curation funnel over a parquet documents table
+    (doc_id, text, lang, source, ...): cross-document line dedup →
+    incremental MinHash near-dup against a persistent signature
+    index → per-domain cap → token-budget mixture sampling.  Every
+    stage is optional (off unless its flag is given), distributed,
+    and deterministic; the curated table is written to --out and a
+    JSON stage funnel (doc counts after each stage) to stdout."""
+    from pyspark.sql import functions as F
+
+    from .functions.corpusops import (budget_sample, cap_per_domain,
+                                      dedup_corpus_lines)
+
+    spark = _spark()
+    d = spark.read.parquet(args.docs)
+    funnel = {"in": d.count()}
+
+    if args.line_dedup_min_docs:
+        clean = dedup_corpus_lines(
+            d, min_docs=args.line_dedup_min_docs)
+        # docs whose every line was boilerplate are dropped
+        d = (d.drop("text")
+             .join(clean.where(F.col("n_kept") > 0)
+                   .select("doc_id",
+                           F.col("clean_text").alias("text")),
+                   "doc_id"))
+        funnel["after_line_dedup"] = d.count()
+
+    if args.minhash_index:
+        from .functions.dedup_index import update_index
+
+        verdict = update_index(d, args.minhash_index,
+                               run_id=args.run_id)
+        d = d.join(verdict.where("is_duplicate").select("doc_id"),
+                   "doc_id", "left_anti")
+        funnel["after_neardup"] = d.count()
+
+    if args.cap_per_domain:
+        d = cap_per_domain(d, cap=args.cap_per_domain,
+                           domain_col=args.domain_col) \
+            .drop("domain_rank")
+        funnel["after_domain_cap"] = d.count()
+
+    if args.budget:
+        budgets = {}
+        for b in args.budget:
+            stratum, _, tokens = b.partition("=")
+            budgets[stratum] = int(tokens)
+        d = budget_sample(d, budgets, stratum_col=args.stratum_col) \
+            .drop("sample_weight", "sample_hash", "threshold")
+        funnel["after_budget"] = d.count()
+
+    d.write.mode("overwrite").parquet(args.out)
+    funnel["out"] = spark.read.parquet(args.out).count()
+    print(json.dumps({"funnel": funnel, "out_path": args.out}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="neleval_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -832,6 +889,30 @@ def main(argv=None):
         sp.add_argument("triples",
                         help="streaming triple sink dir to compact"),
         sp.add_argument("--buckets", type=int, default=64)))
+    add("curate", cmd_curate, lambda sp: (
+        sp.add_argument("docs",
+                        help="parquet documents table "
+                             "(doc_id, text, lang, source, ...)"),
+        sp.add_argument("-o", "--out", required=True),
+        sp.add_argument("--line-dedup-min-docs", type=int, default=0,
+                        help="remove lines appearing in >= N docs "
+                             "(0 = stage off)"),
+        sp.add_argument("--minhash-index",
+                        help="persistent signature index dir; "
+                             "near-dups vs it are dropped and "
+                             "canonical signatures appended"),
+        sp.add_argument("--run-id",
+                        help="idempotence key for the index append"),
+        sp.add_argument("--cap-per-domain", type=int, default=0,
+                        dest="cap_per_domain",
+                        help="keep at most N docs per domain "
+                             "(0 = stage off)"),
+        sp.add_argument("--domain-col", default="source"),
+        sp.add_argument("--budget", action="append",
+                        metavar="STRATUM=TOKENS",
+                        help="token budget per stratum (repeat); "
+                             "absent strata are dropped"),
+        sp.add_argument("--stratum-col", default="lang")))
     add("track-eval", cmd_track_eval, lambda sp: (
         sp.add_argument("gold_xml"),
         sp.add_argument("gold_tab"),

@@ -439,3 +439,36 @@ def test_cli_track_eval(spark, capsys, tmp_path):
     assert lines[0].split("\t")[-1] == "System"
     row = lines[1].split("\t")
     assert row[-1] == "teamA" and set(row[:-1]) == {"1.000"}
+
+
+def test_cli_curate_funnel(spark, capsys, tmp_path):
+    docs = str(tmp_path / "docs")
+    near_dup_text = ("unique body line about entity linking\n"
+                     "shared cookie banner")
+    rows = []
+    for i in range(40):
+        body = (near_dup_text if i in (7, 23)   # near-dup pair
+                else f"document {i} body line\nshared cookie banner")
+        rows.append((i, body, "en" if i % 2 else "de", f"d{i % 4}.com"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(docs)
+
+    out = _run(capsys, "curate", docs, "-o", str(tmp_path / "cur"),
+               "--line-dedup-min-docs", "3",
+               "--minhash-index", str(tmp_path / "idx"),
+               "--run-id", "inc-1",
+               "--cap-per-domain", "8",
+               "--budget", "en=40", "--budget", "de=1000000")
+    funnel = json.loads(out)["funnel"]
+    assert funnel["in"] == 40
+    # the 40-doc banner line is removed; the 2-doc shared body line
+    # stays (below min_docs=3), so no doc is emptied
+    assert funnel["after_line_dedup"] == 40
+    # one of the near-dup pair (same cleaned text) is dropped
+    assert funnel["after_neardup"] == 39
+    assert funnel["after_domain_cap"] <= 4 * 8
+    assert funnel["after_budget"] < funnel["after_domain_cap"]
+    cur = spark.read.parquet(str(tmp_path / "cur"))
+    assert cur.count() == funnel["out"]
+    assert not cur.filter(cur.text.contains("cookie banner")).count()
