@@ -26,14 +26,21 @@ from pyspark.sql import functions as F
 
 
 def triangle_count(edges: DataFrame, src_col: str = "src",
-                   dst_col: str = "dst") -> DataFrame:
+                   dst_col: str = "dst",
+                   stats: dict | None = None) -> DataFrame:
     """Count triangles in the undirected simple graph of ``edges``.
 
     Input direction, duplicates and self-loops are normalized away
     first, so any (src, dst) table works — e.g. the triple sink's
     ``cooccurs_with`` rows.  Returns ONE row:
     ``(n_vertices, n_edges, n_triangles)`` — all orientation- and
-    partitioning-invariant quantities."""
+    partitioning-invariant quantities.
+
+    ``stats`` (optional dict, same contract as
+    ``connected_components``): filled with ``n_wedges``, the size of
+    the oriented wedge set — the data-volume witness that degree
+    orientation kept hub vertices from expanding quadratically
+    (costs one extra count job; leave None in production)."""
     e = (edges.select(
         F.least(F.col(src_col), F.col(dst_col)).alias("a"),
         F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
@@ -66,6 +73,8 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
         (F.col("deg_w1") == F.col("deg_w2"))
         & (F.col("w1") < F.col("w2")))
     wedges = o1.join(o2, "u").where(wedge_order).select("w1", "w2")
+    if stats is not None:
+        stats["n_wedges"] = wedges.count()
 
     closed = wedges.join(
         o.select(F.col("u").alias("w1"), F.col("w").alias("w2")),

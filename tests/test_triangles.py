@@ -64,3 +64,23 @@ def test_matches_bruteforce_on_random_graph(spark):
     nv = len({v for p in pairs for v in p})
     assert _one(triangle_count(_edges(spark, pairs))) == \
         (nv, len(pairs), brute)
+
+
+def test_hub_skew_adversarial_million_edges(spark):
+    """10^6-spoke hub + 5*10^5 rim closures (1.5M edges, 5*10^5
+    triangles).  The degree-orientation witness: the oriented wedge
+    set is EXACTLY the 5*10^5 rim wedges — a naive neighbour-pair
+    enumeration at the hub would generate ~5*10^11 wedges.  The hub
+    receives all its edges inward and contributes none."""
+    n = 1_000_000
+    spokes = spark.range(n).select(
+        F.lit("h").alias("src"),
+        F.format_string("v%07d", F.col("id")).alias("dst"))
+    rim = spark.range(n // 2).select(
+        F.format_string("v%07d", 2 * F.col("id")).alias("src"),
+        F.format_string("v%07d", 2 * F.col("id") + 1).alias("dst"))
+    stats = {}
+    r = triangle_count(spokes.union(rim), stats=stats).collect()[0]
+    assert (r["n_vertices"], r["n_edges"], r["n_triangles"]) == \
+        (n + 1, n + n // 2, n // 2)
+    assert stats["n_wedges"] == n // 2, stats
