@@ -227,6 +227,43 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def simhash_column(text_col: F.Column, n_bits: int = 16) -> F.Column:
+    """In-row SimHash: the SAME value as :func:`simhash` (equality
+    pinned by pytest) computed as one pure column expression — token
+    array → per-token mixed hash → bit-vote fold → bit assembly, no
+    explode and no aggregation.  Two uses the DataFrame version can't
+    serve: inside a streaming query BEFORE a stateful operator
+    (aggregations can't precede ``dropDuplicatesWithinWatermark``),
+    and as a narrow projection at 10^12 docs where the explode's
+    ``n_tokens × n_bits`` row inflation is the dominant cost."""
+    toks = F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"),
+                    lambda t: t != "")
+    mixed = F.transform(
+        toks,
+        lambda t: (token_hash(t) * F.lit(2654435761)) % F.lit(1 << 32))
+    bits = F.sequence(F.lit(0), F.lit(n_bits - 1))
+    votes = F.aggregate(
+        mixed,
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
+        lambda acc, mx: F.zip_with(
+            acc,
+            F.transform(
+                bits,
+                lambda b: F.when(
+                    (F.floor(mx / F.pow(F.lit(2), b).cast("long"))
+                     % 2) == 1,
+                    F.lit(1)).otherwise(F.lit(-1)).cast("long")),
+            lambda a, v: a + v))
+    return F.aggregate(
+        F.zip_with(
+            votes, bits,
+            lambda v, b: F.when(v > 0,
+                                F.pow(F.lit(2), b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x).cast("long")
+
+
 def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
                         n: int = 3) -> DataFrame:

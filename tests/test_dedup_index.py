@@ -111,3 +111,67 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     urls = {r["url"] for r in
             spark.sql("SELECT url FROM deduped").collect()}
     assert urls == {"u1", "u2", "u4"}
+
+
+def test_simhash_column_equals_dataframe_simhash(spark):
+    from neleval_spark.functions.textops import simhash, simhash_column
+    rows = [(i, f"doc {i} about spark shuffles joins partitions "
+                f"topic{i % 7} filler word soup {i * 17 % 5}")
+            for i in range(40)] + [(99, "")]
+    d = _docs(spark, rows)
+    batch = {r["doc_id"]: r["simhash"] for r in simhash(d).collect()}
+    inrow = {r["doc_id"]: r["sh"] for r in
+             d.select("doc_id",
+                      simhash_column(F.col("text")).alias("sh"))
+             .collect()}
+    # DataFrame simhash has no row for the token-less doc; in-row
+    # yields the empty-vote value (all bits 0) for it
+    assert inrow.pop(99) == 0
+    assert batch == inrow
+
+
+def test_stream_dedup_simhash_near(spark, tmp_path):
+    import datetime as dt2
+    from neleval_spark.functions.textops import simhash_column
+    from neleval_spark.streaming import stream_pages
+    from neleval_spark.streaming.dedup import stream_dedup
+    from neleval_spark.streaming.ingest import PAGES_SCHEMA
+
+    base = ("breaking news entity linking improves downstream "
+            "retrieval quality across large web corpora today")
+    # mirror-fetch variant: same tokens, different case / whitespace /
+    # punctuation -> identical token multiset -> identical simhash
+    near = base.upper().replace(" ", "  ").replace("news", "News,")
+    other = "completely unrelated text about cooking pasta sauces"
+    # precondition: the near pair shares the 16-bit bucket, the
+    # unrelated doc doesn't
+    sh = {r["t"]: r["s"] for r in spark.createDataFrame(
+        [(base,), (near,), (other,)], "t string").select(
+        "t", simhash_column(F.col("t")).alias("s")).collect()}
+    assert sh[base] == sh[near] != sh[other]
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def page(url, minutes, text):
+        return (url, t0 + dt2.timedelta(minutes=minutes),
+                b"<p>x</p>", text, "en")
+
+    pages_dir = str(tmp_path / "pages")
+    spark.createDataFrame(
+        [page("u1", 0, base), page("u2", 1, other)],
+        PAGES_SCHEMA).coalesce(1).write.mode("append").parquet(pages_dir)
+    spark.createDataFrame(
+        [page("u3", 2, near)], PAGES_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(pages_dir)
+
+    q = (stream_dedup(
+            stream_pages(spark, pages_dir, max_files_per_trigger=1),
+            mode="simhash")
+         .writeStream.format("memory").queryName("near_dd")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    urls = {r["url"] for r in
+            spark.sql("SELECT url FROM near_dd").collect()}
+    assert urls == {"u1", "u2"}        # u3 is a near-dup of u1
