@@ -1576,6 +1576,93 @@ FROM r WHERE domain_rank <= 10 ORDER BY doc_id
 """
 
 
+def q_dedup_substrings(spark, sf_dir):
+    """ExactSubstr-style duplicated-window removal
+    (corpusops.dedup_substrings, Lee et al. 2021 approximated with
+    rolling 20-token window hashes): any 20-token run appearing in
+    ≥2 distinct documents is deleted from every carrier.  The
+    sf0.01 corpus's near-dup documents share long verbatim spans, so
+    the op genuinely fires (45 docs touched).  Output pins the full
+    cleaned text via md5."""
+    from neleval_spark.functions.corpusops import dedup_substrings
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup_substrings(d, k=20, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.md5("clean_text").alias("clean_md5")).orderBy("doc_id")
+
+
+# lambda-parameter variant of _TOKEN_HASH_SQL (hashes list element t)
+_TOKEN_HASH_LAMBDA_SQL = """list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(t) + 1),
+               i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 2147483647)"""
+
+Q_DEDUP_SUBSTRINGS_SQL = r"""
+WITH td AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     t -> t != '') AS toks
+  FROM documents),
+tids AS (
+  SELECT doc_id, toks,
+         list_transform(toks, t -> """ + _TOKEN_HASH_LAMBDA_SQL + r""")
+           AS ids
+  FROM td),
+ws AS (
+  SELECT doc_id, ids,
+         UNNEST(range(0, len(ids) - 20 + 1)) AS start
+  FROM tids WHERE len(ids) >= 20),
+wh AS (
+  SELECT doc_id, start,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, 21), j -> ids[start + j])),
+           (acc, x) -> (acc * 131 + x) % 2147483647) AS whash
+  FROM ws),
+dup AS (
+  SELECT whash FROM wh
+  GROUP BY whash HAVING COUNT(DISTINCT doc_id) >= 2),
+ds AS (
+  SELECT w.doc_id, w.start,
+         CASE WHEN w.start - LAG(w.start) OVER (
+                PARTITION BY w.doc_id ORDER BY w.start) > 20
+              OR LAG(w.start) OVER (
+                PARTITION BY w.doc_id ORDER BY w.start) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM wh w SEMI JOIN dup USING (whash)),
+isl AS (
+  SELECT doc_id, start,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island
+  FROM ds),
+ivs AS (
+  SELECT doc_id, island, MIN(start) AS s, MAX(start) + 20 AS e
+  FROM isl GROUP BY doc_id, island),
+pos AS (
+  SELECT doc_id, toks, UNNEST(range(0, len(toks))) AS p
+  FROM td),
+kept AS (
+  SELECT pos.doc_id, pos.toks[pos.p + 1] AS tok, pos.p
+  FROM pos ANTI JOIN ivs
+    ON pos.doc_id = ivs.doc_id AND ivs.s <= pos.p AND pos.p < ivs.e),
+reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - COALESCE(r.n_kept, 0) AS BIGINT)
+         AS n_removed,
+       md5(COALESCE(r.clean_text, '')) AS clean_md5
+FROM td t LEFT JOIN reb r USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 def q_budget_sample(spark, sf_dir):
     """Token-budget mixture sampling (corpusops.budget_sample):
     per-lang token budgets realized as in-plan integer thresholds
@@ -2613,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "dedup_increment": q_dedup_increment,
         "dedup_lines": q_dedup_lines,
+        "dedup_substrings": q_dedup_substrings,
         "cap_domain": q_cap_domain,
         "budget_sample": q_budget_sample,
         "triangles": q_triangles,
@@ -2687,6 +2775,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster": Q_DEDUP_CLUSTER_SQL,
         "dedup_increment": Q_DEDUP_INCREMENT_SQL,
         "dedup_lines": Q_DEDUP_LINES_SQL,
+        "dedup_substrings": Q_DEDUP_SUBSTRINGS_SQL,
         "cap_domain": Q_CAP_DOMAIN_SQL,
         "budget_sample": Q_BUDGET_SAMPLE_SQL,
         "triangles": Q_TRIANGLES_SQL,

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textops import token_hash
+from .textops import MINHASH_PRIME, SHINGLE_MULT, token_hash
 
 
 def dedup_corpus_lines(docs: DataFrame, id_col: str = "doc_id",
@@ -87,6 +87,120 @@ def dedup_corpus_lines(docs: DataFrame, id_col: str = "doc_id",
                 F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
                 F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             ))
+
+
+def dedup_substrings(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     k: int = 20, min_docs: int = 2,
+                     broadcast_dup: bool = True) -> DataFrame:
+    """Remove every k-token window that occurs in ``min_docs``+
+    distinct documents — the ExactSubstr granularity of the dedup
+    family (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499), approximated with
+    rolling window hashes instead of a corpus suffix array.
+
+    Tokens are whitespace runs kept VERBATIM (case-sensitive — this
+    is *exact* substring dedup, unlike the normalized near-dup
+    family); ``clean_text`` re-joins surviving tokens with single
+    spaces, so whitespace runs normalize but token content is
+    byte-preserved.  A position covered by ANY duplicated window is
+    deleted from EVERY document carrying it — the same
+    boilerplate-removal interpretation as
+    :func:`dedup_corpus_lines` (keep-one-copy semantics belong to
+    document-level dedup, e.g. ``dedup_cluster``).  Documents
+    shorter than ``k`` tokens emit no windows and are never
+    touched.  Window identity is the 31/131 polynomial hash chain
+    shared with the w-shingle dedup path (textops.shingle_ids), so a
+    DuckDB oracle reproduces the exact cleaned corpus; two distinct
+    windows colliding mod 2^31-1 would be co-deleted — the standard
+    accepted risk, same as the 64-bit line-hash in line dedup.
+
+    Returns one row per input document:
+    ``(doc_id, n_tokens, n_removed, clean_text)``.
+
+    Scale shape (10^12 docs): window hashes are computed IN-ROW from
+    the per-token hash array (O(n·k) per doc, whole-stage codegen)
+    and explode to narrow (doc_id, start, whash) rows — the token
+    text never leaves the document row; the per-window distinct-doc
+    count spreads any Zipf-hot window over its document space before
+    the map-side-combined count; the duplicated-window set is
+    boilerplate-only — tiny relative to the corpus — and is
+    BROADCAST back (``broadcast_dup=False`` opts out); covered-range
+    merging is one groupBy(doc_id) over DUPLICATED windows only
+    (groups bounded by document length), then an in-row sorted-fold
+    merge to disjoint intervals — a fully-duplicated document merges
+    to ONE interval, so the fold accumulator stays small — and the
+    rebuild filter is O(n_tokens × n_intervals) in-row work.
+    """
+    doc_id = F.col(id_col).alias("doc_id")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda t: t != "")
+    tids = F.transform(toks, token_hash)
+    base = docs.select(doc_id, toks.alias("_toks"),
+                       tids.alias("_tids"))
+
+    def whash_at(i):
+        acc = F.get(F.col("_tids"), i)
+        for j in range(1, k):
+            acc = (acc * F.lit(SHINGLE_MULT)
+                   + F.get(F.col("_tids"), i + F.lit(j))) \
+                % F.lit(MINHASH_PRIME)
+        return acc
+
+    windows = base.where(F.size(F.col("_tids")) >= k).select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_tids")) - k),
+            lambda i: F.struct(i.alias("start"),
+                               whash_at(i).alias("whash")),
+        )).alias("w"),
+    ).select("doc_id", "w.start", "w.whash")
+
+    dup = (windows.select("whash", "doc_id").distinct()
+           .groupBy("whash")
+           .agg(F.count(F.lit(1)).alias("n_docs"))
+           .where(F.col("n_docs") >= min_docs)
+           .select("whash"))
+    if broadcast_dup:
+        dup = F.broadcast(dup)
+
+    empty_ivs = F.array().cast("array<struct<s:int,e:int>>")
+    covered = (windows.join(dup, "whash")
+               .groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list("start"))
+                    .alias("_starts"))
+               .select(
+                   "doc_id",
+                   F.aggregate(
+                       "_starts", empty_ivs,
+                       lambda acc, st: F.when(
+                           (F.size(acc) > 0)
+                           & (st <= F.element_at(acc, -1)["e"]),
+                           F.concat(
+                               F.slice(acc, 1, F.size(acc) - 1),
+                               F.array(F.struct(
+                                   F.element_at(acc, -1)["s"]
+                                   .alias("s"),
+                                   (st + F.lit(k)).alias("e")))),
+                       ).otherwise(
+                           F.concat(acc, F.array(F.struct(
+                               st.alias("s"),
+                               (st + F.lit(k)).alias("e"))))),
+                   ).alias("_ivs")))
+
+    joined = base.join(covered, "doc_id", "left").withColumn(
+        "_ivs", F.coalesce("_ivs", empty_ivs))
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, p: ~F.exists(
+            F.col("_ivs"),
+            lambda iv: (iv["s"] <= p) & (p < iv["e"])))
+    return joined.select(
+        "doc_id",
+        F.size("_toks").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
 
 
 def budget_sample(docs: DataFrame, budgets: dict[str, int],

@@ -8,7 +8,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from neleval_spark.functions.corpusops import (
-    cap_per_domain, dedup_corpus_lines)
+    cap_per_domain, dedup_corpus_lines, dedup_substrings)
 
 
 def _docs(spark, rows):
@@ -110,3 +110,55 @@ def test_budget_sample_semantics(spark):
                    budget_sample(d, {"en": 100, "de": 10_000})
                    .collect())
     assert again == sorted(r["doc_id"] for r in out.collect())
+
+
+def test_dedup_substrings_semantics(spark):
+    shared = " ".join(f"tok{i}" for i in range(10))
+    d = _docs(spark, [
+        # doc 1/2 share a 10-token run (>= k=8 windows duplicated)
+        (1, f"alpha beta {shared} gamma"),
+        (2, f"{shared} delta epsilon"),
+        (3, "wholly original words only here nothing shared at all"),
+        (4, "short doc"),                       # < k tokens: untouched
+        (5, f"alpha beta {shared} gamma"),      # exact dup of doc 1
+    ])
+    out = {r["doc_id"]: r for r in
+           dedup_substrings(d, k=8, min_docs=2).collect()}
+    # shared run removed from every carrier; flanks survive when not
+    # themselves covered by a duplicated window
+    assert out[2]["clean_text"] == "delta epsilon"
+    assert out[2]["n_removed"] == 10 and out[2]["n_tokens"] == 12
+    # docs 1 and 5 are full duplicates of each other: every window
+    # duplicated -> whole text removed
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 13
+    assert out[5]["clean_text"] == ""
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"].startswith("wholly original")
+    assert out[4]["clean_text"] == "short doc"
+    assert out[4]["n_removed"] == 0 and out[4]["n_tokens"] == 2
+
+
+def test_dedup_substrings_min_docs_and_case_sensitive(spark):
+    run = " ".join(f"w{i}" for i in range(8))
+    d = _docs(spark, [
+        (1, run), (2, run.upper()),     # case differs: NOT duplicates
+        (3, f"{run} x"), (4, f"y {run}"),
+    ])
+    # run appears in docs 1,3,4 (3 distinct docs); min_docs=4 keeps it
+    out = {r["doc_id"]: r for r in
+           dedup_substrings(d, k=8, min_docs=4).collect()}
+    assert all(out[i]["n_removed"] == 0 for i in (1, 2, 3, 4))
+    out2 = {r["doc_id"]: r for r in
+            dedup_substrings(d, k=8, min_docs=3).collect()}
+    assert out2[1]["clean_text"] == ""
+    assert out2[3]["clean_text"] == "x"
+    assert out2[4]["clean_text"] == "y"
+    assert out2[2]["n_removed"] == 0   # uppercase variant untouched
+
+
+def test_dedup_substrings_dup_set_is_broadcast(spark):
+    d = _docs(spark, [(i, f"filler {i} " + " ".join(
+        f"c{j}" for j in range(12))) for i in range(6)])
+    plan = (dedup_substrings(d, k=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastExchange" in plan
