@@ -1732,6 +1732,76 @@ def q_triangles(spark, sf_dir):
     return triangle_count(edges)
 
 
+def q_communities(spark, sf_dir):
+    """Label-propagation communities of the entity co-occurrence
+    graph (graph.label_propagation.entity_communities over the REAL
+    triple sink — the triangles graph construction with a sparser
+    entity space, eid = partkey % 499, which yields 29 communities
+    of varied sizes instead of one dense clique).  Synchronized
+    mode-LPA with unit self-vote and min-label tie-break is a pure
+    function of (graph, rounds), so the oracle unrolls the same 4
+    rounds as CTEs and must hash-match exactly (integer vote counts,
+    string labels — no float ties)."""
+    from neleval_spark.graph.label_propagation import (
+        entity_communities)
+    from neleval_spark.pipeline.triples import emit_triples
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_orderkey") % 37 == 0)
+    m = li.select(
+        F.concat(F.lit("doc_"),
+                 (F.col("l_orderkey") % 41).cast("string")).alias("url"),
+        F.col("l_linenumber").cast("long").alias("sent_uid"),
+        F.concat(F.lit("E"),
+                 (F.col("l_partkey") % 499).cast("string")).alias("eid"))
+    triples = emit_triples(m)
+    return entity_communities(triples, iters=4, min_size=2)
+
+
+def _communities_sql(iters: int = 4) -> str:
+    base = """
+WITH m AS (
+  SELECT DISTINCT 'doc_' || (l_orderkey % 41) AS url,
+         l_linenumber AS sent_uid,
+         'E' || (l_partkey % 499) AS eid
+  FROM lineitem WHERE l_orderkey % 37 = 0),
+sp AS (
+  SELECT DISTINCT a.eid AS s, b.eid AS o
+  FROM m a JOIN m b
+    ON a.url = b.url AND a.sent_uid = b.sent_uid AND a.eid < b.eid),
+e AS (SELECT s AS src, o AS dst FROM sp
+      UNION SELECT o, s FROM sp
+      UNION SELECT s, s FROM sp
+      UNION SELECT o, o FROM sp),
+l0 AS (SELECT DISTINCT src AS vertex, src AS label FROM e)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+v{i} AS (
+  SELECT e.src AS vertex, l.label, COUNT(*) AS cnt
+  FROM e JOIN l{i - 1} l ON e.dst = l.vertex
+  GROUP BY e.src, l.label),
+l{i} AS (
+  SELECT vertex, label FROM (
+    SELECT vertex, label,
+           ROW_NUMBER() OVER (PARTITION BY vertex
+                              ORDER BY cnt DESC, label) AS rn
+    FROM v{i}) WHERE rn = 1)""")
+    final = f""",
+sizes AS (SELECT label, COUNT(*) AS community_size
+          FROM l{iters} GROUP BY label)
+SELECT l.vertex AS entity, l.label AS community,
+       CAST(s.community_size AS BIGINT) AS community_size
+FROM l{iters} l JOIN sizes s USING (label)
+WHERE s.community_size >= 2
+ORDER BY s.community_size DESC, community, entity
+"""
+    return base + "".join(steps) + final
+
+
+Q_COMMUNITIES_SQL = _communities_sql()
+
+
 Q_TRIANGLES_SQL = """
 WITH m AS (
   SELECT DISTINCT 'doc_' || (l_orderkey % 41) AS url,
@@ -2704,6 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_domain": q_cap_domain,
         "budget_sample": q_budget_sample,
         "triangles": q_triangles,
+        "communities": q_communities,
         "redact_pii": q_redact_pii,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2779,6 +2850,7 @@ def oracle_sql() -> dict[str, str]:
         "cap_domain": Q_CAP_DOMAIN_SQL,
         "budget_sample": Q_BUDGET_SAMPLE_SQL,
         "triangles": Q_TRIANGLES_SQL,
+        "communities": Q_COMMUNITIES_SQL,
         "redact_pii": Q_REDACT_PII_SQL,
         "simhash": Q_SIMHASH_SQL,
         "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
