@@ -138,10 +138,17 @@ def bench_pipeline(spark, n_docs: int) -> dict:
         for _ in range(int(os.environ.get("BENCH_PILOTS", "1"))):
             emit_triples(build_mentions(pages, kb_table(spark))).count()
 
-        # the sandbox VM's wall-clock noise is ±10% between identical
-        # runs (host overcommit) — REPS timed repetitions, median
-        # reported, so one noisy rep can't swing the scaling gate
-        reps = int(os.environ.get("BENCH_REPS", "1"))
+        # the sandbox VM's wall-clock noise is ±10% in calm phases
+        # but the host also has multi-minute CONTAMINATION phases
+        # (identical code + input + triple counts measured 18-65 s —
+        # round-4 investigation, docs/PLANS.md "bench estimator";
+        # in-process state was ruled out: persistent RDDs 0, heap
+        # flat, tmpfs clean, back-to-back reps steady at 18-20 s).
+        # Host steal is strictly additive, so the BEST of REPS
+        # repetitions is the estimator of what the code does
+        # (timeit's rationale); the full spread is recorded in
+        # all_seconds and the median kept alongside.
+        reps = int(os.environ.get("BENCH_REPS", "3"))
         walls = []
         n_triples = None
         for _ in range(reps):
@@ -154,11 +161,12 @@ def bench_pipeline(spark, n_docs: int) -> dict:
             n_triples = triples.count()
             walls.append(time.perf_counter() - t0)
         walls.sort()
-        wall = walls[len(walls) // 2]
+        wall = walls[0]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
         "seconds": round(wall, 3),
+        "median_seconds": round(walls[len(walls) // 2], 3),
         "all_seconds": [round(w, 3) for w in walls],
         "gen_seconds": round(gen_wall, 3),
         "n_docs": n_docs,
@@ -236,8 +244,9 @@ def run_scaling() -> None:
     pairs = [tuple(int(x) for x in p.split(","))
              for p in pairs_env.split(";") if p.strip()]
     # protocol defaults: 120k docs (fixed overheads < 2% of the timed
-    # window at both levels) and median of 3 timed repetitions per
-    # level (the VM's wall-clock noise between identical runs is ±10%)
+    # window at both levels) and BEST of 3 timed repetitions per
+    # level (the VM's host steal is additive and intermittent —
+    # see the estimator note in bench_pipeline)
     n_docs = int(os.environ.get("BENCH_PIPELINE_DOCS", "120000"))
     reps = os.environ.get("BENCH_REPS", "3")
     cpu_counts = sorted({c for p in pairs for c in p})
@@ -294,9 +303,10 @@ Identical end-to-end KG-construction job (synthetic corpus generation \u2192
 extraction \u2192 NER \u2192 candidate gen \u2192 scoring \u2192 NIL canonicalization \u2192
 triples), identical input ({n_docs} docs, seed 42), same physical
 plan and shuffle-partition count, run once per parallelism level
-(sandbox stand-in for N vs 4N executors).  Wall = median of {reps}
-timed repetitions per level (untimed warm-up pilot first; the VM's
-run-to-run noise is \u00b110%):
+(sandbox stand-in for N vs 4N executors).  Wall = best of {reps}
+timed repetitions per level (untimed warm-up pilot first; host
+steal on this VM is additive and intermittent, so the best rep is
+the estimator of the job itself \u2014 full spread per level below):
 
 | parallelism | wall (s) | docs/sec | all reps (s) |
 |---|---|---|---|
