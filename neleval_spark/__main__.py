@@ -675,7 +675,8 @@ def cmd_entity_salience(args):
 def cmd_curate(args):
     """Corpus-curation funnel over a parquet documents table
     (doc_id, text, lang, source, ...): cross-document line dedup →
-    incremental MinHash near-dup against a persistent signature
+    duplicated-substring removal (ExactSubstr) → incremental MinHash
+    near-dup against a persistent signature
     index → per-domain cap → token-budget mixture sampling.  Every
     stage is optional (off unless its flag is given), distributed,
     and deterministic; the curated table is written to --out and a
@@ -683,7 +684,8 @@ def cmd_curate(args):
     from pyspark.sql import functions as F
 
     from .functions.corpusops import (budget_sample, cap_per_domain,
-                                      dedup_corpus_lines)
+                                      dedup_corpus_lines,
+                                      dedup_substrings)
 
     spark = _spark()
     d = spark.read.parquet(args.docs)
@@ -699,6 +701,17 @@ def cmd_curate(args):
                            F.col("clean_text").alias("text")),
                    "doc_id"))
         funnel["after_line_dedup"] = d.count()
+
+    if args.substring_dedup_k:
+        clean = dedup_substrings(d, k=args.substring_dedup_k,
+                                 min_docs=2)
+        # docs whose every token sat in a duplicated window drop out
+        d = (d.drop("text")
+             .join(clean.where(F.col("n_removed") < F.col("n_tokens"))
+                   .select("doc_id",
+                           F.col("clean_text").alias("text")),
+                   "doc_id"))
+        funnel["after_substring_dedup"] = d.count()
 
     if args.minhash_index:
         from .functions.dedup_index import update_index
@@ -897,6 +910,10 @@ def main(argv=None):
         sp.add_argument("--line-dedup-min-docs", type=int, default=0,
                         help="remove lines appearing in >= N docs "
                              "(0 = stage off)"),
+        sp.add_argument("--substring-dedup-k", type=int, default=0,
+                        dest="substring_dedup_k",
+                        help="remove every k-token window occurring "
+                             "in >= 2 docs (0 = stage off)"),
         sp.add_argument("--minhash-index",
                         help="persistent signature index dir; "
                              "near-dups vs it are dropped and "

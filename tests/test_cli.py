@@ -445,10 +445,14 @@ def test_cli_curate_funnel(spark, capsys, tmp_path):
     docs = str(tmp_path / "docs")
     near_dup_text = ("unique body line about entity linking\n"
                      "shared cookie banner")
+    promo = ("buy now the amazing twelve token promotional sentence "
+             "repeated verbatim everywhere")  # 12 tokens
     rows = []
     for i in range(40):
         body = (near_dup_text if i in (7, 23)   # near-dup pair
                 else f"document {i} body line\nshared cookie banner")
+        if i in (30, 31):                       # substring-dup pair
+            body += "\n" + promo
         rows.append((i, body, "en" if i % 2 else "de", f"d{i % 4}.com"))
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string"
@@ -456,6 +460,7 @@ def test_cli_curate_funnel(spark, capsys, tmp_path):
 
     out = _run(capsys, "curate", docs, "-o", str(tmp_path / "cur"),
                "--line-dedup-min-docs", "3",
+               "--substring-dedup-k", "12",
                "--minhash-index", str(tmp_path / "idx"),
                "--run-id", "inc-1",
                "--cap-per-domain", "8",
@@ -465,6 +470,8 @@ def test_cli_curate_funnel(spark, capsys, tmp_path):
     # the 40-doc banner line is removed; the 2-doc shared body line
     # stays (below min_docs=3), so no doc is emptied
     assert funnel["after_line_dedup"] == 40
+    # the 12-token promo run (2 docs) is excised; no doc is emptied
+    assert funnel["after_substring_dedup"] == 40
     # one of the near-dup pair (same cleaned text) is dropped
     assert funnel["after_neardup"] == 39
     assert funnel["after_domain_cap"] <= 4 * 8
@@ -472,3 +479,4 @@ def test_cli_curate_funnel(spark, capsys, tmp_path):
     cur = spark.read.parquet(str(tmp_path / "cur"))
     assert cur.count() == funnel["out"]
     assert not cur.filter(cur.text.contains("cookie banner")).count()
+    assert not cur.filter(cur.text.contains("promotional")).count()
