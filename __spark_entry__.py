@@ -887,6 +887,192 @@ ORDER BY salience DESC, vertex LIMIT 20
 Q_ENTITY_SALIENCE_SQL = _entity_salience_sql()
 
 
+PPR_SEEDS = ["c1", "c2", "c3", "c4"]  # 1/4 = exact double
+PPR_ITERS = 5
+
+
+def q_related_entities(spark, sf_dir):
+    """Personalized PageRank (graph/pagerank.py `reset=`; Haveliwala
+    2002) — related-entity retrieval over the undirected
+    customer↔supplier purchase graph, teleporting to four seed
+    customers.  Exercises the seeded teleport + seeded dangling
+    redistribution arithmetic end-to-end through the SAME per-
+    iteration rounding contract as entity_salience, so the unrolled-
+    CTE DuckDB oracle hash-matches the distributed run exactly."""
+    from neleval_spark.graph.pagerank import related_entities
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_custkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_suppkey")
+    triples = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("subj"),
+        F.lit("cooccurs_with").alias("pred"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("obj"),
+    )
+    return related_entities(triples, seeds=PPR_SEEDS, top_k=20,
+                            iters=PPR_ITERS)
+
+
+def _related_entities_sql() -> str:
+    """Unrolled personalized power iteration: same CTE chain as
+    _entity_salience_sql but with a p column (seed teleport vector)
+    carried through every iteration."""
+    d = PAGERANK_DAMPING
+    w = 1.0 / len(PPR_SEEDS)
+    seed_rows = ", ".join(
+        f"('{s}', CAST({w!r} AS DOUBLE))" for s in PPR_SEEDS)
+    seed_list = ", ".join(f"'{s}'" for s in PPR_SEEDS)
+    head = f"""
+WITH e0 AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+dg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+sd(vertex, p) AS (VALUES {seed_rows}),
+r0 AS (
+  SELECT v.vertex,
+         ROUND(COALESCE(sd.p, CAST(0 AS DOUBLE)), 9) AS rank,
+         COALESCE(dg.deg, 0) AS deg,
+         COALESCE(sd.p, CAST(0 AS DOUBLE)) AS p
+  FROM v LEFT JOIN dg ON v.vertex = dg.src
+  LEFT JOIN sd ON v.vertex = sd.vertex)"""
+    steps = []
+    for k in range(PPR_ITERS):
+        steps.append(f""",
+d{k} AS (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS d
+         FROM r{k} WHERE deg = 0),
+c{k} AS (SELECT e.dst, SUM(r.rank / r.deg) AS c
+         FROM e JOIN r{k} r ON e.src = r.vertex GROUP BY e.dst),
+r{k + 1} AS (
+  SELECT r.vertex,
+         ROUND((CAST(1.0 AS DOUBLE) - CAST({d!r} AS DOUBLE)) * r.p
+               + CAST({d!r} AS DOUBLE)
+                 * (COALESCE(c{k}.c, CAST(0 AS DOUBLE))
+                    + d{k}.d * r.p), 9) AS rank,
+         r.deg, r.p
+  FROM r{k} r CROSS JOIN d{k}
+  LEFT JOIN c{k} ON r.vertex = c{k}.dst)""")
+    tail = f"""
+SELECT vertex AS entity, ROUND(rank, 6) AS relatedness
+FROM r{PPR_ITERS}
+WHERE vertex NOT IN ({seed_list}) AND ROUND(rank, 6) > 0
+ORDER BY relatedness DESC, entity LIMIT 20
+"""
+    return head + "".join(steps) + tail
+
+
+Q_RELATED_ENTITIES_SQL = _related_entities_sql()
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): every click event picks up the
+    most recent at-or-before purchase snapshot of the same user —
+    union+window, ONE exchange, no range-join product (plan pinned in
+    tests/test_asof.py).  Snapshots are deduped to unique
+    (user_id, ts) first so the tie-break never fires and the DuckDB
+    top-1-per-query oracle is exact."""
+    from neleval_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("user_id", "event_id", "ts")
+    snaps = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("snap_ts"))
+        .agg(F.round(F.max("value"), 6).alias("value"))
+    )
+    out = asof_join(clicks, snaps, on="user_id",
+                    left_ts="ts", right_ts="snap_ts", prefix="last_")
+    return out.select("event_id", "user_id", "ts",
+                      "last_snap_ts", "last_value").orderBy("event_id")
+
+
+BM25_TERMS = ["spark", "window", "merge"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 top-k retrieval (functions/retrieval.py) over the
+    documents table — in-row term frequencies (no explode, no token
+    shuffle; plan pinned in tests/test_retrieval.py), corpus stats as
+    one broadcast 1-row aggregate, TakeOrderedAndProject top-k.
+    Both engines round scores to 6 dp before the final ordering."""
+    from neleval_spark.functions.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, BM25_TERMS, k=15, k1=BM25_K1, b=BM25_B)
+
+
+def _bm25_sql() -> str:
+    """Mirrors bm25_topk's exact expression tree.  Derived float
+    constants (k1+1, 1-b) are computed in PYTHON and embedded via
+    repr() — (1.2+1.0) differs from the literal 2.2 by one ulp, so
+    re-deriving them in SQL would hash-mismatch."""
+    k1, b = BM25_K1, BM25_B
+    tf_defs = ",\n".join(
+        f"         CAST(len(list_filter(toks, x -> x = '{t}'))"
+        f" AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS))
+    df_defs = ",\n".join(
+        f"       CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+        f" AS DOUBLE) AS df_{i}"
+        for i in range(len(BM25_TERMS)))
+    parts = " + ".join(
+        f"""(CASE WHEN tf_{i} > 0 THEN
+      LN(CAST(1.0 AS DOUBLE) + (n - df_{i} + CAST(0.5 AS DOUBLE))
+         / (df_{i} + CAST(0.5 AS DOUBLE)))
+      * tf_{i} * CAST({k1 + 1.0!r} AS DOUBLE)
+      / (tf_{i} + CAST({k1!r} AS DOUBLE)
+         * (CAST({1.0 - b!r} AS DOUBLE)
+            + CAST({b!r} AS DOUBLE) * dl / avgdl))
+      ELSE CAST(0.0 AS DOUBLE) END)"""
+        for i in range(len(BM25_TERMS)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           x -> x <> '') AS toks
+  FROM documents),
+base AS (
+  SELECT doc_id AS id, CAST(len(toks) AS DOUBLE) AS dl,
+{tf_defs}
+  FROM toks),
+st AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+{df_defs}
+  FROM base)
+SELECT id, score FROM (
+  SELECT id, ROUND({parts}, 6) AS score
+  FROM base CROSS JOIN st)
+WHERE score > 0
+ORDER BY score DESC, id LIMIT 15
+"""
+
+
+Q_BM25_SQL = _bm25_sql()
+
+
+Q_ASOF_JOIN_SQL = """
+WITH q AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+s AS (
+  SELECT user_id, ts AS snap_ts, ROUND(MAX(value), 6) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+j AS (
+  SELECT q.event_id, q.user_id, q.ts, s.snap_ts, s.value,
+         ROW_NUMBER() OVER (PARTITION BY q.event_id
+                            ORDER BY s.snap_ts DESC) AS rn
+  FROM q LEFT JOIN s
+    ON q.user_id = s.user_id AND s.snap_ts <= q.ts)
+SELECT event_id, user_id, ts,
+       snap_ts AS last_snap_ts, value AS last_value
+FROM j WHERE rn = 1 ORDER BY event_id
+"""
+
+
 def q_rank_systems(spark, sf_dir):
     """A14: rank-with-ties (dense rank over scores).
 
@@ -2755,6 +2941,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing": q_lineitem_pricing,
         "rank_systems": q_rank_systems,
         "entity_salience": q_entity_salience,
+        "related_entities": q_related_entities,
+        "asof_join": q_asof_join,
+        "bm25": q_bm25,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -2835,6 +3024,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_pricing": Q_LINEITEM_PRICING_SQL,
         "rank_systems": Q_RANK_SYSTEMS_SQL,
         "entity_salience": Q_ENTITY_SALIENCE_SQL,
+        "related_entities": Q_RELATED_ENTITIES_SQL,
+        "asof_join": Q_ASOF_JOIN_SQL,
+        "bm25": Q_BM25_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "token_stats": Q_TOKEN_STATS_SQL,
         "cosine_topk": Q_COSINE_TOPK_SQL,

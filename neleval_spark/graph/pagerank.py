@@ -67,6 +67,7 @@ def pagerank(
     tol: float | None = 0.0,
     check_every: int = 1,
     stats: dict | None = None,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
     """Rank vertices of a directed graph; returns (vertex, rank).
 
@@ -81,6 +82,20 @@ def pagerank(
     ``None`` disables the check (always run ``iters`` rounds).
     ``stats`` (optional dict) receives ``{"iterations": k}`` — the
     number of rounds actually executed.
+
+    ``reset``: optional (vertex, p) personalization / teleport vector
+    (personalized PageRank, Haveliwala 2002 — public knowledge).
+    When given, the start vector is p, the teleport term is
+    ``(1-damping)*p(v)`` instead of ``(1-damping)/n``, and dangling
+    mass redistributes along p instead of uniformly.  Weights are
+    used AS GIVEN (caller normalizes to sum 1); seeds absent from the
+    graph's vertex set contribute nothing (their mass is dropped, so
+    ranks then sum to <1 — intentional, mirrors the left join).
+    p is joined into the rank table ONCE (seed tables are tiny —
+    AQE broadcasts the join), so per-iteration work is unchanged:
+    one equi-join + one aggregation.  ``reset=None`` keeps the
+    original uniform-teleport arithmetic bit-for-bit (its DuckDB
+    oracle depends on the exact expression shape).
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -101,16 +116,29 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # rank table carries the out-degree so iterations join ONCE per
     # round (ranks ⋈ edges), never a second degree join
-    ranks = (
-        vertices.join(deg.withColumnRenamed("src", "vertex"),
-                      "vertex", "left")
-        .select(
+    ranks = vertices.join(deg.withColumnRenamed("src", "vertex"),
+                          "vertex", "left")
+    if reset is None:
+        ranks = ranks.select(
             "vertex",
             F.round(F.lit(1.0 / n), round_scale).alias("rank"),
             F.coalesce("deg", F.lit(0)).alias("deg"),
         )
-        .localCheckpoint(eager=True)
-    )
+        carry = ["vertex", "rank", "deg"]
+    else:
+        # p joins into the rank table once, like deg
+        ranks = ranks.join(
+            reset.select("vertex", F.col("p").cast("double").alias("p")),
+            "vertex", "left",
+        ).select(
+            "vertex",
+            F.round(F.coalesce("p", F.lit(0.0)), round_scale)
+            .alias("rank"),
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+            F.coalesce("p", F.lit(0.0)).alias("p"),
+        )
+        carry = ["vertex", "rank", "deg", "p"]
+    ranks = ranks.localCheckpoint(eager=True)
 
     base = (1.0 - damping) / n
     done = 0
@@ -127,23 +155,30 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
         )
+        if reset is None:
+            new_rank = F.round(
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("c"), F.lit(0.0))
+                   + F.col("_d") / F.lit(n)),
+                round_scale,
+            )
+        else:
+            new_rank = F.round(
+                F.lit(1.0 - damping) * F.col("p")
+                + F.lit(damping)
+                * (F.coalesce(F.col("c"), F.lit(0.0))
+                   + F.col("_d") * F.col("p")),
+                round_scale,
+            )
+        keep = [c for c in carry if c != "rank"]
         ranks = (
-            ranks.select("vertex", "deg",
-                         F.col("rank").alias("_prev"))
+            ranks.select(*keep, F.col("rank").alias("_prev"))
             .join(contrib.withColumnRenamed("dst", "vertex"),
                   "vertex", "left")
             .crossJoin(F.broadcast(dang))
-            .select(
-                "vertex", "deg", "_prev",
-                F.round(
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0))
-                       + F.col("_d") / F.lit(n)),
-                    round_scale,
-                ).alias("rank"),
-            )
-            .select("vertex", "rank", "deg", "_prev")
+            .select(*keep, "_prev", new_rank.alias("rank"))
+            .select(*carry, "_prev")
             .localCheckpoint(eager=True)
         )
         done = i + 1
@@ -176,5 +211,41 @@ def entity_salience(triples: DataFrame, top_k: int = 20) -> DataFrame:
         pr.select(F.col("vertex").alias("entity"),
                   F.round(F.col("rank"), 6).alias("salience"))
         .orderBy(F.col("salience").desc(), "entity")
+        .limit(top_k)
+    )
+
+
+def related_entities(
+    triples: DataFrame,
+    seeds: list[str],
+    top_k: int = 20,
+    iters: int = 10,
+) -> DataFrame:
+    """Related-entity retrieval for the constructed KG: personalized
+    PageRank over the undirected co-occurrence graph, teleporting to
+    the ``seeds`` (uniform weight 1/len(seeds) each).  Returns the
+    top_k (entity, relatedness) rows EXCLUDING the seeds themselves,
+    deterministic order (relatedness desc, entity).
+
+    The classic "more like these" query over an entity graph; at
+    10^12 edges it inherits pagerank's per-iteration join+agg shape —
+    the seed vector is a broadcast-sized table, never a shuffle."""
+    spark = triples.sparkSession
+    w = 1.0 / len(seeds)
+    reset = spark.createDataFrame([(s, w) for s in seeds],
+                                  "vertex string, p double")
+    pairs = triples.where(F.col("pred") == "cooccurs_with") \
+        .select("subj", "obj")
+    both = pairs.union(
+        pairs.select(F.col("obj").alias("subj"),
+                     F.col("subj").alias("obj")))
+    pr = pagerank(both, src="subj", dst="obj", iters=iters,
+                  reset=reset)
+    return (
+        pr.where(~F.col("vertex").isin(seeds))
+        .select(F.col("vertex").alias("entity"),
+                F.round(F.col("rank"), 6).alias("relatedness"))
+        .where(F.col("relatedness") > 0)
+        .orderBy(F.col("relatedness").desc(), "entity")
         .limit(top_k)
     )

@@ -1,3 +1,4 @@
+from .asof import asof_join  # noqa: F401
 from .normalize import (  # noqa: F401
     derive_mention_columns,
     field_col,

@@ -79,6 +79,98 @@ def test_pagerank_early_convergence_stop(spark):
     assert stats2["iterations"] == 5
 
 
+def _numpy_ppr(edges, seeds, iters=10, damping=0.85, scale=9):
+    """Independent personalized-PageRank mirror: teleport and
+    dangling mass follow the seed distribution, start vector = p."""
+    verts = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    out = {v: [] for v in verts}
+    for s, d in set(edges):
+        out[s].append(d)
+    p = np.zeros(n)
+    for s in seeds:
+        if s in idx:
+            p[idx[s]] = 1.0 / len(seeds)
+    r = np.round(p, scale)
+    for _ in range(iters):
+        dangling = sum(r[idx[v]] for v in verts if not out[v])
+        c = np.zeros(n)
+        for s in verts:
+            if out[s]:
+                share = r[idx[s]] / len(out[s])
+                for d in out[s]:
+                    c[idx[d]] += share
+        r = np.round((1 - damping) * p
+                     + damping * (c + dangling * p), scale)
+    return {v: r[idx[v]] for v in verts}
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    from neleval_spark.graph.pagerank import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("d", "c"), ("e", "d"), ("c", "e"), ("a", "f")]
+    seeds = ["a", "d"]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    reset = spark.createDataFrame([(s, 0.5) for s in seeds],
+                                  "vertex string, p double")
+    got = {r["vertex"]: r["rank"]
+           for r in pagerank(df, reset=reset).collect()}
+    want = _numpy_ppr(edges, seeds)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-9), v
+    # all mass teleports back to seeds -> still a distribution
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_personalized_pagerank_localizes_to_seed_cluster(spark):
+    """Two triangles bridged by one edge: seeding in one triangle
+    must rank every vertex of that triangle above every vertex of
+    the other (the locality property uniform PageRank lacks)."""
+    from neleval_spark.graph.pagerank import pagerank
+
+    tri1 = [("a", "b"), ("b", "c"), ("c", "a")]
+    tri2 = [("x", "y"), ("y", "z"), ("z", "x")]
+    bridge = [("c", "x")]
+    und = []
+    for s, d in tri1 + tri2 + bridge:
+        und += [(s, d), (d, s)]
+    df = spark.createDataFrame(und, "src string, dst string")
+    reset = spark.createDataFrame([("a", 1.0)],
+                                  "vertex string, p double")
+    got = {r["vertex"]: r["rank"]
+           for r in pagerank(df, reset=reset).collect()}
+    assert min(got["a"], got["b"], got["c"]) > \
+        max(got["x"], got["y"], got["z"])
+    # seed absent from the graph: its mass is dropped, ranks sum <1
+    reset2 = spark.createDataFrame(
+        [("a", 0.5), ("GHOST", 0.5)], "vertex string, p double")
+    got2 = {r["vertex"]: r["rank"]
+            for r in pagerank(df, reset=reset2).collect()}
+    assert "GHOST" not in got2
+    assert sum(got2.values()) < 0.75
+
+
+def test_related_entities_excludes_seeds(spark):
+    from neleval_spark.graph.pagerank import related_entities
+
+    triples = spark.createDataFrame(
+        [("E1", "cooccurs_with", "E2", "u1"),
+         ("E2", "cooccurs_with", "E3", "u2"),
+         ("E4", "cooccurs_with", "E5", "u3")],
+        "subj string, pred string, obj string, url string")
+    rows = related_entities(triples, seeds=["E1"], top_k=5).collect()
+    ents = [r["entity"] for r in rows]
+    assert "E1" not in ents
+    rel = {r["entity"]: r["relatedness"] for r in rows}
+    # one hop from the seed beats two hops
+    assert rel["E2"] > rel["E3"]
+    # disconnected component gets zero relatedness -> filtered out
+    assert "E4" not in rel and "E5" not in rel
+
+
 def test_entity_salience_over_triples(spark):
     from neleval_spark.graph.pagerank import entity_salience
 
