@@ -989,6 +989,82 @@ def q_asof_join(spark, sf_dir):
                       "last_snap_ts", "last_value").orderBy("event_id")
 
 
+def q_salience_weighted(spark, sf_dir):
+    """Weighted PageRank (graph/pagerank.py `weight=`): purchase-
+    volume-weighted salience over the undirected customer↔supplier
+    graph — each lineitem contributes 1 to its (c,s) edge weight, so
+    a vertex spreads rank proportionally to order volume.  INTEGER
+    weights keep every per-src weight sum exact in any partitioning
+    (CLAUDE.md cross-engine rule); the unrolled-CTE oracle mirrors
+    `rank*w/Σw` exactly."""
+    from neleval_spark.graph.pagerank import pagerank
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_custkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_suppkey")
+    raw = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    und = raw.union(raw.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))) \
+        .withColumn("w", F.lit(1))
+    pr = pagerank(und, weight="w", iters=PAGERANK_ITERS,
+                  damping=PAGERANK_DAMPING)
+    return (
+        pr.select("vertex", F.round("rank", 6).alias("salience"))
+        .orderBy(F.col("salience").desc(), "vertex")
+        .limit(20)
+    )
+
+
+def _salience_weighted_sql() -> str:
+    """Unrolled weighted power iteration: contribution is
+    SUM(rank*w/deg) with integer w = parallel-edge multiplicity."""
+    d = PAGERANK_DAMPING
+    head = """
+WITH e0 AS (
+  SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+eu AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM eu GROUP BY src, dst),
+v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+nn AS (SELECT COUNT(*) AS n FROM v),
+dg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM e GROUP BY src),
+r0 AS (
+  SELECT vertex,
+         ROUND(CAST(1.0 AS DOUBLE) / nn.n, 9) AS rank,
+         COALESCE(dg.deg, 0) AS deg
+  FROM v CROSS JOIN nn LEFT JOIN dg ON v.vertex = dg.src)"""
+    steps = []
+    for k in range(PAGERANK_ITERS):
+        steps.append(f""",
+d{k} AS (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS d
+         FROM r{k} WHERE deg = 0),
+c{k} AS (SELECT e.dst, SUM(r.rank * e.w / r.deg) AS c
+         FROM e JOIN r{k} r ON e.src = r.vertex GROUP BY e.dst),
+r{k + 1} AS (
+  SELECT r.vertex,
+         ROUND((CAST(1.0 AS DOUBLE) - CAST({d!r} AS DOUBLE)) / nn.n
+               + CAST({d!r} AS DOUBLE)
+                 * (COALESCE(c{k}.c, CAST(0 AS DOUBLE))
+                    + d{k}.d / nn.n), 9) AS rank,
+         r.deg
+  FROM r{k} r CROSS JOIN nn CROSS JOIN d{k}
+  LEFT JOIN c{k} ON r.vertex = c{k}.dst)""")
+    tail = f"""
+SELECT vertex, ROUND(rank, 6) AS salience
+FROM r{PAGERANK_ITERS}
+ORDER BY salience DESC, vertex LIMIT 20
+"""
+    return head + "".join(steps) + tail
+
+
+Q_SALIENCE_WEIGHTED_SQL = _salience_weighted_sql()
+
+
 BM25_TERMS = ["spark", "window", "merge"]
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -2942,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_systems": q_rank_systems,
         "entity_salience": q_entity_salience,
         "related_entities": q_related_entities,
+        "salience_weighted": q_salience_weighted,
         "asof_join": q_asof_join,
         "bm25": q_bm25,
         # training-data ops
@@ -3025,6 +3102,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_systems": Q_RANK_SYSTEMS_SQL,
         "entity_salience": Q_ENTITY_SALIENCE_SQL,
         "related_entities": Q_RELATED_ENTITIES_SQL,
+        "salience_weighted": Q_SALIENCE_WEIGHTED_SQL,
         "asof_join": Q_ASOF_JOIN_SQL,
         "bm25": Q_BM25_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,

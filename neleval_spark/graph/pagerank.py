@@ -68,6 +68,7 @@ def pagerank(
     check_every: int = 1,
     stats: dict | None = None,
     reset: DataFrame | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """Rank vertices of a directed graph; returns (vertex, rank).
 
@@ -96,13 +97,35 @@ def pagerank(
     one equi-join + one aggregation.  ``reset=None`` keeps the
     original uniform-teleport arithmetic bit-for-bit (its DuckDB
     oracle depends on the exact expression shape).
+
+    ``weight``: optional edge-weight column — a vertex spreads its
+    rank proportionally to outgoing weight (`rank*w/Σw`) instead of
+    uniformly.  Parallel edges are SUMMED per (src, dst);
+    non-positive weights are dropped.  Use INTEGER weights: the
+    per-src weight sums are then exact in any partitioning/engine
+    (the CLAUDE.md cross-engine rule), keeping the oracle contract.
+    Orthogonal to ``reset``; ``weight=None`` keeps the unweighted
+    plan and arithmetic untouched.
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if weight is None:
+        e = (
+            edges.select(F.col(src).alias("src"),
+                         F.col(dst).alias("dst"))
+            .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    else:
+        e = (
+            edges.select(F.col(src).alias("src"),
+                         F.col(dst).alias("dst"),
+                         F.col(weight).cast("long").alias("w"))
+            .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                   & (F.col("w") > 0))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
     vertices = (
         e.select(F.col("src").alias("vertex"))
         .union(e.select("dst"))
@@ -113,7 +136,10 @@ def pagerank(
     if n == 0:
         return vertices.withColumn("rank", F.lit(0.0))
 
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if weight is None:
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    else:
+        deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
     # rank table carries the out-degree so iterations join ONCE per
     # round (ranks ⋈ edges), never a second degree join
     ranks = vertices.join(deg.withColumnRenamed("src", "vertex"),
@@ -150,10 +176,12 @@ def pagerank(
         # same /n division, inside the same round().
         dang = ranks.where(F.col("deg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_d"))
+        share = (F.col("rank") / F.col("deg") if weight is None
+                 else F.col("rank") * F.col("w") / F.col("deg"))
         contrib = (
             e.join(ranks.withColumnRenamed("vertex", "src"), "src")
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+            .agg(F.sum(share).alias("c"))
         )
         if reset is None:
             new_rank = F.round(

