@@ -989,6 +989,30 @@ def q_asof_join(spark, sf_dir):
                       "last_snap_ts", "last_value").orderBy("event_id")
 
 
+def q_latest_snapshot(spark, sf_dir):
+    """Recrawl dedup (functions/corpusops.latest_snapshot): newest
+    row per key via groupBy + max_by — map-side combine ships ≤1 row
+    per key per partition (a window/row_number would ship every
+    duplicate of a hot url to one task).  Events stand in for the
+    (url, warc_ts, ...) crawl table; (user_id, ts) is unique in the
+    testdata so the content tie-break is off and the DuckDB
+    top-1-per-key oracle is exact."""
+    from neleval_spark.functions.corpusops import latest_snapshot
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return latest_snapshot(ev, key="user_id", ts="ts",
+                           content_col=None).orderBy("user_id")
+
+
+Q_LATEST_SNAPSHOT_SQL = """
+SELECT user_id, event_id, ts, event_type, value, props FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC) AS rn
+  FROM events)
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
 def q_salience_weighted(spark, sf_dir):
     """Weighted PageRank (graph/pagerank.py `weight=`): purchase-
     volume-weighted salience over the undirected customer↔supplier
@@ -3021,6 +3045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salience_weighted": q_salience_weighted,
         "asof_join": q_asof_join,
         "bm25": q_bm25,
+        "latest_snapshot": q_latest_snapshot,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -3105,6 +3130,7 @@ def oracle_sql() -> dict[str, str]:
         "salience_weighted": Q_SALIENCE_WEIGHTED_SQL,
         "asof_join": Q_ASOF_JOIN_SQL,
         "bm25": Q_BM25_SQL,
+        "latest_snapshot": Q_LATEST_SNAPSHOT_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "token_stats": Q_TOKEN_STATS_SQL,
         "cosine_topk": Q_COSINE_TOPK_SQL,

@@ -26,11 +26,26 @@ from .triples import emit_triples
 
 
 def build_mentions(pages: DataFrame, kb: DataFrame,
-                   use_stored_text: bool = False) -> DataFrame:
-    """web_pages + alias dict → linked, canonicalized mentions."""
+                   use_stored_text: bool = False,
+                   dedupe_snapshots: bool = False) -> DataFrame:
+    """web_pages + alias dict → linked, canonicalized mentions.
+
+    ``dedupe_snapshots``: the BASELINE.json input table carries every
+    fetch of a url as its own (url, warc_ts, ...) row; set True when
+    the input may contain recrawls and only the newest snapshot per
+    url should enter the KG (functions/corpusops.latest_snapshot —
+    map-side-combined max_by, ≤1 row per url per partition shuffled).
+    Off by default: the synthetic corpus is already one-row-per-url,
+    and the extra exchange isn't free."""
     from .ner import extract_and_detect, gazetteer_from_kb
 
     from .candidates import with_context_features
+
+    if dedupe_snapshots:
+        from ..functions.corpusops import latest_snapshot
+
+        pages = latest_snapshot(pages, key="url", ts="warc_ts",
+                                content_col="html")
 
     # Arrow batch sizing for the html ship into Python is a session
     # conf (get_spark sets 512-row batches; see session.py for the

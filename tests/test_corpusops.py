@@ -162,3 +162,32 @@ def test_dedup_substrings_dup_set_is_broadcast(spark):
     plan = (dedup_substrings(d, k=8)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastExchange" in plan
+
+
+def test_latest_snapshot_keeps_newest_and_is_deterministic(spark):
+    import datetime as dt
+    from neleval_spark.functions.corpusops import latest_snapshot
+
+    def t(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    rows = [
+        ("u1", t(1), b"old", "a"), ("u1", t(9), b"new", "b"),
+        ("u2", t(5), b"only", "c"),
+        # equal-ts tie on u3: resolved by xxhash64(html), max wins
+        ("u3", t(3), b"x", "d"), ("u3", t(3), b"y", "e"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, tag string")
+    got = {r["url"]: r["tag"]
+           for r in latest_snapshot(pages).collect()}
+    assert got["u1"] == "b" and got["u2"] == "c"
+    # tie-break is deterministic across partitionings
+    a = latest_snapshot(pages.repartition(1)).collect()
+    b = latest_snapshot(pages.repartition(7)).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    assert got["u3"] in ("d", "e")
+    # map-side combine shape: partial aggregate, no window sort
+    plan = latest_snapshot(pages)._jdf.queryExecution() \
+        .executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "Window" not in plan

@@ -190,3 +190,26 @@ def test_canonicalize_hub_surface_skew(spark):
         acronym_key(F.col("surface")).alias("a")).distinct()
     assert keys.count() <= 51  # 51 distinct surfaces, whatever the skew
     spark.catalog.clearCache()
+
+
+def test_dedupe_snapshots_drops_recrawls(spark, corpus, built):
+    """A recrawled corpus (every url duplicated with an OLDER
+    warc_ts and junk html) must produce the same mention table as
+    the clean corpus when dedupe_snapshots=True."""
+    from pyspark.sql import functions as F
+
+    from neleval_spark.pipeline import kb_table
+    from neleval_spark.pipeline.run import build_mentions
+
+    stale = (corpus
+             .withColumn("warc_ts",
+                         F.col("warc_ts") - F.expr("INTERVAL 1 DAY"))
+             .withColumn("html",
+                         F.encode(F.lit("<html>stale</html>"),
+                                  "utf-8")))
+    recrawled = corpus.unionByName(stale)
+    deduped = build_mentions(recrawled, kb_table(spark),
+                             dedupe_snapshots=True)
+    want = built.select("url", "start", "end", "eid").collect()
+    got = deduped.select("url", "start", "end", "eid").collect()
+    assert sorted(map(str, got)) == sorted(map(str, want))
