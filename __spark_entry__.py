@@ -1013,6 +1013,308 @@ WHERE rn = 1 ORDER BY user_id
 """
 
 
+# --- web link graph (functions/linkgraph.py) --------------------------
+# documents carries no html, so both engines synthesize the same
+# deterministic crawl table from doc_id arithmetic; the oracle then
+# mirrors the canonicalization contract (linkgraph steps N1-N9)
+# number-for-number in chained subselects.
+
+HOSTRANK_ITERS = 5
+
+
+def _synth_linked_pages(spark, sf_dir):
+    """Deterministic (url, html) crawl table: 10 sites in a double
+    ring (each page links to site+1 and site+3), intra-host root- and
+    directory-relative links (self-loops, dropped by host_edges), a
+    mailto: (dropped), and every 4th page an uppercase-host default-
+    port link to partner.org — one exercise per resolution branch."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id")
+    i = F.col("doc_id")
+
+    def site(e):
+        return F.concat(F.lit("site"), (e % 10).cast("string"),
+                        F.lit(".example.com"))
+
+    src = F.concat(F.lit("http://"), site(i), F.lit("/dir/page"),
+                   i.cast("string"), F.lit(".html"))
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.lit('<a href="http://'), site(i + 1),
+        F.lit('/x?utm_source=z&k=1">t</a>'),
+        F.lit('<a class="b" href="/local/l'), (i % 3).cast("string"),
+        F.lit('">t</a>'),
+        F.lit('<A HREF="//'), site(i + 3), F.lit('/y#frag">t</a>'),
+        F.lit('<a href="mailto:a@b.c">t</a>'),
+        F.lit('<a href="../up'), (i % 2).cast("string"),
+        F.lit('.html">t</a>'),
+        F.when(i % 4 == 0,
+               F.lit('<a href="https://Partner.ORG:443/p/">t</a>'))
+         .otherwise(F.lit("")),
+        F.lit("</body></html>"))
+    return docs.select(src.alias("url"), html.alias("html"))
+
+
+_LINKED_PAGES_SQL = """
+SELECT 'http://site' || CAST(doc_id % 10 AS VARCHAR)
+       || '.example.com/dir/page' || CAST(doc_id AS VARCHAR)
+       || '.html' AS src,
+       '<html><body>'
+       || '<a href="http://site' || CAST((doc_id + 1) % 10 AS VARCHAR)
+       || '.example.com/x?utm_source=z&k=1">t</a>'
+       || '<a class="b" href="/local/l' || CAST(doc_id % 3 AS VARCHAR)
+       || '">t</a>'
+       || '<A HREF="//site' || CAST((doc_id + 3) % 10 AS VARCHAR)
+       || '.example.com/y#frag">t</a>'
+       || '<a href="mailto:a@b.c">t</a>'
+       || '<a href="../up' || CAST(doc_id % 2 AS VARCHAR)
+       || '.html">t</a>'
+       || CASE WHEN doc_id % 4 = 0
+               THEN '<a href="https://Partner.ORG:443/p/">t</a>'
+               ELSE '' END
+       || '</body></html>' AS html
+FROM documents
+"""
+
+
+def _duck_norm_steps():
+    """linkgraph.normalize_url steps N1-N9 as (column, expr) pairs
+    over an input column ``u0`` — chained into subselects by
+    ``_chain_steps`` so each step can reference the previous ones
+    (mirrors the Spark expression tree step-for-step; DuckDB
+    regexp_replace needs the explicit 'g' flag to match Java
+    replaceAll semantics)."""
+    collapse = "rest"
+    for _ in range(2):                                         # N6
+        collapse = f"regexp_replace({collapse}, '/\\./', '/', 'g')"
+    for _ in range(4):
+        collapse = (f"regexp_replace({collapse},"
+                    f" '/[^/]+/\\.\\./', '/', 'g')")
+    return [
+        ("u1", "trim(u0)"),                                    # N1
+        ("u2", "regexp_replace(u1, '#.*', '', 'g')"),          # N2
+        ("base", "regexp_extract(u2, '^[^?]*')"),              # N3
+        ("qs", "regexp_extract(u2, '^[^?]*\\?(.*)', 1)"),
+        ("sh", "regexp_extract(base,"                          # N4
+               " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*')"),
+        ("rest", "substr(base, length(sh) + 1)"),
+        ("shn", "regexp_replace(regexp_replace(lower(sh),"     # N5
+                " '^(http://[^/:]*):80$', '\\1'),"
+                " '^(https://[^/:]*):443$', '\\1')"),
+        ("restn", collapse),
+        ("basen", "regexp_replace(shn || restn,"               # N7+N8
+                  " '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]+)/$', '\\1')"),
+        ("parts", "list_sort(list_filter(str_split(qs, '&'),"  # N9
+                  " p -> p <> '' AND NOT regexp_matches(p,"
+                  " '^(utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid)=')))"),
+        ("canon", "CASE WHEN sh = '' THEN NULL"
+                  " ELSE basen || CASE WHEN len(parts) > 0"
+                  " THEN '?' || array_to_string(parts, '&')"
+                  " ELSE '' END END"),
+    ]
+
+
+def _duck_resolve_steps():
+    """linkgraph._resolve as chained exprs over (src, href)."""
+    scheme = "[a-zA-Z][a-zA-Z0-9+.-]*"
+    return [
+        ("h", "trim(href)"),
+        ("src_base", "regexp_extract(src, '^[^?#]*')"),
+        ("src_scheme",
+         f"lower(regexp_extract(src, '^({scheme}):', 1))"),
+        ("src_origin",
+         f"regexp_extract(src, '^{scheme}://[^/?#]*')"),
+        ("src_dir",
+         f"CASE WHEN regexp_matches(src_base, '^{scheme}://[^/]*$')"
+         " THEN src_base || '/'"
+         " ELSE regexp_replace(src_base, '/[^/]*$', '/') END"),
+        ("u0",
+         "CASE WHEN h = '' OR h LIKE '#%' THEN NULL"
+         " WHEN regexp_matches(h, '^(?i)https?://') THEN h"
+         f" WHEN regexp_matches(h, '^{scheme}:') THEN NULL"
+         " WHEN h LIKE '//%' THEN src_scheme || ':' || h"
+         " WHEN h LIKE '/%' THEN src_origin || h"
+         " ELSE src_dir || h END"),
+    ]
+
+
+def _chain_steps(inner, steps):
+    for name, expr in steps:
+        inner = f"SELECT *, {expr} AS {name} FROM ({inner})"
+    return inner
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization (linkgraph.normalize_url, steps N1-N9):
+    messy urls synthesized from doc_id arithmetic — uppercase
+    scheme/host, default and non-default ports, dot segments,
+    tracking params interleaved with real ones, fragments, trailing
+    slashes — every rule hit.  Whole-stage-codegen regex/array
+    expressions; zero Python, zero shuffle."""
+    from neleval_spark.functions.linkgraph import normalize_url
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id")
+    i = F.col("doc_id")
+    scheme = (F.when(i % 3 == 0, F.lit("HTTP"))
+               .when(i % 3 == 1, F.lit("https"))
+               .otherwise(F.lit("http")))
+    host = F.concat(F.lit("WWW.Site"), (i % 7).cast("string"),
+                    F.lit(".Example.COM"))
+    port = (F.when(i % 4 == 0, F.lit(":80"))
+             .when(i % 4 == 1, F.lit(":443"))
+             .when(i % 4 == 2, F.lit(":8080"))
+             .otherwise(F.lit("")))
+    path = (F.when(i % 5 == 0, F.lit(""))
+             .when(i % 5 == 1, F.lit("/"))
+             .when(i % 5 == 2, F.lit("/A/b"))
+             .when(i % 5 == 3, F.lit("/a/./b/../c"))
+             .otherwise(F.lit("/x/")))
+    qs = (F.when(i % 6 == 0, F.lit(""))
+           .when(i % 6 == 1, F.lit("?utm_source=x&b=2&a=1"))
+           .when(i % 6 == 2, F.lit("?fbclid=99"))
+           .when(i % 6 == 3, F.lit("?z=1&y=2"))
+           .when(i % 6 == 4, F.lit("?utm_campaign=c"))
+           .otherwise(F.lit("?a=1&utm_medium=m&b=2")))
+    frag = F.when(i % 2 == 0, F.lit("")).otherwise(F.lit("#sec"))
+    url = F.concat(F.lit(" "), scheme, F.lit("://"), host, port,
+                   path, qs, frag, F.lit(" "))
+    return docs.select("doc_id", url.alias("url"),
+                       normalize_url(url).alias("canon")) \
+               .orderBy("doc_id")
+
+
+def _url_normalize_sql():
+    synth = """
+SELECT doc_id,
+  ' ' || CASE WHEN doc_id % 3 = 0 THEN 'HTTP'
+              WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END
+  || '://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+  || CASE WHEN doc_id % 4 = 0 THEN ':80'
+          WHEN doc_id % 4 = 1 THEN ':443'
+          WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN ''
+          WHEN doc_id % 5 = 1 THEN '/'
+          WHEN doc_id % 5 = 2 THEN '/A/b'
+          WHEN doc_id % 5 = 3 THEN '/a/./b/../c' ELSE '/x/' END
+  || CASE WHEN doc_id % 6 = 0 THEN ''
+          WHEN doc_id % 6 = 1 THEN '?utm_source=x&b=2&a=1'
+          WHEN doc_id % 6 = 2 THEN '?fbclid=99'
+          WHEN doc_id % 6 = 3 THEN '?z=1&y=2'
+          WHEN doc_id % 6 = 4 THEN '?utm_campaign=c'
+          ELSE '?a=1&utm_medium=m&b=2' END
+  || CASE WHEN doc_id % 2 = 0 THEN '' ELSE '#sec' END
+  || ' ' AS url
+FROM documents
+"""
+    chained = _chain_steps(
+        f"SELECT doc_id, url, url AS u0 FROM ({synth})",
+        _duck_norm_steps())
+    return (f"SELECT doc_id, url, canon FROM ({chained})"
+            " ORDER BY doc_id")
+
+
+Q_URL_NORMALIZE_SQL = _url_normalize_sql()
+
+
+def q_host_edges(spark, sf_dir):
+    """Host-level link graph (linkgraph.extract_links → host_edges)
+    over the synthetic crawl: anchor extraction + reference
+    resolution + canonicalization in whole-stage codegen, then ONE
+    map-side-combined groupBy on the (src_host, dst_host) pair —
+    self-loops (the root-/directory-relative intra-host links)
+    dropped, mailto: dropped, the uppercase default-port partner
+    link canonicalized before counting."""
+    from neleval_spark.functions.linkgraph import (extract_links,
+                                                   host_edges)
+
+    pages = _synth_linked_pages(spark, sf_dir)
+    return host_edges(extract_links(pages)) \
+        .orderBy("src_host", "dst_host")
+
+
+def _host_edges_sql(ordered=True):
+    links = f"""
+SELECT src, unnest(regexp_extract_all(html,
+       '(?i)<a\\s[^>]*href="([^"]*)"', 1)) AS href
+FROM ({_LINKED_PAGES_SQL})
+"""
+    chained = _chain_steps(f"SELECT src, href FROM ({links})",
+                           _duck_resolve_steps() + _duck_norm_steps())
+    hostre = "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)'"
+    agg = f"""
+SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links FROM (
+  SELECT lower(regexp_extract(src, {hostre}, 1)) AS src_host,
+         lower(regexp_extract(canon, {hostre}, 1)) AS dst_host
+  FROM ({chained})
+  WHERE canon IS NOT NULL AND regexp_matches(canon, '^https?://'))
+WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+GROUP BY src_host, dst_host
+"""
+    return agg + (" ORDER BY src_host, dst_host" if ordered else "")
+
+
+Q_HOST_EDGES_SQL = _host_edges_sql()
+
+
+def q_host_authority(spark, sf_dir):
+    """Host authority (linkgraph.host_authority): link-count-weighted
+    PageRank over the extracted host graph — extract_links →
+    host_edges → graph.pagerank(weight=n_links).  Per-iteration cost
+    is one equi-join + one agg over the HOST graph (11 vertices
+    here; ~10^7 hosts on a real crawl vs 10^12 pages)."""
+    from neleval_spark.functions.linkgraph import host_authority
+
+    pages = _synth_linked_pages(spark, sf_dir)
+    ha = host_authority(pages, iters=HOSTRANK_ITERS)
+    return ha.select("vertex",
+                     F.round("rank", 6).alias("authority")) \
+             .orderBy("vertex")
+
+
+def _host_authority_sql():
+    """Unrolled weighted power iteration (same shape as
+    _salience_weighted_sql) over the link-graph edges — DIRECTED, w =
+    n_links, dangling hosts redistribute uniformly."""
+    d = PAGERANK_DAMPING
+    head = f"""
+WITH e AS (SELECT src_host AS src, dst_host AS dst, n_links AS w
+           FROM ({_host_edges_sql(ordered=False)})),
+v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+nn AS (SELECT COUNT(*) AS n FROM v),
+dg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM e GROUP BY src),
+r0 AS (
+  SELECT vertex,
+         ROUND(CAST(1.0 AS DOUBLE) / nn.n, 9) AS rank,
+         COALESCE(dg.deg, 0) AS deg
+  FROM v CROSS JOIN nn LEFT JOIN dg ON v.vertex = dg.src)"""
+    steps = []
+    for k in range(HOSTRANK_ITERS):
+        steps.append(f""",
+d{k} AS (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS d
+         FROM r{k} WHERE deg = 0),
+c{k} AS (SELECT e.dst, SUM(r.rank * e.w / r.deg) AS c
+         FROM e JOIN r{k} r ON e.src = r.vertex GROUP BY e.dst),
+r{k + 1} AS (
+  SELECT r.vertex,
+         ROUND((CAST(1.0 AS DOUBLE) - CAST({d!r} AS DOUBLE)) / nn.n
+               + CAST({d!r} AS DOUBLE)
+                 * (COALESCE(c{k}.c, CAST(0 AS DOUBLE))
+                    + d{k}.d / nn.n), 9) AS rank,
+         r.deg
+  FROM r{k} r CROSS JOIN nn CROSS JOIN d{k}
+  LEFT JOIN c{k} ON r.vertex = c{k}.dst)""")
+    tail = f"""
+SELECT vertex, ROUND(rank, 6) AS authority
+FROM r{HOSTRANK_ITERS}
+ORDER BY vertex
+"""
+    return head + "".join(steps) + tail
+
+
+Q_HOST_AUTHORITY_SQL = _host_authority_sql()
+
+
 def q_salience_weighted(spark, sf_dir):
     """Weighted PageRank (graph/pagerank.py `weight=`): purchase-
     volume-weighted salience over the undirected customer↔supplier
@@ -3046,6 +3348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "bm25": q_bm25,
         "latest_snapshot": q_latest_snapshot,
+        "url_normalize": q_url_normalize,
+        "host_edges": q_host_edges,
+        "host_authority": q_host_authority,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -3131,6 +3436,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": Q_ASOF_JOIN_SQL,
         "bm25": Q_BM25_SQL,
         "latest_snapshot": Q_LATEST_SNAPSHOT_SQL,
+        "url_normalize": Q_URL_NORMALIZE_SQL,
+        "host_edges": Q_HOST_EDGES_SQL,
+        "host_authority": Q_HOST_AUTHORITY_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "token_stats": Q_TOKEN_STATS_SQL,
         "cosine_topk": Q_COSINE_TOPK_SQL,

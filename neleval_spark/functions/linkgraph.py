@@ -1,0 +1,197 @@
+"""Web link-graph construction from raw html — hyperlink
+extraction, URL canonicalization, host-level edge aggregation, and
+host authority (PageRank over the host graph).
+
+No reference counterpart (wikilinks/neleval is evaluation-side);
+this is the public-knowledge web-curation step that turns the
+BASELINE.json input table (url, warc_ts, html, ...) into the graph
+signals a KG-construction pipeline needs: which hosts link to which,
+and which hosts carry authority.
+
+Spark-first design — every step below is a JVM column expression
+(regexp / array / higher-order functions) inside whole-stage
+codegen; there is NO Python in the path.  The only wide operations
+are the one inherent explode (one output row per anchor) and the one
+inherent groupBy (host-pair counts, map-side combinable — a hub host
+pair partially aggregates on every input partition before the
+exchange, so popular hosts never funnel raw anchor rows through one
+task).  At 10^12 pages nothing else shuffles.
+
+URL canonicalization contract (steps N1-N9; the DuckDB oracle in
+``__spark_entry__`` mirrors them number-for-number, which is what
+lets the driver hash-check this cross-engine):
+
+  N1. trim surrounding whitespace
+  N2. drop the fragment (``#`` to end)
+  N3. split base (before ``?``) from the query string
+  N4. lowercase the ``scheme://host[:port]`` prefix (path and query
+      keep their case); a url with no ``scheme://`` prefix
+      normalizes to NULL — callers resolve relative refs FIRST
+      (see ``extract_links``)
+  N5. drop default ports (``http://…:80``, ``https://…:443``)
+  N6. best-effort dot-segment collapse on the path: two passes of
+      ``/./`` → ``/`` then four passes of ``/seg/../`` → ``/`` —
+      a FIXED pass count, identical on both engines, so deeper
+      nesting is left as-is rather than looped over
+  N7. (composition of N4-N6)
+  N8. drop a lone trailing slash (``http://h/`` → ``http://h``)
+  N9. drop tracking params (``utm_*``, ``fbclid``, ``gclid``,
+      ``msclkid``), sort the survivors bytewise, rejoin with ``&``
+
+The contract is ASCII-exact; non-ASCII urls pass through the same
+steps but parameter ordering then depends on each engine's string
+collation (the synthetic corpora are ASCII).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scheme per RFC 3986: ALPHA *( ALPHA / DIGIT / "+" / "-" / "." )
+_SCHEME = "[a-zA-Z][a-zA-Z0-9+.-]*"
+# query params stripped by N9 (shared with the DuckDB oracle)
+TRACKING_PARAM_RE = "^(utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid)="
+# href attribute of an anchor tag, double-quoted (shared Java∩RE2)
+HREF_RE = '(?i)<a\\s[^>]*href="([^"]*)"'
+
+
+def _collapse_dots(path: Column) -> Column:
+    """N6: fixed-pass dot-segment collapse (2× ``/./``, 4× ``/x/../``)."""
+    for _ in range(2):
+        path = F.regexp_replace(path, "/\\./", "/")
+    for _ in range(4):
+        path = F.regexp_replace(path, "/[^/]+/\\.\\./", "/")
+    return path
+
+
+def normalize_url(u: Column) -> Column:
+    """Canonicalize an ABSOLUTE url per steps N1-N9 (module doc).
+
+    Returns NULL for inputs without a ``scheme://`` prefix — resolve
+    relative references first (``extract_links`` does).
+    """
+    u = F.trim(u)                                            # N1
+    u = F.regexp_replace(u, "#.*", "")                       # N2
+    base = F.regexp_extract(u, "^[^?]*", 0)                  # N3
+    query = F.regexp_extract(u, "^[^?]*\\?(.*)", 1)
+    schemehost = F.regexp_extract(base, f"^{_SCHEME}://[^/]*", 0)  # N4
+    rest = base.substr(F.length(schemehost) + F.lit(1), F.length(base))
+    sh = F.lower(schemehost)
+    sh = F.regexp_replace(sh, "^(http://[^/:]*):80$", "$1")  # N5
+    sh = F.regexp_replace(sh, "^(https://[^/:]*):443$", "$1")
+    rest = _collapse_dots(rest)                              # N6
+    base2 = F.concat(sh, rest)                               # N7
+    base2 = F.regexp_replace(                                # N8
+        base2, f"^({_SCHEME}://[^/]+)/$", "$1")
+    parts = F.filter(                                        # N9
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))
+    canon = F.concat(
+        base2,
+        F.when(F.size(parts) > 0,
+               F.concat(F.lit("?"), F.array_join(F.array_sort(parts), "&")))
+         .otherwise(F.lit("")))
+    return F.when(schemehost == "", F.lit(None).cast("string")) \
+            .otherwise(canon)
+
+
+def host_of(u: Column) -> Column:
+    """Lowercased host of an absolute url ('' when there is none)."""
+    return F.lower(F.regexp_extract(u, f"^{_SCHEME}://([^/?#:]+)", 1))
+
+
+def _resolve(href: Column, src: Column) -> Column:
+    """RFC-3986-style reference resolution, the common cases:
+    absolute http(s) kept; other schemes (mailto:, javascript:,
+    data:, …) dropped; ``//host/…`` takes the source scheme;
+    ``/path`` takes the source origin; ``seg`` resolves against the
+    source directory; empty / fragment-only dropped.  Dot segments
+    are collapsed later by normalize_url N6."""
+    href = F.trim(href)
+    src_base = F.regexp_extract(src, "^[^?#]*", 0)
+    src_scheme = F.lower(F.regexp_extract(src, f"^({_SCHEME}):", 1))
+    src_origin = F.regexp_extract(src, f"^{_SCHEME}://[^/?#]*", 0)
+    # directory of the source path ('http://h/a/b' → 'http://h/a/';
+    # an origin-only source gets '/': the '/[^/]*$' replace must not
+    # eat into the '//' of the scheme separator
+    src_dir = F.when(
+        src_base.rlike(f"^{_SCHEME}://[^/]*$"),
+        F.concat(src_base, F.lit("/"))
+    ).otherwise(F.regexp_replace(src_base, "/[^/]*$", "/"))
+    return (
+        F.when((href == "") | href.startswith("#"),
+               F.lit(None).cast("string"))
+         .when(href.rlike("^(?i)https?://"), href)
+         .when(href.rlike(f"^{_SCHEME}:"), F.lit(None).cast("string"))
+         .when(href.startswith("//"),
+               F.concat(src_scheme, F.lit(":"), href))
+         .when(href.startswith("/"), F.concat(src_origin, href))
+         .otherwise(F.concat(src_dir, href))
+    )
+
+
+def extract_links(pages: DataFrame, url: str = "url",
+                  html: str = "html") -> DataFrame:
+    """(url, html) pages → one (src, dst) row per resolvable anchor.
+
+    ``src`` is the page url as given; ``dst`` is the canonicalized
+    absolute target (normalize_url N1-N9 after reference
+    resolution).  Anchors with non-http(s) schemes, fragment-only or
+    empty hrefs are dropped.  The html column may be binary (UTF-8
+    decoded) or string.
+
+    Scale: regexp_extract_all + one explode — the explode is the
+    output's cardinality, not overhead; everything else is
+    whole-stage codegen.  No shuffle at all (narrow map)."""
+    html_col = F.col(html)
+    if dict(pages.dtypes)[html] == "binary":
+        html_col = F.decode(html_col, "UTF-8")
+    hrefs = F.regexp_extract_all(html_col, F.lit(HREF_RE), 1)
+    exploded = (pages
+                .select(F.col(url).alias("src"),
+                        F.explode(hrefs).alias("href")))
+    dst = normalize_url(_resolve(F.col("href"), F.col("src")))
+    return (exploded
+            .select("src", dst.alias("dst"))
+            .where(F.col("dst").isNotNull()
+                   & F.col("dst").rlike("^https?://")))
+
+
+def host_edges(links: DataFrame, keep_self: bool = False,
+               min_count: int = 1) -> DataFrame:
+    """(src, dst) link rows → (src_host, dst_host, n_links) edges.
+
+    Self-loops (intra-host links) are dropped by default — they
+    carry no authority signal and on real crawls dominate the edge
+    count.  ``min_count`` prunes rare pairs after aggregation.
+
+    Scale: ONE groupBy on the (src_host, dst_host) pair with
+    map-side partial counts — a hub pair collapses to one row per
+    input partition before the exchange."""
+    e = links.select(host_of(F.col("src")).alias("src_host"),
+                     host_of(F.col("dst")).alias("dst_host"))
+    e = e.where((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    if not keep_self:
+        e = e.where(F.col("src_host") != F.col("dst_host"))
+    out = (e.groupBy("src_host", "dst_host")
+            .agg(F.count(F.lit(1)).alias("n_links")))
+    if min_count > 1:
+        out = out.where(F.col("n_links") >= min_count)
+    return out
+
+
+def host_authority(pages: DataFrame, url: str = "url",
+                   html: str = "html", **pagerank_kwargs) -> DataFrame:
+    """Host-level authority: PageRank over the host link graph,
+    link-count-weighted.  Returns (vertex, rank) — one row per host.
+
+    Composition of extract_links → host_edges → graph.pagerank
+    (weight=n_links): per-iteration cost is one equi-join + one
+    aggregation over the HOST graph, which is orders of magnitude
+    smaller than the page table."""
+    from ..graph.pagerank import pagerank
+
+    edges = host_edges(extract_links(pages, url=url, html=html))
+    return pagerank(edges, src="src_host", dst="dst_host",
+                    weight="n_links", **pagerank_kwargs)

@@ -1,0 +1,126 @@
+"""Web link-graph construction (functions/linkgraph.py): URL
+canonicalization contract N1-N9, anchor extraction + reference
+resolution, host-edge aggregation, and the PageRank composition."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neleval_spark.functions.linkgraph import (
+    extract_links, host_authority, host_edges, host_of, normalize_url)
+
+
+NORM_CASES = [
+    # every N-step hit at least once
+    ("  HTTP://WWW.Ex.COM:80/a/./b/../c?utm_source=x&b=2&a=1#frag  ",
+     "http://www.ex.com/a/c?a=1&b=2"),
+    ("https://Host.org:443/", "https://host.org"),
+    ("https://host.org:8443/p/", "https://host.org:8443/p/"),
+    ("http://h.com:443/x", "http://h.com:443/x"),   # not http's default
+    ("http://h.com?fbclid=9&gclid=8&msclkid=7", "http://h.com"),
+    ("http://h.com/x?z=1&y=2", "http://h.com/x?y=2&z=1"),
+    ("http://h.com/a/b/c/../../d", "http://h.com/a/d"),
+    ("ftp://files.org/x", "ftp://files.org/x"),     # normalized, kept
+    ("/rooted/path", None),                          # not absolute
+    ("page.html", None),
+    ("", None),
+]
+
+
+def test_normalize_url_contract(spark):
+    df = spark.createDataFrame([(u,) for u, _ in NORM_CASES],
+                               "u string")
+    got = [r["c"] for r in
+           df.select(normalize_url(F.col("u")).alias("c")).collect()]
+    for (u, want), g in zip(NORM_CASES, got):
+        assert g == want, (u, want, g)
+
+
+def test_extract_links_resolution_branches(spark):
+    pages = spark.createDataFrame([
+        ("http://a.com/dir/page.html",
+         '<html><a href="http://B.com/x?utm_source=1&q=2">l</a>'
+         '<A class="z" HREF="//c.com/y#f">l</a>'
+         '<a href="/root">l</a>'
+         '<a href="sub/rel.html">l</a>'
+         '<a href="../up.html">l</a>'
+         '<a href="mailto:x@y.z">l</a>'
+         '<a href="#frag">l</a>'
+         '<a href="">l</a>'
+         '<a href="javascript:void(0)">l</a></html>'),
+        # origin-only source url: dir-relative resolves against '/'
+        ("http://d.com", '<a href="p.html">l</a>'),
+    ], "url string, html string")
+    got = sorted(r["dst"] for r in extract_links(pages).collect())
+    assert got == sorted([
+        "http://b.com/x?q=2",
+        "http://c.com/y",
+        "http://a.com/root",
+        "http://a.com/dir/sub/rel.html",
+        "http://a.com/up.html",
+        "http://d.com/p.html",
+    ]), got
+
+
+def test_extract_links_binary_html(spark):
+    pages = spark.createDataFrame(
+        [("http://a.com/", '<a href="http://b.com/">l</a>'.encode())],
+        "url string, html binary")
+    assert [r["dst"] for r in extract_links(pages).collect()] \
+        == ["http://b.com"]
+
+
+def test_host_edges_counts_and_self_loop_policy(spark):
+    links = spark.createDataFrame([
+        ("http://a.com/1", "http://b.com/x"),
+        ("http://a.com/2", "http://b.com/y"),
+        ("http://a.com/3", "http://a.com/inside"),
+        ("http://b.com/1", "https://a.com/z"),   # scheme ignored by host
+    ], "src string, dst string")
+    e = {(r["src_host"], r["dst_host"]): r["n_links"]
+         for r in host_edges(links).collect()}
+    assert e == {("a.com", "b.com"): 2, ("b.com", "a.com"): 1}
+    e2 = {(r["src_host"], r["dst_host"]): r["n_links"]
+          for r in host_edges(links, keep_self=True).collect()}
+    assert e2[("a.com", "a.com")] == 1
+    assert host_edges(links, min_count=2).count() == 1
+
+
+def test_host_of_strips_port_and_case(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Ex.COM:8443/p?q=1#f",), ("not a url",)],
+        "u string")
+    got = [r["h"] for r in
+           df.select(host_of(F.col("u")).alias("h")).collect()]
+    assert got == ["www.ex.com", ""]
+
+
+def test_linkgraph_plan_is_jvm_only(spark):
+    """Extraction + canonicalization + host aggregation: no Python
+    nodes, no Window — one partial-aggregated exchange only."""
+    pages = spark.createDataFrame(
+        [("http://a.com/", '<a href="http://b.com/">l</a>')],
+        "url string, html string")
+    plan = host_edges(extract_links(pages)) \
+        ._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert "Python" not in plan and "Window" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_host_authority_sums_to_one_and_is_partition_invariant(spark):
+    rows = []
+    for i in range(60):
+        rows.append((f"http://s{i % 6}.net/p{i}",
+                     f'<a href="http://s{(i + 1) % 6}.net/x">l</a>'
+                     f'<a href="http://hub.net/y">l</a>'))
+    pages = spark.createDataFrame(rows, "url string, html string")
+    ranks = host_authority(pages, iters=5).collect()
+    total = sum(r["rank"] for r in ranks)
+    assert abs(total - 1.0) < 1e-6
+    by_host = {r["vertex"]: r["rank"] for r in ranks}
+    # hub.net receives 6x the in-links of any ring host
+    assert by_host["hub.net"] == max(by_host.values())
+    again = {r["vertex"]: r["rank"]
+             for r in host_authority(pages.repartition(13),
+                                     iters=5).collect()}
+    assert again == by_host
