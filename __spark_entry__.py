@@ -1315,6 +1315,109 @@ ORDER BY vertex
 Q_HOST_AUTHORITY_SQL = _host_authority_sql()
 
 
+def _synth_anchor_pages(spark, sf_dir):
+    """Deterministic (url, html) pages with VARIED anchor texts:
+    'Entity k' appears both as a wiki-style absolute link (nested
+    <b> markup) and as an UPPERCASE directory-relative link — one
+    alias, multiple targets, so priors are nontrivial; every 3rd
+    page adds a whitespace-padded 'About Us'; an image-only anchor
+    exercises the empty-text drop."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id")
+    i = F.col("doc_id")
+    src = F.concat(F.lit("http://site"), (i % 10).cast("string"),
+                   F.lit(".example.com/p"), i.cast("string"),
+                   F.lit(".html"))
+    html = F.concat(
+        F.lit("<html>"),
+        F.lit('<a href="http://ent'), (i % 5).cast("string"),
+        F.lit('.org/wiki/E'), (i % 7).cast("string"),
+        F.lit('">Entity <b>'), (i % 7).cast("string"),
+        F.lit("</b></a>"),
+        F.when(i % 3 == 0,
+               F.lit('<a href="/about">  About   Us </a>'))
+         .otherwise(F.lit("")),
+        F.lit('<a href="e'), (i % 4).cast("string"),
+        F.lit('.html">ENTITY '), (i % 4).cast("string"),
+        F.lit("</a>"),
+        F.lit('<a href="http://img.example.net/i"><img src="x"></a>'),
+        F.lit("</html>"))
+    return docs.select(src.alias("url"), html.alias("html"))
+
+
+_ANCHOR_PAGES_SQL = """
+SELECT 'http://site' || CAST(doc_id % 10 AS VARCHAR)
+       || '.example.com/p' || CAST(doc_id AS VARCHAR)
+       || '.html' AS src,
+       '<html>'
+       || '<a href="http://ent' || CAST(doc_id % 5 AS VARCHAR)
+       || '.org/wiki/E' || CAST(doc_id % 7 AS VARCHAR)
+       || '">Entity <b>' || CAST(doc_id % 7 AS VARCHAR)
+       || '</b></a>'
+       || CASE WHEN doc_id % 3 = 0
+               THEN '<a href="/about">  About   Us </a>'
+               ELSE '' END
+       || '<a href="e' || CAST(doc_id % 4 AS VARCHAR)
+       || '.html">ENTITY ' || CAST(doc_id % 4 AS VARCHAR)
+       || '</a>'
+       || '<a href="http://img.example.net/i"><img src="x"></a>'
+       || '</html>' AS html
+FROM documents
+"""
+
+# linkgraph._anchor_text, step-for-step (strip open/close tags,
+# nested markup → spaces, collapse whitespace, trim)
+_DUCK_ANCHOR_STEPS = [
+    ("t1", "regexp_replace(tag, '(?is)^<a[^>]*>', '', 'g')"),
+    ("t2", "regexp_replace(t1, '(?is)</a>$', '', 'g')"),
+    ("t3", "regexp_replace(t2, '(?s)<[^>]*>', ' ', 'g')"),
+    ("anchor", "trim(regexp_replace(t3, '\\s+', ' ', 'g'))"),
+    ("href", "regexp_extract(tag, '(?i)href=\"([^\"]*)\"', 1)"),
+]
+
+
+def q_anchor_priors(spark, sf_dir):
+    """Wikilinks-style alias mining (linkgraph.extract_anchors →
+    anchor_priors): anchor text + canonicalized target per anchor,
+    then the P(dst | alias) commonness-prior table entity-linking
+    candidate generation consumes.  'entity k' aliases point at both
+    a wiki page and a relative site page (nontrivial priors); the
+    image-only anchor is dropped; priors are exact-integer ratios
+    rounded at 6 dp (one IEEE division — cross-engine identical)."""
+    from neleval_spark.functions.linkgraph import (anchor_priors,
+                                                   extract_anchors)
+
+    pages = _synth_anchor_pages(spark, sf_dir)
+    return anchor_priors(extract_anchors(pages)) \
+        .orderBy("alias", "dst")
+
+
+def _anchor_priors_sql():
+    tags = f"""
+SELECT src, unnest(regexp_extract_all(html,
+       '(?is)<a\\s[^>]*href="[^"]*"[^>]*>.*?</a>', 0)) AS tag
+FROM ({_ANCHOR_PAGES_SQL})
+"""
+    chained = _chain_steps(
+        f"SELECT src, tag FROM ({tags})",
+        _DUCK_ANCHOR_STEPS + _duck_resolve_steps() + _duck_norm_steps())
+    return f"""
+SELECT alias, dst, n, ROUND(n / SUM(n) OVER (PARTITION BY alias), 6)
+       AS prior
+FROM (
+  SELECT lower(anchor) AS alias, canon AS dst,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ({chained})
+  WHERE canon IS NOT NULL AND regexp_matches(canon, '^https?://')
+        AND anchor <> ''
+  GROUP BY 1, 2)
+ORDER BY alias, dst
+"""
+
+
+Q_ANCHOR_PRIORS_SQL = _anchor_priors_sql()
+
+
 def q_salience_weighted(spark, sf_dir):
     """Weighted PageRank (graph/pagerank.py `weight=`): purchase-
     volume-weighted salience over the undirected customer↔supplier
@@ -3351,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "host_edges": q_host_edges,
         "host_authority": q_host_authority,
+        "anchor_priors": q_anchor_priors,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -3439,6 +3543,7 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": Q_URL_NORMALIZE_SQL,
         "host_edges": Q_HOST_EDGES_SQL,
         "host_authority": Q_HOST_AUTHORITY_SQL,
+        "anchor_priors": Q_ANCHOR_PRIORS_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "token_stats": Q_TOKEN_STATS_SQL,
         "cosine_topk": Q_COSINE_TOPK_SQL,

@@ -181,6 +181,92 @@ def host_edges(links: DataFrame, keep_self: bool = False,
     return out
 
 
+# full anchor element, open tag through the nearest close tag
+# (non-greedy, dotall — identical Java ∩ RE2 semantics)
+ANCHOR_RE = '(?is)<a\\s[^>]*href="[^"]*"[^>]*>.*?</a>'
+
+
+def _anchor_text(tag: Column) -> Column:
+    """Visible text of an anchor element: strip the open/close tags,
+    replace nested markup with spaces, collapse whitespace, trim."""
+    t = F.regexp_replace(tag, "(?is)^<a[^>]*>", "")
+    t = F.regexp_replace(t, "(?is)</a>$", "")
+    t = F.regexp_replace(t, "(?s)<[^>]*>", " ")
+    return F.trim(F.regexp_replace(t, "\\s+", " "))
+
+
+def extract_anchors(pages: DataFrame, url: str = "url",
+                    html: str = "html") -> DataFrame:
+    """(url, html) pages → one (src, dst, anchor) row per resolvable
+    anchor WITH its visible text — the raw material for wikilinks-
+    style alias mining (anchor text names its link target; Singh et
+    al. 2012's Wikilinks corpus is the public-knowledge model).
+
+    Target handling matches ``extract_links`` (reference resolution
+    then normalize_url N1-N9); anchors whose visible text is empty
+    after markup stripping (e.g. image links) are dropped.
+
+    Scale: same shape as extract_links — regexp_extract_all + one
+    explode (the output's own cardinality), everything in whole-stage
+    codegen, zero shuffle."""
+    html_col = F.col(html)
+    if dict(pages.dtypes)[html] == "binary":
+        html_col = F.decode(html_col, "UTF-8")
+    tags = F.regexp_extract_all(html_col, F.lit(ANCHOR_RE), 0)
+    exploded = (pages
+                .select(F.col(url).alias("src"),
+                        F.explode(tags).alias("tag")))
+    href = F.regexp_extract(F.col("tag"), '(?i)href="([^"]*)"', 1)
+    return (exploded
+            .select("src",
+                    normalize_url(_resolve(href, F.col("src")))
+                    .alias("dst"),
+                    _anchor_text(F.col("tag")).alias("anchor"))
+            .where(F.col("dst").isNotNull()
+                   & F.col("dst").rlike("^https?://")
+                   & (F.col("anchor") != "")))
+
+
+def anchor_priors(anchors: DataFrame, min_count: int = 1,
+                  round_scale: int = 6) -> DataFrame:
+    """(src, dst, anchor) rows → the wikilinks-style mention-prior
+    table: one (alias, dst, n, prior) row per lowercased anchor text
+    and link target, where ``prior`` = P(dst | alias) — the fraction
+    of the alias's anchors that point at ``dst``.  This is the
+    commonness prior entity-linking candidate generation consumes
+    (``pipeline/candidates.py`` joins mentions against exactly such
+    an (alias, prior) dim table).
+
+    ``min_count`` drops rare (alias, dst) pairs AFTER the prior is
+    computed, so surviving priors keep their P(dst | alias)-over-the-
+    whole-crawl meaning (they need not sum to 1 post-filter).
+
+    ``prior`` is an exact-integer ratio (count / per-alias total)
+    rounded to ``round_scale`` — one correctly-rounded IEEE division,
+    identical across engines/partitionings.
+
+    Scale: first exchange is the (alias, dst) groupBy with map-side
+    partial counts — a hub pair ("click here" → one target repeated
+    everywhere) collapses per input partition; the alias window then
+    runs over ALREADY-AGGREGATED rows (one per distinct pair — a hot
+    alias's partition is bounded by its distinct targets, not its
+    anchor occurrences)."""
+    from pyspark.sql.window import Window
+
+    counts = (anchors
+              .select(F.lower(F.col("anchor")).alias("alias"), "dst")
+              .groupBy("alias", "dst")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("alias")
+    out = counts.select(
+        "alias", "dst", "n",
+        F.round(F.col("n") / F.sum("n").over(w), round_scale)
+         .alias("prior"))
+    if min_count > 1:
+        out = out.where(F.col("n") >= min_count)
+    return out
+
+
 def host_authority(pages: DataFrame, url: str = "url",
                    html: str = "html", **pagerank_kwargs) -> DataFrame:
     """Host-level authority: PageRank over the host link graph,

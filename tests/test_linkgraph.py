@@ -6,7 +6,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from neleval_spark.functions.linkgraph import (
-    extract_links, host_authority, host_edges, host_of, normalize_url)
+    anchor_priors, extract_anchors, extract_links, host_authority,
+    host_edges, host_of, normalize_url)
 
 
 NORM_CASES = [
@@ -105,6 +106,43 @@ def test_linkgraph_plan_is_jvm_only(spark):
         .split("== Initial Plan ==")[0]
     assert "Python" not in plan and "Window" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_extract_anchors_text_and_drop_rules(spark):
+    pages = spark.createDataFrame([
+        ("http://a.com/dir/p.html",
+         '<a href="http://b.com/x">Plain  text</a>'
+         '<a class="z" href="wiki/E1">Entity <b>One</b></a>'
+         '<a href="http://img.net/i"><img src="x.png"></a>'
+         '<A HREF="/root"> padded \n words </a>'),
+    ], "url string, html string")
+    got = {(r["dst"], r["anchor"])
+           for r in extract_anchors(pages).collect()}
+    assert got == {
+        ("http://b.com/x", "Plain text"),
+        ("http://a.com/dir/wiki/E1", "Entity One"),
+        ("http://a.com/root", "padded words"),
+    }, got
+
+
+def test_anchor_priors_case_fold_and_ratio(spark):
+    anchors = spark.createDataFrame([
+        ("s", "http://kb.org/A", "Apple"),
+        ("s", "http://kb.org/A", "APPLE"),
+        ("s", "http://kb.org/B", "apple"),
+        ("s", "http://kb.org/C", "pear"),
+    ], "src string, dst string, anchor string")
+    got = {(r["alias"], r["dst"]): (r["n"], r["prior"])
+           for r in anchor_priors(anchors).collect()}
+    assert got == {
+        ("apple", "http://kb.org/A"): (2, 0.666667),
+        ("apple", "http://kb.org/B"): (1, 0.333333),
+        ("pear", "http://kb.org/C"): (1, 1.0),
+    }, got
+    # min_count filters pairs but keeps whole-crawl priors
+    kept = {(r["alias"], r["dst"]): r["prior"]
+            for r in anchor_priors(anchors, min_count=2).collect()}
+    assert kept == {("apple", "http://kb.org/A"): 0.666667}
 
 
 def test_host_authority_sums_to_one_and_is_partition_invariant(spark):
