@@ -855,7 +855,7 @@ WITH e AS (
 v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
 nn AS (SELECT COUNT(*) AS n FROM v),
 dg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
-r0 AS (
+r0 AS MATERIALIZED (
   SELECT vertex,
          ROUND(CAST(1.0 AS DOUBLE) / nn.n, 9) AS rank,
          COALESCE(dg.deg, 0) AS deg
@@ -863,11 +863,11 @@ r0 AS (
     steps = []
     for k in range(PAGERANK_ITERS):
         steps.append(f""",
-d{k} AS (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS d
+d{k} AS MATERIALIZED (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS d
          FROM r{k} WHERE deg = 0),
 c{k} AS (SELECT e.dst, SUM(r.rank / r.deg) AS c
          FROM e JOIN r{k} r ON e.src = r.vertex GROUP BY e.dst),
-r{k + 1} AS (
+r{k + 1} AS MATERIALIZED (
   SELECT r.vertex,
          ROUND((CAST(1.0 AS DOUBLE) - CAST({d!r} AS DOUBLE)) / nn.n
                + CAST({d!r} AS DOUBLE)
@@ -941,11 +941,11 @@ r0 AS (
     steps = []
     for k in range(PPR_ITERS):
         steps.append(f""",
-d{k} AS (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS d
+d{k} AS MATERIALIZED (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS d
          FROM r{k} WHERE deg = 0),
 c{k} AS (SELECT e.dst, SUM(r.rank / r.deg) AS c
          FROM e JOIN r{k} r ON e.src = r.vertex GROUP BY e.dst),
-r{k + 1} AS (
+r{k + 1} AS MATERIALIZED (
   SELECT r.vertex,
          ROUND((CAST(1.0 AS DOUBLE) - CAST({d!r} AS DOUBLE)) * r.p
                + CAST({d!r} AS DOUBLE)
@@ -1278,12 +1278,13 @@ def _host_authority_sql():
     n_links, dangling hosts redistribute uniformly."""
     d = PAGERANK_DAMPING
     head = f"""
-WITH e AS (SELECT src_host AS src, dst_host AS dst, n_links AS w
-           FROM ({_host_edges_sql(ordered=False)})),
+WITH e AS MATERIALIZED (
+  SELECT src_host AS src, dst_host AS dst, n_links AS w
+  FROM ({_host_edges_sql(ordered=False)})),
 v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
 nn AS (SELECT COUNT(*) AS n FROM v),
 dg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM e GROUP BY src),
-r0 AS (
+r0 AS MATERIALIZED (
   SELECT vertex,
          ROUND(CAST(1.0 AS DOUBLE) / nn.n, 9) AS rank,
          COALESCE(dg.deg, 0) AS deg
@@ -1291,11 +1292,11 @@ r0 AS (
     steps = []
     for k in range(HOSTRANK_ITERS):
         steps.append(f""",
-d{k} AS (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS d
+d{k} AS MATERIALIZED (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS d
          FROM r{k} WHERE deg = 0),
-c{k} AS (SELECT e.dst, SUM(r.rank * e.w / r.deg) AS c
+c{k} AS MATERIALIZED (SELECT e.dst, SUM(r.rank * e.w / r.deg) AS c
          FROM e JOIN r{k} r ON e.src = r.vertex GROUP BY e.dst),
-r{k + 1} AS (
+r{k + 1} AS MATERIALIZED (
   SELECT r.vertex,
          ROUND((CAST(1.0 AS DOUBLE) - CAST({d!r} AS DOUBLE)) / nn.n
                + CAST({d!r} AS DOUBLE)
@@ -1313,6 +1314,149 @@ ORDER BY vertex
 
 
 Q_HOST_AUTHORITY_SQL = _host_authority_sql()
+
+
+REDIR_MAX_HOPS = 32
+
+
+def q_redirect_chains(spark, sf_dir):
+    """Multi-hop redirect resolution (graph/redirects.py pointer
+    doubling): a synthetic crawl redirect table with 7-hop chains
+    (u_i → u_{i-1} inside blocks of 8, resolving to the block head)
+    and full-block cycles every 5th block (head → tail back-edge),
+    so chain, final-hop-count, and cycle-flag paths all run.  The
+    oracle is the same walk as a DuckDB recursive CTE capped at
+    max_hops."""
+    from neleval_spark.graph.redirects import resolve_redirect_chains
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id")
+    i = F.col("doc_id")
+
+    def u(e):
+        return F.concat(F.lit("http://r.org/u"), e.cast("string"))
+
+    chain = docs.where(i % 8 != 0) \
+                .select(u(i).alias("src"), u(i - 1).alias("dst"))
+    cyc = docs.where(i % 40 == 0) \
+              .select(u(i).alias("src"), u(i + 7).alias("dst"))
+    out = resolve_redirect_chains(chain.union(cyc),
+                                  max_hops=REDIR_MAX_HOPS)
+    # the library reports unresolved (cycle) rows as NULL target/hops;
+    # the driver compare sorts raw values, so pin sentinels here
+    return out.select(
+        "src",
+        F.coalesce("target", F.lit("")).alias("target"),
+        F.coalesce("hops", F.lit(0)).alias("hops"),
+        "resolved",
+    ).orderBy("src")
+
+
+Q_REDIRECT_CHAINS_SQL = f"""
+WITH RECURSIVE r AS (
+  SELECT 'http://r.org/u' || CAST(doc_id AS VARCHAR) AS src,
+         'http://r.org/u' || CAST(doc_id - 1 AS VARCHAR) AS dst
+  FROM documents WHERE doc_id % 8 <> 0
+  UNION ALL
+  SELECT 'http://r.org/u' || CAST(doc_id AS VARCHAR),
+         'http://r.org/u' || CAST(doc_id + 7 AS VARCHAR)
+  FROM documents WHERE doc_id % 40 = 0),
+walk(src, cur, hops) AS (
+  SELECT src, dst, CAST(1 AS BIGINT) FROM r
+  UNION ALL
+  SELECT w.src, r.dst, w.hops + 1
+  FROM walk w JOIN r ON w.cur = r.src
+  WHERE w.hops < {REDIR_MAX_HOPS}),
+fin AS (
+  SELECT src, arg_max(cur, hops) AS last_cur, MAX(hops) AS maxh
+  FROM walk GROUP BY src)
+SELECT f.src,
+       CASE WHEN k.src IS NULL THEN f.last_cur ELSE '' END AS target,
+       CASE WHEN k.src IS NULL THEN f.maxh
+            ELSE CAST(0 AS BIGINT) END AS hops,
+       k.src IS NULL AS resolved
+FROM fin f
+LEFT JOIN (SELECT DISTINCT src FROM r) k ON f.last_cur = k.src
+ORDER BY f.src
+"""
+
+
+HOSTHITS_ITERS = 5
+
+
+def q_host_hits(spark, sf_dir):
+    """HITS hubs/authorities (graph/hits.py) over the synthetic
+    crawl's host graph (extract_links → host_edges → hits): the
+    double ring makes every site both hub and authority, while
+    partner.org — linked by the even sites, linking nobody — is a
+    pure authority (hub 0), exercising the no-out-edge path.  L1
+    normalization + per-iteration 9 dp rounding is the cross-engine
+    contract (see hits.py module doc)."""
+    from neleval_spark.functions.linkgraph import (extract_links,
+                                                   host_edges)
+    from neleval_spark.graph.hits import hits
+
+    pages = _synth_linked_pages(spark, sf_dir)
+    edges = host_edges(extract_links(pages))
+    out = hits(edges, src="src_host", dst="dst_host",
+               iters=HOSTHITS_ITERS)
+    return out.select("vertex",
+                      F.round("hub", 6).alias("hub"),
+                      F.round("auth", 6).alias("auth")) \
+              .orderBy("vertex")
+
+
+def _host_hits_sql():
+    """Unrolled HITS half-iterations as CTEs: auth from hubs over
+    in-edges, L1-normalize, round 9 dp; hub from the FRESH auths
+    over out-edges, L1-normalize, round 9 dp — exactly the
+    hits.py iteration order."""
+    head = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT src_host AS src, dst_host AS dst
+  FROM ({_host_edges_sql(ordered=False)})),
+v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+nn AS (SELECT COUNT(*) AS n FROM v),
+s0 AS MATERIALIZED (SELECT vertex,
+              ROUND(CAST(1.0 AS DOUBLE) / nn.n, 9) AS hub,
+              ROUND(CAST(1.0 AS DOUBLE) / nn.n, 9) AS auth
+       FROM v CROSS JOIN nn)"""
+    steps = []
+    for k in range(HOSTHITS_ITERS):
+        steps.append(f""",
+ar{k} AS MATERIALIZED (SELECT e.dst AS vertex, SUM(s.hub) AS a
+          FROM e JOIN s{k} s ON e.src = s.vertex GROUP BY e.dst),
+sa{k} AS (SELECT COALESCE(SUM(a), CAST(0 AS DOUBLE)) AS s
+          FROM ar{k}),
+h{k} AS MATERIALIZED (SELECT s.vertex, s.hub,
+                CASE WHEN sa.s > 0
+                     THEN ROUND(COALESCE(ar.a, CAST(0 AS DOUBLE))
+                                / sa.s, 9)
+                     ELSE CAST(0 AS DOUBLE) END AS auth
+         FROM s{k} s LEFT JOIN ar{k} ar ON s.vertex = ar.vertex
+         CROSS JOIN sa{k} sa),
+hr{k} AS MATERIALIZED (SELECT e.src AS vertex, SUM(h.auth) AS hsum
+          FROM e JOIN h{k} h ON e.dst = h.vertex GROUP BY e.src),
+sh{k} AS (SELECT COALESCE(SUM(hsum), CAST(0 AS DOUBLE)) AS s
+          FROM hr{k}),
+s{k + 1} AS MATERIALIZED (SELECT h.vertex,
+                    CASE WHEN sh.s > 0
+                         THEN ROUND(COALESCE(hr.hsum,
+                                             CAST(0 AS DOUBLE))
+                                    / sh.s, 9)
+                         ELSE CAST(0 AS DOUBLE) END AS hub,
+                    h.auth
+             FROM h{k} h LEFT JOIN hr{k} hr ON h.vertex = hr.vertex
+             CROSS JOIN sh{k} sh)""")
+    tail = f"""
+SELECT vertex, ROUND(hub, 6) AS hub, ROUND(auth, 6) AS auth
+FROM s{HOSTHITS_ITERS}
+ORDER BY vertex
+"""
+    return head + "".join(steps) + tail
+
+
+Q_HOST_HITS_SQL = _host_hits_sql()
 
 
 def _synth_anchor_pages(spark, sf_dir):
@@ -1462,7 +1606,7 @@ e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
 v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
 nn AS (SELECT COUNT(*) AS n FROM v),
 dg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM e GROUP BY src),
-r0 AS (
+r0 AS MATERIALIZED (
   SELECT vertex,
          ROUND(CAST(1.0 AS DOUBLE) / nn.n, 9) AS rank,
          COALESCE(dg.deg, 0) AS deg
@@ -1470,11 +1614,11 @@ r0 AS (
     steps = []
     for k in range(PAGERANK_ITERS):
         steps.append(f""",
-d{k} AS (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS d
+d{k} AS MATERIALIZED (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS d
          FROM r{k} WHERE deg = 0),
-c{k} AS (SELECT e.dst, SUM(r.rank * e.w / r.deg) AS c
+c{k} AS MATERIALIZED (SELECT e.dst, SUM(r.rank * e.w / r.deg) AS c
          FROM e JOIN r{k} r ON e.src = r.vertex GROUP BY e.dst),
-r{k + 1} AS (
+r{k + 1} AS MATERIALIZED (
   SELECT r.vertex,
          ROUND((CAST(1.0 AS DOUBLE) - CAST({d!r} AS DOUBLE)) / nn.n
                + CAST({d!r} AS DOUBLE)
@@ -3455,6 +3599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_edges": q_host_edges,
         "host_authority": q_host_authority,
         "anchor_priors": q_anchor_priors,
+        "host_hits": q_host_hits,
+        "redirect_chains": q_redirect_chains,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -3544,6 +3690,8 @@ def oracle_sql() -> dict[str, str]:
         "host_edges": Q_HOST_EDGES_SQL,
         "host_authority": Q_HOST_AUTHORITY_SQL,
         "anchor_priors": Q_ANCHOR_PRIORS_SQL,
+        "host_hits": Q_HOST_HITS_SQL,
+        "redirect_chains": Q_REDIRECT_CHAINS_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "token_stats": Q_TOKEN_STATS_SQL,
         "cosine_topk": Q_COSINE_TOPK_SQL,
