@@ -1316,6 +1316,75 @@ ORDER BY vertex
 Q_HOST_AUTHORITY_SQL = _host_authority_sql()
 
 
+def q_domain_rollup(spark, sf_dir):
+    """eTLD+1 extraction (linkgraph.registered_domain — embedded
+    public-suffix subset) + per-registered-domain corpus rollup: a
+    host synth hits every rule branch (www.X.co.uk multi-part
+    suffix, deep subdomain of a .com, bare com.au site, the suffix
+    itself, a single-label host, a cdn .net) and the rollup
+    aggregates docs/chars/langs per domain — the shape per-domain
+    capping and mixture reporting consume."""
+    from neleval_spark.functions.linkgraph import registered_domain
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id", "n_chars", "lang")
+    i = F.col("doc_id")
+    ten = (i % 10).cast("string")
+    host = (F.when(i % 6 == 0,
+                   F.concat(F.lit("www.site"), ten, F.lit(".co.uk")))
+             .when(i % 6 == 1,
+                   F.concat(F.lit("a.b.site"), ten,
+                            F.lit(".example.com")))
+             .when(i % 6 == 2,
+                   F.concat(F.lit("site"), ten, F.lit(".com.au")))
+             .when(i % 6 == 3, F.lit("co.uk"))
+             .when(i % 6 == 4, F.lit("localhost"))
+             .otherwise(F.concat(F.lit("cdn.site"), ten,
+                                 F.lit(".net"))))
+    return (docs
+            .select(registered_domain(host).alias("domain"),
+                    "n_chars", "lang")
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.countDistinct("lang").alias("n_langs"))
+            .orderBy("domain"))
+
+
+def _domain_rollup_sql():
+    from neleval_spark.functions.linkgraph import MULTI_SUFFIXES
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    return f"""
+WITH h AS (
+  SELECT CASE doc_id % 6
+    WHEN 0 THEN 'www.site' || CAST(doc_id % 10 AS VARCHAR) || '.co.uk'
+    WHEN 1 THEN 'a.b.site' || CAST(doc_id % 10 AS VARCHAR)
+                || '.example.com'
+    WHEN 2 THEN 'site' || CAST(doc_id % 10 AS VARCHAR) || '.com.au'
+    WHEN 3 THEN 'co.uk'
+    WHEN 4 THEN 'localhost'
+    ELSE 'cdn.site' || CAST(doc_id % 10 AS VARCHAR) || '.net' END
+    AS host, n_chars, lang
+  FROM documents),
+d AS (SELECT *, string_split(host, '.') AS p FROM h),
+r AS (
+  SELECT CASE WHEN len(p) <= 1 THEN host
+              WHEN (p[-2] || '.' || p[-1]) IN ({suffixes})
+                   AND len(p) >= 3
+                THEN p[-3] || '.' || p[-2] || '.' || p[-1]
+              ELSE p[-2] || '.' || p[-1] END AS domain,
+         n_chars, lang
+  FROM d)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM r GROUP BY domain ORDER BY domain
+"""
+
+
+Q_DOMAIN_ROLLUP_SQL = _domain_rollup_sql()
+
+
 REDIR_MAX_HOPS = 32
 
 
@@ -3601,6 +3670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_priors": q_anchor_priors,
         "host_hits": q_host_hits,
         "redirect_chains": q_redirect_chains,
+        "domain_rollup": q_domain_rollup,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -3692,6 +3762,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_priors": Q_ANCHOR_PRIORS_SQL,
         "host_hits": Q_HOST_HITS_SQL,
         "redirect_chains": Q_REDIRECT_CHAINS_SQL,
+        "domain_rollup": Q_DOMAIN_ROLLUP_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "token_stats": Q_TOKEN_STATS_SQL,
         "cosine_topk": Q_COSINE_TOPK_SQL,

@@ -181,6 +181,50 @@ def host_edges(links: DataFrame, keep_self: bool = False,
     return out
 
 
+# Multi-part public suffixes recognized by registered_domain — an
+# embedded, documented SUBSET of the Mozilla Public Suffix List
+# (publicsuffix.org; the full PSL is data, not code: swap this tuple
+# for a broadcast of the real list at deployment, same expression).
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "com.br", "org.br", "net.br", "gov.br",
+    "co.in", "org.in", "net.in",
+    "com.cn", "org.cn", "net.cn", "gov.cn", "edu.cn",
+    "co.kr", "or.kr", "go.kr", "ac.kr",
+    "com.mx", "org.mx", "gob.mx",
+    "com.tr", "org.tr", "gov.tr",
+    "co.za", "org.za", "gov.za",
+    "com.sg", "org.sg", "edu.sg",
+    "co.nz", "org.nz", "govt.nz",
+)
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1 of a lowercase hostname: the last two labels, or the
+    last three when the trailing two form a listed multi-part public
+    suffix ("bbc.co.uk" → "bbc.co.uk", "www.bbc.co.uk" →
+    "bbc.co.uk", "a.b.example.com" → "example.com").  Single-label
+    hosts (and a bare suffix like "co.uk") pass through unchanged.
+    IP literals are NOT special-cased (the PSL excludes them; a
+    dotted IPv4 comes back as its last two octets — filter IPs
+    upstream if they matter).
+
+    Pure whole-stage-codegen split/element_at/IN expressions — the
+    suffix set is a literal IN list, no join, no Python."""
+    p = F.split(host, "\\.")
+    n = F.size(p)
+    last1 = F.try_element_at(p, F.lit(-1))
+    last2 = F.try_element_at(p, F.lit(-2))
+    last3 = F.try_element_at(p, F.lit(-3))
+    suf2 = F.concat_ws(".", last2, last1)
+    return (F.when(n <= 1, host)
+             .when(suf2.isin(*MULTI_SUFFIXES) & (n >= 3),
+                   F.concat_ws(".", last3, last2, last1))
+             .otherwise(suf2))
+
+
 # full anchor element, open tag through the nearest close tag
 # (non-greedy, dotall — identical Java ∩ RE2 semantics)
 ANCHOR_RE = '(?is)<a\\s[^>]*href="[^"]*"[^>]*>.*?</a>'

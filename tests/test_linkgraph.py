@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from neleval_spark.functions.linkgraph import (
     anchor_priors, extract_anchors, extract_links, host_authority,
-    host_edges, host_of, normalize_url)
+    host_edges, host_of, normalize_url, registered_domain)
 
 
 NORM_CASES = [
@@ -106,6 +106,24 @@ def test_linkgraph_plan_is_jvm_only(spark):
         .split("== Initial Plan ==")[0]
     assert "Python" not in plan and "Window" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_registered_domain_rules(spark):
+    cases = [
+        ("www.bbc.co.uk", "bbc.co.uk"),
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("co.uk", "co.uk"),                  # bare suffix unchanged
+        ("a.b.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("news.site.com.au", "site.com.au"),
+        ("localhost", "localhost"),
+        ("deep.cdn.x.net", "x.net"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = [r["d"] for r in
+           df.select(registered_domain(F.col("h")).alias("d"))
+             .collect()]
+    assert got == [w for _, w in cases], list(zip(cases, got))
 
 
 def test_extract_anchors_text_and_drop_rules(spark):
