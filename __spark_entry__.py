@@ -1316,6 +1316,54 @@ ORDER BY vertex
 Q_HOST_AUTHORITY_SQL = _host_authority_sql()
 
 
+def q_host_cocitation(spark, sf_dir):
+    """Host co-citation (linkgraph.host_cocitation) over the
+    synthetic crawl: pages cite {site+1, site+3} (+ partner.org on
+    every 4th), own-host links excluded, so (site+1, site+3) pairs
+    count every page and partner pairs count the i%4==0 subset.
+    In-row pair expansion over the sorted distinct-host array; the
+    oracle's equivalent self-join proves the expansion correct."""
+    from neleval_spark.functions.linkgraph import (extract_links,
+                                                   host_cocitation)
+
+    pages = _synth_linked_pages(spark, sf_dir)
+    return host_cocitation(extract_links(pages)) \
+        .orderBy("host_a", "host_b")
+
+
+def _host_cocitation_sql(max_out=64):
+    links = f"""
+SELECT src, unnest(regexp_extract_all(html,
+       '(?i)<a\\s[^>]*href="([^"]*)"', 1)) AS href
+FROM ({_LINKED_PAGES_SQL})
+"""
+    chained = _chain_steps(f"SELECT src, href FROM ({links})",
+                           _duck_resolve_steps() + _duck_norm_steps())
+    hostre = "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)'"
+    return f"""
+WITH lh AS MATERIALIZED (
+  SELECT DISTINCT src, h FROM (
+    SELECT src,
+           lower(regexp_extract(canon, {hostre}, 1)) AS h,
+           lower(regexp_extract(src, {hostre}, 1)) AS sh
+    FROM ({chained})
+    WHERE canon IS NOT NULL
+          AND regexp_matches(canon, '^https?://'))
+  WHERE h <> '' AND h <> sh),
+ok AS (SELECT src FROM lh GROUP BY src
+       HAVING COUNT(*) BETWEEN 2 AND {max_out})
+SELECT l1.h AS host_a, l2.h AS host_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM lh l1
+JOIN lh l2 ON l1.src = l2.src AND l1.h < l2.h
+JOIN ok ON l1.src = ok.src
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+Q_HOST_COCITATION_SQL = _host_cocitation_sql()
+
+
 def q_domain_rollup(spark, sf_dir):
     """eTLD+1 extraction (linkgraph.registered_domain — embedded
     public-suffix subset) + per-registered-domain corpus rollup: a
@@ -3671,6 +3719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hits": q_host_hits,
         "redirect_chains": q_redirect_chains,
         "domain_rollup": q_domain_rollup,
+        "host_cocitation": q_host_cocitation,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -3763,6 +3812,7 @@ def oracle_sql() -> dict[str, str]:
         "host_hits": Q_HOST_HITS_SQL,
         "redirect_chains": Q_REDIRECT_CHAINS_SQL,
         "domain_rollup": Q_DOMAIN_ROLLUP_SQL,
+        "host_cocitation": Q_HOST_COCITATION_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "token_stats": Q_TOKEN_STATS_SQL,
         "cosine_topk": Q_COSINE_TOPK_SQL,

@@ -311,6 +311,53 @@ def anchor_priors(anchors: DataFrame, min_count: int = 1,
     return out
 
 
+def host_cocitation(links: DataFrame, min_count: int = 1,
+                    max_out: int = 64) -> DataFrame:
+    """Co-citation counts between hosts: how many pages link BOTH
+    host_a and host_b (Small 1973's co-citation analysis applied to
+    the host graph — public knowledge).  Returns (host_a, host_b,
+    n_pages) with host_a < host_b, one undirected pair per row.
+
+    ``links``: page-level (src, dst) rows (``extract_links`` output).
+    A page's own host is excluded (self-citation carries no
+    relatedness signal).  ``max_out``: pages citing more than this
+    many distinct hosts (link farms, navigation indexes) are DROPPED
+    — the hot-page guard that bounds pair expansion at max_out²/2
+    per page; dropped pages are counted in no pair, mirrored exactly
+    in the oracle.
+
+    Scale shape: ONE groupBy(src) building the sorted distinct-host
+    array (bounded per page by its own html size), the guard filter,
+    then IN-ROW pair expansion (nested ``transform`` over the sorted
+    array — no self-join, no struct array_distinct trap since the
+    array is pre-deduped) feeding ONE map-side-combined groupBy on
+    the pair.  Two exchanges total; the explode is the output's own
+    cardinality."""
+    page_hosts = (links
+                  .select(F.col("src"),
+                          host_of(F.col("dst")).alias("h"))
+                  .where((F.col("h") != "")
+                         & (F.col("h") != host_of(F.col("src"))))
+                  .groupBy("src")
+                  .agg(F.array_sort(F.collect_set("h")).alias("hs"))
+                  .where(F.size("hs").between(2, max_out)))
+    pairs = F.explode(F.flatten(F.transform(
+        F.col("hs"),
+        lambda x, i: F.transform(
+            F.slice(F.col("hs"), i + F.lit(2),
+                    F.size(F.col("hs"))),
+            lambda y: F.struct(x.alias("a"), y.alias("b"))))))
+    out = (page_hosts
+           .select(pairs.alias("p"))
+           .select(F.col("p.a").alias("host_a"),
+                   F.col("p.b").alias("host_b"))
+           .groupBy("host_a", "host_b")
+           .agg(F.count(F.lit(1)).alias("n_pages")))
+    if min_count > 1:
+        out = out.where(F.col("n_pages") >= min_count)
+    return out
+
+
 def host_authority(pages: DataFrame, url: str = "url",
                    html: str = "html", **pagerank_kwargs) -> DataFrame:
     """Host-level authority: PageRank over the host link graph,

@@ -7,7 +7,8 @@ from pyspark.sql import functions as F
 
 from neleval_spark.functions.linkgraph import (
     anchor_priors, extract_anchors, extract_links, host_authority,
-    host_edges, host_of, normalize_url, registered_domain)
+    host_cocitation, host_edges, host_of, normalize_url,
+    registered_domain)
 
 
 NORM_CASES = [
@@ -161,6 +162,31 @@ def test_anchor_priors_case_fold_and_ratio(spark):
     kept = {(r["alias"], r["dst"]): r["prior"]
             for r in anchor_priors(anchors, min_count=2).collect()}
     assert kept == {("apple", "http://kb.org/A"): 0.666667}
+
+
+def test_host_cocitation_pairs_dedup_and_hot_guard(spark):
+    links = spark.createDataFrame([
+        ("http://p1.io/a", "http://b.com/1"),
+        ("http://p1.io/a", "http://b.com/2"),     # same host, 1 vote
+        ("http://p1.io/a", "http://c.com/x"),
+        ("http://p1.io/a", "http://p1.io/self"),  # own host excluded
+        ("http://p2.io/a", "http://b.com/y"),
+        ("http://p2.io/a", "http://c.com/z"),
+        ("http://p2.io/a", "http://d.com/w"),
+        ("http://p3.io/a", "http://b.com/only"),  # <2 hosts: no pair
+    ], "src string, dst string")
+    got = {(r["host_a"], r["host_b"]): r["n_pages"]
+           for r in host_cocitation(links).collect()}
+    assert got == {("b.com", "c.com"): 2, ("b.com", "d.com"): 1,
+                   ("c.com", "d.com"): 1}, got
+    # hot-page guard: a page citing >max_out hosts contributes nothing
+    hot = links.union(spark.createDataFrame(
+        [("http://hub.io/a", f"http://h{i}.net/x") for i in range(9)],
+        "src string, dst string"))
+    guarded = {(r["host_a"], r["host_b"]): r["n_pages"]
+               for r in host_cocitation(hot, max_out=8).collect()}
+    assert guarded == got
+    assert host_cocitation(links, min_count=2).count() == 1
 
 
 def test_host_authority_sums_to_one_and_is_partition_invariant(spark):
