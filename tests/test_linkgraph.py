@@ -189,6 +189,25 @@ def test_host_cocitation_pairs_dedup_and_hot_guard(spark):
     assert host_cocitation(links, min_count=2).count() == 1
 
 
+def test_anchor_and_cocitation_plans_are_jvm_only(spark):
+    """anchor_priors: extraction + window, zero Python nodes;
+    host_cocitation: two HashAggregates (page array, pair count),
+    no SortMergeJoin/BroadcastJoin — the pair expansion is in-row."""
+    pages = spark.createDataFrame(
+        [("http://a.com/", '<a href="http://b.com/">t</a>'
+                           '<a href="http://c.com/">u</a>')],
+        "url string, html string")
+    p1 = anchor_priors(extract_anchors(pages)) \
+        ._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert "Python" not in p1
+    p2 = host_cocitation(extract_links(pages)) \
+        ._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert "Python" not in p2 and "Join" not in p2
+    assert "Window" not in p2
+
+
 def test_host_authority_sums_to_one_and_is_partition_invariant(spark):
     rows = []
     for i in range(60):
