@@ -3668,6 +3668,73 @@ SELECT s AS subj, 'cooccurs_with' AS pred, o AS obj, url FROM pairs
 """
 
 
+def q_kb_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KB profile materialization (pipeline/kb.py): linked mentions →
+    one row per entity with canonical name (most frequent surface,
+    lexicographic tie-break), '|'-joined top-k alias list, majority
+    entity type, and mention/surface/doc counts.  Deterministic
+    synthetic mention table from doc_id arithmetic: 7 entities ×
+    3 surface variants × 3 types × 13 hosts, so counts per (eid,
+    surface) differ and tie-breaks are exercised where mods collide.
+    The oracle mirrors the exact (count desc, surface asc) ranking
+    with ROW_NUMBER + ordered string_agg."""
+    from neleval_spark.pipeline.kb import build_kb_profiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    m = docs.select(
+        F.concat(F.lit("E"), (i % 7).cast("string")).alias("eid"),
+        F.concat(F.lit("name"), (i % 7).cast("string"),
+                 F.lit("_v"), (i % 3).cast("string")).alias("surface"),
+        F.when(i % 5 < 3, F.lit("PER"))
+         .when(i % 5 == 3, F.lit("ORG"))
+         .otherwise(F.lit("LOC")).alias("entity_type"),
+        F.concat(F.lit("http://h"), (i % 13).cast("string"),
+                 F.lit("/p"), i.cast("string")).alias("url"),
+    )
+    return build_kb_profiles(m, max_aliases=2, reuse=False) \
+        .orderBy("eid")
+
+
+Q_KB_PROFILE_SQL = """
+WITH m AS (
+  SELECT 'E' || CAST(doc_id % 7 AS VARCHAR) AS eid,
+         'name' || CAST(doc_id % 7 AS VARCHAR)
+           || '_v' || CAST(doc_id % 3 AS VARCHAR) AS surface,
+         CASE WHEN doc_id % 5 < 3 THEN 'PER'
+              WHEN doc_id % 5 = 3 THEN 'ORG'
+              ELSE 'LOC' END AS entity_type,
+         'http://h' || CAST(doc_id % 13 AS VARCHAR)
+           || '/p' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+surf AS (SELECT eid, surface, COUNT(*) AS n FROM m GROUP BY 1, 2),
+ranked AS (SELECT eid, surface, n,
+             ROW_NUMBER() OVER (PARTITION BY eid
+                                ORDER BY n DESC, surface) AS rk
+           FROM surf),
+alias_tab AS (
+  SELECT eid,
+         MIN(CASE WHEN rk = 1 THEN surface END) AS canonical_name,
+         string_agg(surface, '|' ORDER BY rk) AS aliases
+  FROM ranked WHERE rk <= 2 GROUP BY eid),
+typed AS (SELECT eid, entity_type, COUNT(*) AS n FROM m GROUP BY 1, 2),
+type_ranked AS (SELECT eid, entity_type,
+                  ROW_NUMBER() OVER (PARTITION BY eid
+                                     ORDER BY n DESC, entity_type) AS rk
+                FROM typed),
+totals AS (SELECT eid, COUNT(*) AS n_mentions,
+                  COUNT(DISTINCT surface) AS n_aliases,
+                  COUNT(DISTINCT url) AS n_docs
+           FROM m GROUP BY eid)
+SELECT t.eid, a.canonical_name, a.aliases, t.n_aliases,
+       tr.entity_type, t.n_mentions, t.n_docs
+FROM totals t
+JOIN alias_tab a ON a.eid = t.eid
+JOIN type_ranked tr ON tr.eid = t.eid AND tr.rk = 1
+ORDER BY t.eid
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # sets measures (J1/A1)
@@ -3758,6 +3825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # construction pipeline (full run rows-only; sink hash-checked)
         "pipeline_triples": q_pipeline_triples,
         "pipeline_triples_sql": q_pipeline_triples_sql,
+        "kb_profile": q_kb_profile,
     }
     return qs
 
@@ -3846,4 +3914,5 @@ def oracle_sql() -> dict[str, str]:
         # pipeline_triples: omitted (pandas UDFs + iterative CC);
         # the sink itself is hash-checked by pipeline_triples_sql
         "pipeline_triples_sql": Q_PIPELINE_TRIPLES_SQL,
+        "kb_profile": Q_KB_PROFILE_SQL,
     }
