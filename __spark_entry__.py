@@ -3735,6 +3735,52 @@ ORDER BY t.eid
 """
 
 
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-generation churn (functions/corpusops.crawl_diff): two
+    deterministic snapshot sets derived from doc_id arithmetic — the
+    old crawl misses doc_id%5==0 (→ added), the new misses
+    doc_id%3==0 (→ removed), and doc_id%11==0 pages change content
+    hash between generations (→ changed); everything else is
+    unchanged.  One full-outer join on url, status by CASE — the
+    oracle is the same join in DuckDB."""
+    from neleval_spark.functions.corpusops import crawl_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("http://h"), (i % 13).cast("string"),
+                   F.lit("/p"), i.cast("string"))
+    old = docs.where(i % 5 != 0).select(
+        url.alias("url"), (i % 7).alias("content_hash"))
+    new = docs.where(i % 3 != 0).select(
+        url.alias("url"),
+        (i % 7 + F.when(i % 11 == 0, 1).otherwise(0))
+        .alias("content_hash"))
+    return crawl_diff(old, new).orderBy("url")
+
+
+Q_CRAWL_DIFF_SQL = """
+WITH o AS (
+  SELECT 'http://h' || CAST(doc_id % 13 AS VARCHAR)
+         || '/p' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id % 7 AS old_content
+  FROM documents WHERE doc_id % 5 <> 0),
+n AS (
+  SELECT 'http://h' || CAST(doc_id % 13 AS VARCHAR)
+         || '/p' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id % 7
+           + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS new_content
+  FROM documents WHERE doc_id % 3 <> 0)
+SELECT COALESCE(o.url, n.url) AS url,
+       CASE WHEN o.url IS NULL THEN 'added'
+            WHEN n.url IS NULL THEN 'removed'
+            WHEN o.old_content = n.new_content THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.old_content, n.new_content
+FROM o FULL OUTER JOIN n ON o.url = n.url
+ORDER BY url
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # sets measures (J1/A1)
@@ -3826,6 +3872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_triples": q_pipeline_triples,
         "pipeline_triples_sql": q_pipeline_triples_sql,
         "kb_profile": q_kb_profile,
+        "crawl_diff": q_crawl_diff,
     }
     return qs
 
@@ -3915,4 +3962,5 @@ def oracle_sql() -> dict[str, str]:
         # the sink itself is hash-checked by pipeline_triples_sql
         "pipeline_triples_sql": Q_PIPELINE_TRIPLES_SQL,
         "kb_profile": Q_KB_PROFILE_SQL,
+        "crawl_diff": Q_CRAWL_DIFF_SQL,
     }
