@@ -3781,6 +3781,58 @@ ORDER BY url
 """
 
 
+def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG neighborhood query (graph/neighborhood.k_hop_neighbors):
+    min-hop BFS ball of radius 2 around two seeds over a
+    deterministic co-occurrence triple table (50-node double ring:
+    Ei—E(i+1)%50 and Ei—E(i+7)%50, synthesized from doc_id).  The
+    oracle unrolls the same two hops relationally and takes MIN(hops)
+    per (seed, entity) — identical semantics to the BFS layering
+    because k is fixed."""
+    from neleval_spark.graph.neighborhood import k_hop_neighbors
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+
+    def ent(e):
+        return F.concat(F.lit("E"), (e % 50).cast("string"))
+
+    triples = docs.select(
+        ent(i).alias("subj"), F.lit("cooccurs_with").alias("pred"),
+        ent(i + 1).alias("obj")
+    ).unionByName(docs.select(
+        ent(i).alias("subj"), F.lit("cooccurs_with").alias("pred"),
+        ent(i + 7).alias("obj")))
+    seeds = spark.createDataFrame([("E0",), ("E25",)], "seed string")
+    return k_hop_neighbors(triples, seeds, max_hops=2) \
+        .orderBy("seed", "entity")
+
+
+Q_TWO_HOP_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT 'E' || CAST(doc_id % 50 AS VARCHAR) AS src,
+         'E' || CAST((doc_id + 1) % 50 AS VARCHAR) AS dst
+  FROM documents
+  UNION
+  SELECT DISTINCT 'E' || CAST(doc_id % 50 AS VARCHAR),
+         'E' || CAST((doc_id + 7) % 50 AS VARCHAR)
+  FROM documents),
+edges AS (SELECT src, dst FROM e0
+          UNION SELECT dst, src FROM e0),
+seeds AS (SELECT * FROM (VALUES ('E0'), ('E25')) s(seed)),
+h0 AS (SELECT seed, seed AS entity, 0 AS hops FROM seeds),
+h1 AS (SELECT s.seed, e.dst AS entity, 1 AS hops
+       FROM seeds s JOIN edges e ON e.src = s.seed),
+h2 AS (SELECT h1.seed, e.dst AS entity, 2 AS hops
+       FROM h1 JOIN edges e ON e.src = h1.entity)
+SELECT seed, entity, MIN(hops) AS hops
+FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+      UNION ALL SELECT * FROM h2)
+GROUP BY seed, entity
+ORDER BY seed, entity
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # sets measures (J1/A1)
@@ -3873,6 +3925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_triples_sql": q_pipeline_triples_sql,
         "kb_profile": q_kb_profile,
         "crawl_diff": q_crawl_diff,
+        "two_hop": q_two_hop,
     }
     return qs
 
@@ -3963,4 +4016,5 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_triples_sql": Q_PIPELINE_TRIPLES_SQL,
         "kb_profile": Q_KB_PROFILE_SQL,
         "crawl_diff": Q_CRAWL_DIFF_SQL,
+        "two_hop": Q_TWO_HOP_SQL,
     }

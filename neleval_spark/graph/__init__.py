@@ -3,6 +3,8 @@ from .connected_components import connected_components  # noqa: F401
 from .hits import hits  # noqa: F401
 from .label_propagation import (  # noqa: F401
     entity_communities, label_propagation)
+from .neighborhood import (  # noqa: F401
+    cooccurrence_edges, k_hop_neighbors)
 from .redirects import resolve_redirect_chains  # noqa: F401
 from .pagerank import (  # noqa: F401
     entity_salience, pagerank, related_entities)
