@@ -2901,6 +2901,76 @@ ORDER BY p.doc_a
 """
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric shingle containment (textops.
+    ngram_containment_pairs): every doc_id%7==0 document gets a
+    synthetic 200-char 'quote' twin (id+1000000) paired against its
+    source — containment-of-quote-in-source is near 1.0 while
+    Jaccard stays low — plus unrelated adjacent-id control pairs.
+    Counts are integers and divisions share identical operands, so
+    the DuckDB mirror is exact at 6 dp."""
+    from neleval_spark.functions.textops import ngram_containment_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    quotes = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"))
+    docs2 = d.unionByName(quotes)
+    qpairs = quotes.select((F.col("doc_id") - 1000000).alias("doc_b"),
+                           F.col("doc_id").alias("doc_a")) \
+        .select("doc_a", "doc_b")
+    cpairs = d.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1).alias("doc_b"))
+    pairs = qpairs.unionByName(cpairs)
+    return ngram_containment_pairs(docs2, pairs, n=3) \
+        .orderBy("doc_a", "doc_b")
+
+
+Q_CONTAINMENT_SQL = r"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substring(text, 1, 200)
+  FROM documents WHERE doc_id % 7 = 0),
+arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t != '') AS arr
+  FROM docs2),
+sh AS (
+  SELECT DISTINCT doc_id,
+         arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
+  FROM arrs, UNNEST(generate_series(1, len(arr) - 2)) AS t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+pairs AS (
+  SELECT doc_id + 1000000 AS doc_a, doc_id AS doc_b
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 10 = 0),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b,
+       ROUND(COALESCE(i.i, 0)
+             / (COALESCE(sa.sz, 0) + COALESCE(sb.sz, 0)
+                - COALESCE(i.i, 0)), 6) AS jaccard,
+       ROUND(COALESCE(i.i, 0) / NULLIF(COALESCE(sa.sz, 0), 0), 6)
+         AS contain_a_in_b,
+       ROUND(COALESCE(i.i, 0) / NULLIF(COALESCE(sb.sz, 0), 0), 6)
+         AS contain_b_in_a
+FROM pairs p
+LEFT JOIN inter i USING (doc_a, doc_b)
+LEFT JOIN sizes sa ON sa.doc_id = p.doc_a
+LEFT JOIN sizes sb ON sb.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from neleval_spark.functions.textops import doc_fingerprint
 
@@ -3926,6 +3996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kb_profile": q_kb_profile,
         "crawl_diff": q_crawl_diff,
         "two_hop": q_two_hop,
+        "containment": q_containment,
     }
     return qs
 
@@ -4017,4 +4088,5 @@ def oracle_sql() -> dict[str, str]:
         "kb_profile": Q_KB_PROFILE_SQL,
         "crawl_diff": Q_CRAWL_DIFF_SQL,
         "two_hop": Q_TWO_HOP_SQL,
+        "containment": Q_CONTAINMENT_SQL,
     }

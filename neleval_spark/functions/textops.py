@@ -264,26 +264,30 @@ def simhash_column(text_col: F.Column, n_bits: int = 16) -> F.Column:
         lambda acc, x: acc + x).cast("long")
 
 
-def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
-                        id_col: str = "doc_id", text_col: str = "text",
-                        n: int = 3) -> DataFrame:
-    """Token n-gram Jaccard similarity for given (doc_a, doc_b) pairs.
+def _shingle_pair_counts(docs: DataFrame, pairs: DataFrame,
+                         id_col: str, text_col: str,
+                         n: int) -> DataFrame:
+    """Shared core of the pair-list similarity ops: (doc_a, doc_b,
+    i, sz_a, sz_b) — intersection size and both shingle-set sizes.
 
     Shingle sets stay relational (explode → join → count); the pair
-    list bounds the work — produce it with LSH at scale.
+    list bounds the work — produce it with LSH at scale.  Documents
+    shorter than ``n`` tokens get an EMPTY shingle set (sz = 0), not
+    a garbage descending sequence.
     """
     arr = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
                    lambda t: t != "")
+    sh_arr = F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(arr, (i + j + 1).cast("int"))
+                       for j in range(n)]),
+        )).otherwise(F.array().cast("array<string>"))
     shingled = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(arr) - n),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(arr, (i + j + 1).cast("int"))
-                           for j in range(n)]),
-            )
-        ).alias("shingle"),
+        F.explode(sh_arr).alias("shingle"),
     ).distinct()
 
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -301,7 +305,17 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
     return (
         pairs.join(inter, ["doc_a", "doc_b"], "left")
         .na.fill({"i": 0})
-        .join(sa, "doc_a").join(sb, "doc_b")
+        .join(sa, "doc_a", "left").join(sb, "doc_b", "left")
+        .na.fill({"sz_a": 0, "sz_b": 0})
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3) -> DataFrame:
+    """Token n-gram Jaccard similarity for given (doc_a, doc_b)
+    pairs (see ``_shingle_pair_counts`` for the plan shape)."""
+    return _shingle_pair_counts(docs, pairs, id_col, text_col, n) \
         .select(
             "doc_a", "doc_b",
             F.round(
@@ -309,6 +323,33 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
                 / (F.col("sz_a") + F.col("sz_b") - F.col("i")), 6
             ).alias("jaccard"),
         )
+
+
+def ngram_containment_pairs(docs: DataFrame, pairs: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            n: int = 3) -> DataFrame:
+    """Asymmetric shingle containment (Broder 1997's c(A,B) =
+    |S(A)∩S(B)| / |S(A)|) alongside Jaccard for given pairs.
+
+    Jaccard misses quote/superset relationships: a 200-word excerpt
+    inside a 10k-word page scores near 0 on Jaccard but ~1.0 on
+    containment-of-A-in-B — the signal dedup pipelines use to drop
+    wrapper pages and detect quotations.  Same bounded pair-list
+    plan as ``ngram_jaccard_pairs``; zero-shingle docs yield NULL
+    containment (0/0 is undefined, not 0)."""
+    c = _shingle_pair_counts(docs, pairs, id_col, text_col, n)
+    return c.select(
+        "doc_a", "doc_b",
+        F.round(F.col("i")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("i")), 6)
+         .alias("jaccard"),
+        F.round(F.when(F.col("sz_a") > 0,
+                       F.col("i") / F.col("sz_a")), 6)
+         .alias("contain_a_in_b"),
+        F.round(F.when(F.col("sz_b") > 0,
+                       F.col("i") / F.col("sz_b")), 6)
+         .alias("contain_b_in_a"),
     )
 
 
