@@ -2022,9 +2022,14 @@ ORDER BY ida, idb
 
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN scale path: deterministic random-hyperplane LSH buckets →
-    equi-join → exact in-bucket re-rank.  Approximate by design, so no
-    SQL oracle (rows-only here); recall ≥ threshold vs brute force is
-    pinned in tests/test_textops.py::test_ann_lsh_recall."""
+    equi-join → exact in-bucket re-rank.  Approximate vs brute force
+    (recall ≥ threshold pinned in tests/test_textops.py), but fully
+    DETERMINISTIC given the data: the hyperplanes are fixed integer
+    arithmetic and every projection is an ordered left fold, so the
+    DuckDB oracle replays the identical signatures (list_transform
+    index lambda + list_reduce) and the result hash-matches exactly —
+    the LSH candidate generation itself is oracle-gated, not just the
+    re-rank."""
     from neleval_spark.functions.similarity import ann_lsh_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -2032,21 +2037,66 @@ def q_ann_lsh_topk(spark, sf_dir):
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), emb.alias("qv"))
     c = e.select(F.col("vec_id").alias("cid"), emb.alias("cv"))
-    out = ann_lsh_topk(q, c, k=3)
-    return (
-        out.groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.max("cos"), 6).alias("best"))
-        .orderBy("qid")
-    )
+    return ann_lsh_topk(q, c, k=3).orderBy("qid", "rk")
+
+
+def _lsh_sig_sql(n_tables: int, n_planes: int, src: str) -> str:
+    """DuckDB replica of ``similarity.lsh_signatures``: same integer
+    hyperplane hash ((i + t*1009 + p*9176 + 1) * 2654435761 mod 2^32,
+    scaled to [-1,1)) and the same ordered left-fold projection, so
+    the sign bits are bit-identical (0.0-init vs first-element-init
+    folds agree because 0.0 + x == x).  ``src`` must expose (id,
+    v DOUBLE[])."""
+    def proj(t: int, p: int) -> str:
+        off = t * 1009 + p * 9176 + 1
+        w = (f"((((i - 1) + {off}) * 2654435761) % 4294967296)"
+             f" / 2147483648.0 - 1.0")
+        return ("list_reduce(list_transform(v, (x, i) -> "
+                f"x * ({w})), (acc, x) -> acc + x)")
+
+    def sig(t: int) -> str:
+        return " || ".join(
+            f"CASE WHEN ({proj(t, p)}) >= 0 THEN '1' ELSE '0' END"
+            for p in range(n_planes))
+
+    return " UNION ALL ".join(
+        f"SELECT id, {t} AS tbl, {sig(t)} AS sig FROM {src}"
+        for t in range(n_tables))
+
+
+Q_ANN_LSH_TOPK_SQL = f"""
+WITH vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+              FROM embeddings),
+sigs AS ({_lsh_sig_sql(4, 8, 'vecs')}),
+qsig AS (SELECT * FROM sigs WHERE id < 5),
+pairs AS (
+  SELECT DISTINCT q.id AS qid, c.id AS cid
+  FROM qsig q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
+  WHERE q.id != c.id),
+sim AS (
+  SELECT qid, cid,
+         ROUND(list_dot_product(qv.v, cv.v)
+               / (sqrt(list_dot_product(qv.v, qv.v))
+                  * sqrt(list_dot_product(cv.v, cv.v))), 6) AS cos
+  FROM pairs
+  JOIN vecs qv ON qv.id = pairs.qid
+  JOIN vecs cv ON cv.id = pairs.cid),
+r AS (SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rk
+      FROM sim)
+SELECT qid, cid, cos, rk FROM r WHERE rk <= 3 ORDER BY qid, rk
+"""
 
 
 def q_ivf_topk(spark, sf_dir):
     """IVF scale path: seeded k-means coarse quantizer → broadcast
     nearest-cell assignment (no shuffle of the embedding table) →
-    n_probe cell equi-join → exact in-cell re-rank.  Approximate by
-    design, so rows-only here; recall ≥ threshold and seed-stability
-    are pinned in tests/test_textops.py::test_ivf_recall."""
+    n_probe cell equi-join → exact in-cell re-rank.  The TRAINED
+    quantizer is not SQL (pyspark.ml k-means||), so this entry is
+    rows-only; recall ≥ threshold and seed-stability are pinned in
+    tests/test_textops.py::test_ivf_recall, and everything downstream
+    of training (assignment, probing, re-rank) is hash-checked by the
+    ``ivf_topk_fixed`` oracle on a fixed codebook."""
     from neleval_spark.functions.similarity import ivf_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -2061,6 +2111,80 @@ def q_ivf_topk(spark, sf_dir):
              F.round(F.max("cos"), 6).alias("best"))
         .orderBy("qid")
     )
+
+
+def _ivf_fixed_centroids(n_cells: int = 8, dim: int = 64):
+    """Deterministic pseudo-random codebook in [-1,1) — the same
+    integer hash as similarity._hyperplane_weight(table=j, plane=0),
+    computed in Python so the Spark literals and the repr()-embedded
+    DuckDB literals are the identical doubles."""
+    def w(j: int, i: int) -> float:
+        return ((((i + j * 1009 + 1) * 2654435761) % (1 << 32))
+                / float(1 << 31) - 1.0)
+
+    return [[w(j, i) for i in range(dim)] for j in range(n_cells)]
+
+
+def q_ivf_topk_fixed(spark, sf_dir):
+    """IVF with a FIXED coarse codebook (the production shape: train
+    the quantizer once offline, reuse across crawl generations).
+    With the codebook pinned, every step — argmin cell assignment
+    (ordered-fold squared distance, struct (d, cell) tie-break),
+    n_probe nearest-cell ranking, in-cell cosine re-rank — is
+    deterministic column arithmetic, so the DuckDB oracle replays it
+    exactly and the result hash-matches: the IVF mechanics are
+    oracle-gated even though k-means training itself is not SQL."""
+    from neleval_spark.functions.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = F.col("embedding").cast("array<double>")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), emb.alias("qv"))
+    c = e.select(F.col("vec_id").alias("cid"), emb.alias("cv"))
+    out = ivf_topk(q, c, k=3, n_probe=3,
+                   centroids=_ivf_fixed_centroids())
+    return out.orderBy("qid", "rk")
+
+
+def _ivf_fixed_sql(n_probe: int = 3, k: int = 3) -> str:
+    """DuckDB replica of q_ivf_topk_fixed: same codebook doubles via
+    repr(), same ordered-fold squared distances, same struct sort."""
+    cents = _ivf_fixed_centroids()
+
+    def dist(j: int) -> str:
+        lit = "[" + ", ".join(repr(x) for x in cents[j]) + "]::DOUBLE[]"
+        return ("list_reduce(list_transform(v, (x, i) -> "
+                f"(x - ({lit})[i]) * (x - ({lit})[i])), "
+                "(acc, x) -> acc + x)")
+
+    structs = ", ".join(
+        f"struct_pack(d := {dist(j)}, cell := {j})"
+        for j in range(len(cents)))
+    return f"""
+WITH vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+              FROM embeddings),
+ranked AS (SELECT id, v, list_sort([{structs}]) AS cells FROM vecs),
+assigned AS (SELECT id AS cid, v AS cv, cells[1].cell AS cell
+             FROM ranked),
+probes AS (SELECT id AS qid, v AS qv,
+                  UNNEST(list_transform(cells[1:{n_probe}],
+                                        s -> s.cell)) AS cell
+           FROM ranked WHERE id < 5),
+sim AS (
+  SELECT qid, cid,
+         ROUND(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))), 6) AS cos
+  FROM probes JOIN assigned USING (cell)
+  WHERE qid != cid),
+r AS (SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rk
+      FROM sim)
+SELECT qid, cid, cos, rk FROM r WHERE rk <= {k} ORDER BY qid, rk
+"""
+
+
+Q_IVF_TOPK_FIXED_SQL = _ivf_fixed_sql()
 
 
 def q_sessionize(spark, sf_dir):
@@ -3812,7 +3936,10 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id%3==0 (→ removed), and doc_id%11==0 pages change content
     hash between generations (→ changed); everything else is
     unchanged.  One full-outer join on url, status by CASE — the
-    oracle is the same join in DuckDB."""
+    oracle is the same join in DuckDB.  The library reports the
+    missing side's hash as NULL; the driver query pins a -1 sentinel
+    (same rationale as redirect_chains: the gate's row sort cannot
+    order NULL vs int)."""
     from neleval_spark.functions.corpusops import crawl_diff
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -3825,7 +3952,12 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         url.alias("url"),
         (i % 7 + F.when(i % 11 == 0, 1).otherwise(0))
         .alias("content_hash"))
-    return crawl_diff(old, new).orderBy("url")
+    d = crawl_diff(old, new)
+    return d.select(
+        "url", "status",
+        F.coalesce("old_content", F.lit(-1)).alias("old_content"),
+        F.coalesce("new_content", F.lit(-1)).alias("new_content"),
+    ).orderBy("url")
 
 
 Q_CRAWL_DIFF_SQL = """
@@ -3845,7 +3977,8 @@ SELECT COALESCE(o.url, n.url) AS url,
             WHEN n.url IS NULL THEN 'removed'
             WHEN o.old_content = n.new_content THEN 'unchanged'
             ELSE 'changed' END AS status,
-       o.old_content, n.new_content
+       COALESCE(o.old_content, -1) AS old_content,
+       COALESCE(n.new_content, -1) AS new_content
 FROM o FULL OUTER JOIN n ON o.url = n.url
 ORDER BY url
 """
@@ -3962,6 +4095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_fixed": q_ivf_topk_fixed,
         "sessionize": q_sessionize,
         # dedup / similarity / text analysis
         "minhash": q_minhash,
@@ -4055,6 +4189,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "token_stats": Q_TOKEN_STATS_SQL,
         "cosine_topk": Q_COSINE_TOPK_SQL,
+        "ann_lsh_topk": Q_ANN_LSH_TOPK_SQL,
+        "ivf_topk_fixed": Q_IVF_TOPK_FIXED_SQL,
         "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,
