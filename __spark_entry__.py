@@ -4011,6 +4011,71 @@ def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("seed", "entity")
 
 
+def q_graph_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style basic-graph-pattern query
+    (graph/pattern.match_pattern): conjunctive triple patterns →
+    greedy selectivity-ordered equi-joins.  Deterministic synthetic
+    KG from doc_id arithmetic — ring co-occurrence edges
+    Ei—E(i+1)%50, type triples Ei type T(i%3), residence triples
+    Ei lives_in C(i%7) — and the pattern
+
+        (?x, type, T0) . (?x, cooccurs_with, ?y) . (?y, lives_in, ?c)
+
+    i.e. "everyone of type T0, who they co-occur with, and where
+    that partner lives".  The oracle is the same 3-way relational
+    join in DuckDB."""
+    from neleval_spark.graph.pattern import match_pattern
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+
+    def ent(e):
+        return F.concat(F.lit("E"), (e % 50).cast("string"))
+
+    triples = (
+        docs.select(ent(i).alias("subj"),
+                    F.lit("cooccurs_with").alias("pred"),
+                    ent(i + 1).alias("obj"))
+        .unionByName(docs.select(
+            ent(i).alias("subj"), F.lit("type").alias("pred"),
+            F.concat(F.lit("T"), (i % 3).cast("string")).alias("obj")))
+        .unionByName(docs.select(
+            ent(i).alias("subj"), F.lit("lives_in").alias("pred"),
+            F.concat(F.lit("C"), (i % 7).cast("string")).alias("obj")))
+    )
+    out = match_pattern(triples, [
+        ("?x", "type", "T0"),
+        ("?x", "cooccurs_with", "?y"),
+        ("?y", "lives_in", "?c"),
+    ])
+    return out.orderBy("c", "x", "y")
+
+
+Q_GRAPH_PATTERN_SQL = """
+WITH t AS (
+  SELECT DISTINCT 'E' || CAST(doc_id % 50 AS VARCHAR) AS subj,
+         'cooccurs_with' AS pred,
+         'E' || CAST((doc_id + 1) % 50 AS VARCHAR) AS obj
+  FROM documents
+  UNION
+  SELECT DISTINCT 'E' || CAST(doc_id % 50 AS VARCHAR), 'type',
+         'T' || CAST(doc_id % 3 AS VARCHAR)
+  FROM documents
+  UNION
+  SELECT DISTINCT 'E' || CAST(doc_id % 50 AS VARCHAR), 'lives_in',
+         'C' || CAST(doc_id % 7 AS VARCHAR)
+  FROM documents),
+p0 AS (SELECT DISTINCT subj AS x FROM t
+       WHERE pred = 'type' AND obj = 'T0'),
+p1 AS (SELECT DISTINCT subj AS x, obj AS y FROM t
+       WHERE pred = 'cooccurs_with'),
+p2 AS (SELECT DISTINCT subj AS y, obj AS c FROM t
+       WHERE pred = 'lives_in')
+SELECT c, x, y FROM p0 JOIN p1 USING (x) JOIN p2 USING (y)
+ORDER BY c, x, y
+"""
+
+
 Q_TWO_HOP_SQL = """
 WITH e0 AS (
   SELECT DISTINCT 'E' || CAST(doc_id % 50 AS VARCHAR) AS src,
@@ -4130,6 +4195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kb_profile": q_kb_profile,
         "crawl_diff": q_crawl_diff,
         "two_hop": q_two_hop,
+        "graph_pattern": q_graph_pattern,
         "containment": q_containment,
     }
     return qs
@@ -4224,5 +4290,6 @@ def oracle_sql() -> dict[str, str]:
         "kb_profile": Q_KB_PROFILE_SQL,
         "crawl_diff": Q_CRAWL_DIFF_SQL,
         "two_hop": Q_TWO_HOP_SQL,
+        "graph_pattern": Q_GRAPH_PATTERN_SQL,
         "containment": Q_CONTAINMENT_SQL,
     }
