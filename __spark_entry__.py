@@ -3984,6 +3984,63 @@ ORDER BY url
 """
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC serialize∘parse identity (sources/warc.py): each Arrow
+    batch of documents is framed as one WARC blob with the REAL
+    serializer (HTTP response wrapping, Content-Length framing, CRLF
+    record separators) and immediately re-parsed with the REAL
+    reader; the oracle derives the expected table straight from
+    documents — any framing/offset/header bug breaks the hash.  The
+    file-based path (binaryFile + gzip members) is covered in
+    tests/test_warc.py."""
+    import pandas as pd
+
+    from neleval_spark.sources.warc import build_warc, parse_warc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            recs = [
+                (f"http://h{int(i) % 13}/p{int(i)}",
+                 pd.Timestamp(1700000000 + int(i), unit="s", tz="UTC")
+                 .strftime("%Y-%m-%dT%H:%M:%SZ"),
+                 t.encode("utf-8"))
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            blob = build_warc(recs)
+            rows = [
+                {"url": r["url"],
+                 "ts_epoch": int(pd.Timestamp(r["warc_ts"])
+                                 .timestamp()),
+                 "http_status": r["http_status"],
+                 "n_bytes": len(r["html"]),
+                 "text": r["html"].decode("utf-8")}
+                for r in parse_warc(blob)
+            ]
+            yield pd.DataFrame(
+                rows, columns=["url", "ts_epoch", "http_status",
+                               "n_bytes", "text"])
+
+    out = docs.mapInPandas(
+        gen, schema=("url string, ts_epoch long, http_status int, "
+                     "n_bytes long, text string"))
+    return out.orderBy("url")
+
+
+Q_WARC_ROUNDTRIP_SQL = """
+SELECT 'http://h' || CAST(doc_id % 13 AS VARCHAR)
+       || '/p' || CAST(doc_id AS VARCHAR) AS url,
+       1700000000 + doc_id AS ts_epoch,
+       200 AS http_status,
+       octet_length(encode(text)) AS n_bytes,
+       text
+FROM documents
+ORDER BY url
+"""
+
+
 def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG neighborhood query (graph/neighborhood.k_hop_neighbors):
     min-hop BFS ball of radius 2 around two seeds over a
@@ -4196,6 +4253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "two_hop": q_two_hop,
         "graph_pattern": q_graph_pattern,
+        "warc_roundtrip": q_warc_roundtrip,
         "containment": q_containment,
     }
     return qs
@@ -4291,5 +4349,6 @@ def oracle_sql() -> dict[str, str]:
         "crawl_diff": Q_CRAWL_DIFF_SQL,
         "two_hop": Q_TWO_HOP_SQL,
         "graph_pattern": Q_GRAPH_PATTERN_SQL,
+        "warc_roundtrip": Q_WARC_ROUNDTRIP_SQL,
         "containment": Q_CONTAINMENT_SQL,
     }
