@@ -3984,6 +3984,64 @@ ORDER BY url
 """
 
 
+def q_kg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-generation KG upsert (pipeline/triples.aggregate_kg +
+    merge_kg, mode="replace"): two synthetic crawl generations over
+    different entity rings (mod-45 vs mod-47, so base-only /
+    delta-only / shared keys all occur) with different witness-url
+    moduli (so replaced counts actually change).  Oracle: the same
+    two COUNT(DISTINCT url) aggregates FULL OUTER JOINed with
+    COALESCE/LEAST/GREATEST in DuckDB."""
+    from neleval_spark.pipeline.triples import aggregate_kg, merge_kg
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+
+    def ring(mod, umod):
+        return docs.select(
+            F.concat(F.lit("E"), (i % mod).cast("string"))
+            .alias("subj"),
+            F.lit("cooccurs_with").alias("pred"),
+            F.concat(F.lit("E"), ((i + 1) % mod).cast("string"))
+            .alias("obj"),
+            F.concat(F.lit("u"), (i % umod).cast("string"))
+            .alias("url"))
+
+    g1 = aggregate_kg(ring(45, 311), generation=1)
+    g2 = aggregate_kg(ring(47, 271), generation=2)
+    return merge_kg(g1, g2, mode="replace") \
+        .orderBy("subj", "pred", "obj")
+
+
+Q_KG_MERGE_SQL = """
+WITH g1 AS (
+  SELECT 'E' || CAST(doc_id % 45 AS VARCHAR) AS subj,
+         'cooccurs_with' AS pred,
+         'E' || CAST((doc_id + 1) % 45 AS VARCHAR) AS obj,
+         COUNT(DISTINCT 'u' || CAST(doc_id % 311 AS VARCHAR))
+           AS n_pages,
+         1 AS first_seen, 1 AS last_seen
+  FROM documents GROUP BY 1, 2, 3),
+g2 AS (
+  SELECT 'E' || CAST(doc_id % 47 AS VARCHAR) AS subj,
+         'cooccurs_with' AS pred,
+         'E' || CAST((doc_id + 1) % 47 AS VARCHAR) AS obj,
+         COUNT(DISTINCT 'u' || CAST(doc_id % 271 AS VARCHAR))
+           AS n_pages,
+         2 AS first_seen, 2 AS last_seen
+  FROM documents GROUP BY 1, 2, 3)
+SELECT COALESCE(g1.subj, g2.subj) AS subj,
+       COALESCE(g1.pred, g2.pred) AS pred,
+       COALESCE(g1.obj, g2.obj) AS obj,
+       COALESCE(g2.n_pages, g1.n_pages) AS n_pages,
+       LEAST(g1.first_seen, g2.first_seen) AS first_seen,
+       GREATEST(g1.last_seen, g2.last_seen) AS last_seen
+FROM g1 FULL OUTER JOIN g2
+  ON g1.subj = g2.subj AND g1.pred = g2.pred AND g1.obj = g2.obj
+ORDER BY subj, pred, obj
+"""
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC serialize∘parse identity (sources/warc.py): each Arrow
     batch of documents is framed as one WARC blob with the REAL
@@ -4254,6 +4312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_hop": q_two_hop,
         "graph_pattern": q_graph_pattern,
         "warc_roundtrip": q_warc_roundtrip,
+        "kg_merge": q_kg_merge,
         "containment": q_containment,
     }
     return qs
@@ -4350,5 +4409,6 @@ def oracle_sql() -> dict[str, str]:
         "two_hop": Q_TWO_HOP_SQL,
         "graph_pattern": Q_GRAPH_PATTERN_SQL,
         "warc_roundtrip": Q_WARC_ROUNDTRIP_SQL,
+        "kg_merge": Q_KG_MERGE_SQL,
         "containment": Q_CONTAINMENT_SQL,
     }

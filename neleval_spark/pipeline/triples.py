@@ -294,3 +294,83 @@ def compact_triples(spark: SparkSession, out_dir: str,
     shutil.rmtree(pre, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(manifest_dir)
+
+
+# ---------------------------------------------------------------------------
+# Cross-generation KG maintenance
+# ---------------------------------------------------------------------------
+
+def aggregate_kg(triples: DataFrame, generation: int) -> DataFrame:
+    """Witness-level triples (subj, pred, obj, url) → one aggregated
+    KG row per distinct triple:
+
+        (subj, pred, obj, n_pages, first_seen, last_seen)
+
+    ``n_pages`` counts distinct witnessing urls; both *_seen carry the
+    crawl ``generation`` ordinal.  ONE hash aggregate with map-side
+    partial (count_distinct over the url already deduplicated per
+    triple by emit_triples, so approx paths aren't needed); this is
+    the table :func:`merge_kg` maintains across generations."""
+    return (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(F.count_distinct("url").alias("n_pages"))
+        .withColumn("first_seen", F.lit(generation))
+        .withColumn("last_seen", F.lit(generation))
+    )
+
+
+def merge_kg(base: DataFrame, delta: DataFrame,
+             mode: str = "replace") -> DataFrame:
+    """Incrementally fold one crawl generation's aggregated KG
+    (:func:`aggregate_kg` output) into the accumulated KG — the
+    maintenance operation that makes the triple store a living
+    artifact across recrawls instead of a one-shot dump.
+
+    ONE full-outer equi-join on the (subj, pred, obj) key — inherent
+    to upsert semantics; the key space is near-unique (it IS the KG's
+    primary key) so there is no skew side, and both inputs are
+    aggregate-sized, not witness-sized.
+
+    * ``mode="replace"`` — a RECRAWL generation: the delta re-observed
+      the web, so its ``n_pages`` supersedes the base count for
+      triples it saw; base-only triples persist with their old count
+      (going stale — see :func:`prune_kg`).
+    * ``mode="sum"`` — DISJOINT-witness shards (e.g. two halves of one
+      crawl partitioned by url): counts add.
+
+    ``first_seen``/``last_seen`` take min/max either way, so staleness
+    (``current_gen - last_seen``) and novelty (``first_seen ==
+    current_gen``) stay queryable."""
+    if mode not in ("replace", "sum"):
+        raise ValueError(f"unknown merge mode: {mode!r}")
+    key = ["subj", "pred", "obj"]
+    b = base.select(
+        *key, F.col("n_pages").alias("_bn"),
+        F.col("first_seen").alias("_bf"),
+        F.col("last_seen").alias("_bl"))
+    d = delta.select(
+        *key, F.col("n_pages").alias("_dn"),
+        F.col("first_seen").alias("_df"),
+        F.col("last_seen").alias("_dl"))
+    j = b.join(d, key, "full_outer")
+    if mode == "replace":
+        n = F.coalesce(F.col("_dn"), F.col("_bn"))
+    else:
+        n = (F.coalesce(F.col("_dn"), F.lit(0))
+             + F.coalesce(F.col("_bn"), F.lit(0)))
+    return j.select(
+        *key,
+        n.alias("n_pages"),
+        F.least(F.col("_bf"), F.col("_df")).alias("first_seen"),
+        F.greatest(F.col("_bl"), F.col("_dl")).alias("last_seen"),
+    )
+
+
+def prune_kg(kg: DataFrame, current_gen: int,
+             max_staleness: int) -> DataFrame:
+    """Evict triples not re-observed within ``max_staleness``
+    generations — a narrow filter (no shuffle); pair with
+    :func:`merge_kg` so dead pages age out of the KG instead of
+    accumulating forever."""
+    return kg.where(
+        F.col("last_seen") >= F.lit(current_gen - max_staleness))
