@@ -3984,6 +3984,138 @@ ORDER BY url
 """
 
 
+def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness (functions/robots.py): parse synthetic
+    per-host exclusion files (three body shapes: */fetchbot groups,
+    *-only with an empty Disallow and a comment, fetchbot-only) and
+    filter a frontier as agent "fetchbot" — exercising specific-group
+    precedence over *, longest-prefix matching, and the
+    no-rules→allowed default.  The oracle replays the whole chain in
+    DuckDB: zipped-UNNEST line explode, last_value IGNORE NULLS group
+    window, and a ROW_NUMBER argmax over (prefix_len, rule)."""
+    from neleval_spark.functions.robots import (parse_robots,
+                                                robots_filter)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    k = F.col("k")
+    robots = spark.range(13).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        (F.col("id") % 3).alias("k"),
+    ).select(
+        "host",
+        F.when(k == 0, F.lit(
+            "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+            "\nUser-agent: fetchbot\nDisallow: /priv"))
+        .when(k == 1, F.lit(
+            "User-agent: *\nDisallow:\n# blanket comment\n"
+            "Disallow: /tmp"))
+        .otherwise(F.lit(
+            "User-agent: fetchbot\nAllow: /pu\nDisallow: /"))
+        .alias("body"))
+    path = (
+        F.when(i % 5 == 0, F.concat(F.lit("/private/ok/x"),
+                                    i.cast("string")))
+        .when(i % 5 == 1, F.concat(F.lit("/private/x"),
+                                   i.cast("string")))
+        .when(i % 5 == 2, F.concat(F.lit("/tmp/x"), i.cast("string")))
+        .when(i % 5 == 3, F.concat(F.lit("/pub/x"), i.cast("string")))
+        .otherwise(F.lit("/")))
+    frontier = docs.select(
+        F.concat(F.lit("http://h"), (i % 13).cast("string"), path)
+        .alias("url"))
+    out = robots_filter(frontier, parse_robots(robots),
+                        agent="fetchbot", keep_disallowed=True)
+    return out.select("url", "allowed").orderBy("url")
+
+
+Q_ROBOTS_SQL = """
+WITH robots AS (
+  SELECT 'h' || CAST(id AS VARCHAR) AS host,
+         CASE id % 3
+           WHEN 0 THEN 'User-agent: *' || chr(10) ||
+             'Disallow: /private' || chr(10) ||
+             'Allow: /private/ok' || chr(10) || chr(10) ||
+             'User-agent: fetchbot' || chr(10) || 'Disallow: /priv'
+           WHEN 1 THEN 'User-agent: *' || chr(10) ||
+             'Disallow:' || chr(10) || '# blanket comment' ||
+             chr(10) || 'Disallow: /tmp'
+           ELSE 'User-agent: fetchbot' || chr(10) ||
+             'Allow: /pu' || chr(10) || 'Disallow: /'
+         END AS body
+  FROM range(13) t(id)),
+lines AS (
+  SELECT host,
+         UNNEST(range(1, len(string_split(body, chr(10))) + 1))
+           AS pos,
+         UNNEST(string_split(body, chr(10))) AS line
+  FROM robots),
+kv AS (
+  SELECT host, pos,
+         lower(trim(regexp_extract(
+           trim(regexp_replace(line, '#.*$', '')),
+           '^([^:]+):', 1))) AS kk,
+         trim(regexp_extract(
+           trim(regexp_replace(line, '#.*$', '')),
+           '^[^:]+:(.*)$', 1)) AS v
+  FROM lines),
+starts AS (
+  SELECT host, pos, kk, v,
+         CASE WHEN kk = 'user-agent'
+               AND NOT COALESCE(
+                 lag(kk = 'user-agent')
+                   OVER (PARTITION BY host ORDER BY pos), FALSE)
+              THEN 1 ELSE 0 END AS is_start
+  FROM kv WHERE kk != ''),
+marked AS (
+  SELECT host, pos, kk, v,
+         SUM(is_start)
+           OVER (PARTITION BY host ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS grp
+  FROM starts),
+agents AS (
+  SELECT DISTINCT host, grp, lower(v) AS agent
+  FROM marked WHERE kk = 'user-agent'),
+rules AS (
+  SELECT m.host, a.agent,
+         CASE WHEN m.kk = 'allow' THEN 1 ELSE 0 END AS rule,
+         m.v AS prefix, length(m.v) AS prefix_len
+  FROM marked m JOIN agents a ON m.host = a.host AND m.grp = a.grp
+  WHERE m.kk IN ('allow', 'disallow') AND m.v != ''),
+spec AS (SELECT DISTINCT host FROM rules WHERE agent = 'fetchbot'),
+r AS (
+  SELECT host, rule, prefix, prefix_len FROM rules
+  WHERE agent IN ('fetchbot', '*')
+    AND (agent = 'fetchbot' OR host NOT IN (SELECT host FROM spec))),
+frontier AS (
+  SELECT 'http://h' || CAST(doc_id % 13 AS VARCHAR) || p AS url,
+         'h' || CAST(doc_id % 13 AS VARCHAR) AS host, p AS path
+  FROM (SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 0 THEN '/private/ok/x' || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                 WHEN 2 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
+                 WHEN 3 THEN '/pub/x' || CAST(doc_id AS VARCHAR)
+                 ELSE '/'
+               END AS p
+        FROM documents)),
+hits AS (
+  SELECT f.url, r.rule, r.prefix_len
+  FROM frontier f LEFT JOIN r ON f.host = r.host
+  WHERE r.host IS NULL OR starts_with(f.path, r.prefix)),
+verdict AS (
+  SELECT url, rule FROM (
+    SELECT url, rule, ROW_NUMBER() OVER
+      (PARTITION BY url
+       ORDER BY prefix_len DESC NULLS LAST, rule DESC) AS rn
+    FROM hits) WHERE rn = 1)
+SELECT f.url, COALESCE(v.rule = 1, TRUE) AS allowed
+FROM frontier f LEFT JOIN verdict v USING (url)
+ORDER BY url
+"""
+
+
 def q_kg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-generation KG upsert (pipeline/triples.aggregate_kg +
     merge_kg, mode="replace"): two synthetic crawl generations over
@@ -4313,6 +4445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pattern": q_graph_pattern,
         "warc_roundtrip": q_warc_roundtrip,
         "kg_merge": q_kg_merge,
+        "robots": q_robots,
         "containment": q_containment,
     }
     return qs
@@ -4410,5 +4543,6 @@ def oracle_sql() -> dict[str, str]:
         "graph_pattern": Q_GRAPH_PATTERN_SQL,
         "warc_roundtrip": Q_WARC_ROUNDTRIP_SQL,
         "kg_merge": Q_KG_MERGE_SQL,
+        "robots": Q_ROBOTS_SQL,
         "containment": Q_CONTAINMENT_SQL,
     }

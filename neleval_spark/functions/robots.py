@@ -1,0 +1,140 @@
+"""robots.txt politeness: parse exclusion files and filter a crawl
+frontier — the compliance gate every crawl pipeline needs before the
+fetch stage (RFC 9309, the Robots Exclusion Protocol).
+
+Semantics implemented (the RFC core, without the Google wildcard
+extensions — ``*``/``$`` patterns pass through as literal prefixes
+and the docstring below is the documented contract):
+
+* a robots.txt is a sequence of groups, each opened by one or more
+  ``User-agent:`` lines followed by ``Allow:``/``Disallow:`` rules;
+* rule matching is LONGEST-PREFIX over the url path; on a tie,
+  ``Allow`` wins;
+* an empty ``Disallow:`` value means "no restriction" (dropped);
+* agent resolution: if any group names the crawler's product token
+  exactly (case-insensitive), only those groups apply; otherwise the
+  ``*`` groups; a url with no matching rule is allowed — as is a
+  host with no robots.txt at all.
+
+Everything is whole-stage-codegen column algebra — no Python
+anywhere:
+
+* parsing: one ``split``+``posexplode`` per robots file (files are
+  KB-sized; the explode's output is the rule table's own
+  cardinality) and one per-host window to attach each rule line to
+  the most recent ``User-agent`` group above it;
+* filtering: the rule table is host-keyed and TINY relative to the
+  frontier (one row per rule, ~10^1 per host); the join is an
+  equi-join on host — broadcast when the rule table fits, AQE
+  handles it otherwise — followed by a prefix test and ONE
+  ``max_by`` per url (map-side combined; no window over the
+  frontier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["parse_robots", "robots_filter"]
+
+
+def parse_robots(robots: DataFrame, host: str = "host",
+                 body: str = "body") -> DataFrame:
+    """(host, body) robots.txt rows → rule table
+    (host, agent, rule, prefix, prefix_len).
+
+    ``rule`` is 1 for Allow, 0 for Disallow (integer so downstream
+    argmax tie-breaks are exact cross-engine); comments (#…) and
+    unknown directives are dropped; group structure is recovered by
+    a last-non-null ``User-agent`` window per file in line order.
+    """
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host).alias("host"),
+        F.posexplode(F.split(F.col(body), "\n"))
+        .alias("pos", "line"))
+    # strip comments + whitespace, lowercase the directive name
+    cleaned = lines.select(
+        "host", "pos",
+        F.trim(F.regexp_replace("line", "#.*$", "")).alias("line"))
+    kv = cleaned.select(
+        "host", "pos",
+        F.lower(F.trim(F.regexp_extract("line", "^([^:]+):", 1)))
+        .alias("k"),
+        F.trim(F.regexp_extract("line", "^[^:]+:(.*)$", 1))
+        .alias("v"))
+    # RFC 9309 groups: a maximal RUN of User-agent lines opens a
+    # group whose rules apply to EVERY agent in the run — so rules
+    # join group-wise, they don't attach to the last UA line only.
+    # Group ordinal = cumulative count of UA-run starts (a UA line
+    # not directly preceded by another UA line, comments/blanks
+    # notwithstanding — blank lines do NOT delimit groups in the RFC).
+    wseq = Window.partitionBy("host").orderBy("pos")
+    wcum = wseq.rowsBetween(Window.unboundedPreceding, 0)
+    is_ua = F.col("k") == "user-agent"
+    meaningful = kv.where(F.col("k") != "")  # drop blank/comment rows
+    marked = meaningful.withColumn(
+        "grp",
+        F.sum(F.when(is_ua & ~F.coalesce(
+            F.lag(is_ua).over(wseq), F.lit(False)), 1)
+            .otherwise(0)).over(wcum))
+    agents = marked.where(is_ua).select(
+        "host", "grp", F.lower(F.col("v")).alias("agent")).distinct()
+    rules = marked.where(
+        F.col("k").isin("allow", "disallow")
+        # empty Disallow = unrestricted (RFC); empty Allow is a no-op
+        & (F.col("v") != ""))
+    return rules.join(agents, ["host", "grp"]).select(
+        "host", "agent",
+        F.when(F.col("k") == "allow", F.lit(1)).otherwise(F.lit(0))
+        .alias("rule"),
+        F.col("v").alias("prefix"),
+        F.length("v").alias("prefix_len"))
+
+
+def robots_filter(frontier: DataFrame, rules: DataFrame,
+                  agent: str = "*", url: str = "url",
+                  keep_disallowed: bool = False) -> DataFrame:
+    """Filter a url frontier by a :func:`parse_robots` rule table.
+
+    Adds an ``allowed`` boolean (and drops disallowed rows unless
+    ``keep_disallowed`` — keep them to audit compliance).  The
+    frontier is never windowed: matching is host-equi-join →
+    prefix test → one ``max_by`` argmax per url on the total order
+    (prefix_len, rule), which encodes longest-prefix-then-allow-wins.
+    """
+    agent = agent.lower()
+    # agent resolution per host: specific group if present, else *
+    hosts_specific = (rules.where(F.col("agent") == F.lit(agent))
+                      .select("host").distinct()
+                      .withColumn("_has_specific", F.lit(True)))
+    r = (rules.where(F.col("agent").isin(agent, "*"))
+         .join(hosts_specific, "host", "left")
+         .where((F.col("agent") == F.lit(agent))
+                | ~F.coalesce("_has_specific", F.lit(False)))
+         .select(F.col("host").alias("_rhost"), "rule", "prefix",
+                 "prefix_len"))
+
+    raw_path = F.parse_url(F.col(url), F.lit("PATH"))
+    f = frontier.select(url).withColumn(
+        "_host", F.parse_url(F.col(url), F.lit("HOST"))) \
+        .withColumn("_path",
+                    F.when(raw_path.isNull() | (raw_path == ""),
+                           F.lit("/")).otherwise(raw_path))
+    hits = (f.join(r, f["_host"] == r["_rhost"], "left")
+            .where(F.col("_rhost").isNull()
+                   | F.col("_path").startswith(F.col("prefix"))))
+    verdict = (hits.groupBy(url)
+               .agg(F.max_by(
+                   "rule",
+                   F.struct(F.col("prefix_len"), F.col("rule")))
+                   .alias("_best")))
+    out = (frontier.join(verdict, url, "left")
+           .withColumn("allowed",
+                       F.coalesce(F.col("_best") == 1, F.lit(True)))
+           .drop("_best"))
+    if keep_disallowed:
+        return out
+    return out.where("allowed").drop("allowed")

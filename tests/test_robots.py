@@ -1,0 +1,83 @@
+"""robots.txt parse + frontier filter (functions/robots.py)."""
+
+from neleval_spark.functions.robots import parse_robots, robots_filter
+
+BODY = """# site policy
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow:
+
+User-agent: greedybot
+User-agent: otherbot
+Disallow: /
+"""
+
+
+def _robots(spark, rows):
+    return spark.createDataFrame(rows, "host string, body string")
+
+
+def _frontier(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+def _allowed(spark, urls, body_rows, agent="*"):
+    rules = parse_robots(_robots(spark, body_rows))
+    out = robots_filter(_frontier(spark, urls), rules, agent=agent,
+                        keep_disallowed=True)
+    return {r["url"]: r["allowed"] for r in out.collect()}
+
+
+def test_parse_groups_and_directives(spark):
+    rules = parse_robots(_robots(spark, [("h", BODY)])).collect()
+    got = {(r.agent, r.rule, r.prefix) for r in rules}
+    # empty Disallow dropped; comment line dropped; two-UA group
+    assert got == {("*", 0, "/private"), ("*", 1, "/private/ok"),
+                   ("greedybot", 0, "/"), ("otherbot", 0, "/")}
+
+
+def test_longest_prefix_and_allow_wins(spark):
+    urls = ["http://h/private/ok/a", "http://h/private/no",
+            "http://h/pub", "http://h/"]
+    got = _allowed(spark, urls, [("h", BODY)])
+    assert got == {"http://h/private/ok/a": True,   # longer Allow
+                   "http://h/private/no": False,
+                   "http://h/pub": True,            # no rule matches
+                   "http://h/": True}
+
+
+def test_tie_allow_wins(spark):
+    body = "User-agent: *\nDisallow: /a\nAllow: /a\n"
+    got = _allowed(spark, ["http://h/a/x"], [("h", body)])
+    assert got == {"http://h/a/x": True}
+
+
+def test_specific_agent_group_overrides_star(spark):
+    got = _allowed(spark, ["http://h/anything"], [("h", BODY)],
+                   agent="greedybot")
+    assert got == {"http://h/anything": False}
+    # agent matching is case-insensitive
+    got = _allowed(spark, ["http://h/anything"], [("h", BODY)],
+                   agent="GreedyBot")
+    assert got == {"http://h/anything": False}
+
+
+def test_host_without_robots_allowed(spark):
+    got = _allowed(spark, ["http://nowhere/x"], [("h", BODY)])
+    assert got == {"http://nowhere/x": True}
+
+
+def test_drop_mode_filters(spark):
+    rules = parse_robots(_robots(spark, [("h", BODY)]))
+    kept = robots_filter(
+        _frontier(spark, ["http://h/private/no", "http://h/pub"]),
+        rules)
+    assert [r["url"] for r in kept.collect()] == ["http://h/pub"]
+    assert "allowed" not in kept.columns
+
+
+def test_rootless_url_defaults_to_root_path(spark):
+    body = "User-agent: *\nDisallow: /\n"
+    got = _allowed(spark, ["http://h"], [("h", body)])
+    assert got == {"http://h": False}
