@@ -3984,6 +3984,120 @@ ORDER BY url
 """
 
 
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap URL discovery (functions/discovery.
+    extract_sitemap_urls): even hosts get a <sitemapindex> (nested
+    sitemap entries), odd hosts a <urlset> with whitespace-padded and
+    entity-escaped <loc> values.  The oracle replays the same RE2
+    extraction + entity unescape in DuckDB."""
+    from neleval_spark.functions.discovery import extract_sitemap_urls
+
+    h = F.col("id").cast("string")
+    index_body = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex>'
+              '<sitemap><loc>http://h'), h,
+        F.lit('/s1.xml</loc></sitemap><sitemap><loc>http://h'), h,
+        F.lit('/s2.xml</loc></sitemap></sitemapindex>'))
+    urlset_body = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> http://h'), h,
+        F.lit('/p1 </loc><lastmod>2026-01-01</lastmod></url>'
+              '<url><loc>http://h'), h,
+        F.lit('/p2?a=1&amp;b=2</loc></url>'
+              '<url><priority>0.5</priority></url></urlset>'))
+    sitemaps = spark.range(13).select(
+        F.concat(F.lit("http://h"), h, F.lit("/sitemap.xml"))
+        .alias("url"),
+        F.when(F.col("id") % 2 == 0, index_body)
+        .otherwise(urlset_body).alias("body"))
+    return extract_sitemap_urls(sitemaps) \
+        .orderBy("sitemap_url", "loc", "kind")
+
+
+Q_SITEMAP_URLS_SQL = r"""
+WITH sm AS (
+  SELECT 'http://h' || CAST(id AS VARCHAR) || '/sitemap.xml'
+           AS sitemap_url,
+         CASE WHEN id % 2 = 0 THEN
+           '<?xml version="1.0"?><sitemapindex>'
+           || '<sitemap><loc>http://h' || CAST(id AS VARCHAR)
+           || '/s1.xml</loc></sitemap><sitemap><loc>http://h'
+           || CAST(id AS VARCHAR)
+           || '/s2.xml</loc></sitemap></sitemapindex>'
+         ELSE
+           '<?xml version="1.0"?><urlset><url><loc> http://h'
+           || CAST(id AS VARCHAR)
+           || '/p1 </loc><lastmod>2026-01-01</lastmod></url>'
+           || '<url><loc>http://h' || CAST(id AS VARCHAR)
+           || '/p2?a=1&amp;b=2</loc></url>'
+           || '<url><priority>0.5</priority></url></urlset>'
+         END AS body
+  FROM range(13) t(id)),
+hits AS (
+  SELECT sitemap_url,
+         UNNEST(regexp_extract_all(
+           body, '(?s)<(sitemap|url)>.*?<loc>\s*(.*?)\s*</loc>', 0))
+           AS hit
+  FROM sm),
+parsed AS (
+  SELECT sitemap_url,
+         replace(replace(replace(replace(replace(
+           regexp_extract(hit, '(?s)<loc>\s*(.*?)\s*</loc>', 1),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&apos;', ''''), '&amp;', '&') AS loc,
+         CASE WHEN regexp_extract(hit, '^<(\w+)>', 1) = 'sitemap'
+              THEN 'sitemap' ELSE 'page' END AS kind
+  FROM hits)
+SELECT sitemap_url, loc, kind FROM parsed WHERE loc != ''
+ORDER BY sitemap_url, loc, kind
+"""
+
+
+def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing (functions/discovery.detect_charset) over
+    synthesized fetched bytes: UTF-8/UTF-16 BOMs, <meta charset>,
+    http-equiv declarations, a declaration PAST the 1024-byte HTML5
+    prescan window (must fall back to the default), and undeclared
+    bytes.  The oracle derives the expected label per case."""
+    from neleval_spark.functions.discovery import detect_charset
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    body = F.encode(F.lit("<html><body>hello</body></html>"),
+                    "ISO-8859-1")
+    html = (
+        F.when(i % 5 == 0, F.concat(
+            F.lit(bytes([0xEF, 0xBB, 0xBF])), body))
+        .when(i % 5 == 1, F.concat(
+            F.lit(bytes([0xFF, 0xFE])), body))
+        .when(i % 5 == 2, F.encode(F.lit(
+            '<html><META CHARSET="ISO-8859-1"><body>'),
+            "ISO-8859-1"))
+        .when(i % 5 == 3, F.encode(F.lit(
+            '<html><meta http-equiv="Content-Type" content='
+            '"text/html; charset=Windows-1252"><body>'),
+            "ISO-8859-1"))
+        .otherwise(F.encode(F.concat(
+            F.repeat(F.lit("<!-- pad -->"), 100),
+            F.lit('<meta charset="shift_jis">')), "ISO-8859-1")))
+    return docs.select(
+        "doc_id", detect_charset(html).alias("charset")
+    ).orderBy("doc_id")
+
+
+Q_CHARSET_SNIFF_SQL = """
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'utf-8'
+         WHEN 1 THEN 'utf-16-le'
+         WHEN 2 THEN 'iso-8859-1'
+         WHEN 3 THEN 'windows-1252'
+         ELSE 'utf-8'
+       END AS charset
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness (functions/robots.py): parse synthetic
     per-host exclusion files (three body shapes: */fetchbot groups,
@@ -4446,6 +4560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "kg_merge": q_kg_merge,
         "robots": q_robots,
+        "sitemap_urls": q_sitemap_urls,
+        "charset_sniff": q_charset_sniff,
         "containment": q_containment,
     }
     return qs
@@ -4544,5 +4660,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": Q_WARC_ROUNDTRIP_SQL,
         "kg_merge": Q_KG_MERGE_SQL,
         "robots": Q_ROBOTS_SQL,
+        "sitemap_urls": Q_SITEMAP_URLS_SQL,
+        "charset_sniff": Q_CHARSET_SNIFF_SQL,
         "containment": Q_CONTAINMENT_SQL,
     }
