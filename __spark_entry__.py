@@ -3984,6 +3984,43 @@ ORDER BY url
 """
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index (functions/retrieval.
+    build_inverted_index): FLAT (term, doc_id, tf, positions) postings
+    rows — deliberately not term→array lists (a stopword's postings
+    at 10^12 docs is a multi-TB row; flat rows keep hot terms
+    AQE-splittable).  Subset of docs to keep the gate compare
+    bounded; positions joined '|' for the row hash.  Oracle: zipped
+    UNNEST tokenization + ordered string_agg in DuckDB."""
+    from neleval_spark.functions.retrieval import build_inverted_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(F.col("doc_id") % 37 == 0)
+    idx = build_inverted_index(docs)
+    return idx.select(
+        "term", "doc_id", "tf",
+        F.array_join("positions", "|").alias("positions"),
+    ).orderBy("term", "doc_id")
+
+
+Q_INVERTED_INDEX_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                                           '[^a-z0-9]+'),
+                     t -> t != '') AS lf
+  FROM documents WHERE doc_id % 37 = 0),
+flat AS (
+  SELECT doc_id, UNNEST(lf) AS term,
+         UNNEST(range(0, len(lf))) AS pos
+  FROM toks)
+SELECT term, doc_id, COUNT(*) AS tf,
+       string_agg(pos, '|' ORDER BY pos) AS positions
+FROM flat GROUP BY term, doc_id
+ORDER BY term, doc_id
+"""
+
+
 def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap URL discovery (functions/discovery.
     extract_sitemap_urls): even hosts get a <sitemapindex> (nested
@@ -4561,6 +4598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_merge": q_kg_merge,
         "robots": q_robots,
         "sitemap_urls": q_sitemap_urls,
+        "inverted_index": q_inverted_index,
         "charset_sniff": q_charset_sniff,
         "containment": q_containment,
     }
@@ -4661,6 +4699,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_merge": Q_KG_MERGE_SQL,
         "robots": Q_ROBOTS_SQL,
         "sitemap_urls": Q_SITEMAP_URLS_SQL,
+        "inverted_index": Q_INVERTED_INDEX_SQL,
         "charset_sniff": Q_CHARSET_SNIFF_SQL,
         "containment": Q_CONTAINMENT_SQL,
     }

@@ -97,3 +97,75 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), "id")
         .limit(k)
     )
+
+
+def build_inverted_index(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         positional: bool = True) -> DataFrame:
+    """Materialize an inverted index as FLAT postings rows
+
+        (term, doc_id, tf[, positions])
+
+    over the corpus tokenization convention (``textops.tokens``:
+    lowercase, split on ``[^a-z0-9]+``).  ``positions`` are
+    token-sequence ordinals (0-based, post-filter — the standard
+    phrase/proximity coordinate), present when ``positional``.
+
+    Deliberately NOT the textbook term→postings-array layout: a
+    stopword's postings list at 10^12 documents is a multi-TB single
+    row — term-level ``collect_list`` is the same hot-key trap as the
+    LSH bucket problem.  Flat rows keep every operator downstream
+    (phrase join, df stats, top-k) an ordinary aggregation/join that
+    AQE can split; store ``bucketBy(term)`` (sources/bucketed.py
+    pattern) to co-locate term lookups shuffle-free.  The plan is one
+    inherent posexplode (output = index's own cardinality) + ONE
+    (term, doc) aggregate with map-side combine."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("pos", "term"))
+    agg = [F.count(F.lit(1)).alias("tf")]
+    if positional:
+        agg.append(F.array_sort(F.collect_list("pos"))
+                   .alias("positions"))
+    return toks.groupBy("term", "doc_id").agg(*agg)
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """Postings → per-term (df, cf) — document and collection
+    frequency; ONE map-side-combined aggregate over the flat rows
+    (a hot term partially aggregates per partition — no giant row
+    ever exists)."""
+    return postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"))
+
+
+def phrase_match(postings: DataFrame, phrase: list[str],
+                 id_col: str = "doc_id") -> DataFrame:
+    """Documents containing the exact token phrase, via positional
+    postings: self-equi-join per adjacent term pair on (doc, offset
+    arithmetic) — k-1 joins for a k-term phrase, each keyed by
+    (doc_id, position), never a scan of the text.  Returns
+    (doc_id, n_matches)."""
+    if not phrase:
+        raise ValueError("empty phrase")
+    terms = [t.lower() for t in phrase]
+    cur = (postings.where(F.col("term") == terms[0])
+           .select(F.col(id_col).alias("doc_id"),
+                   F.explode("positions").alias("p0")))
+    for k, t in enumerate(terms[1:], start=1):
+        nxt = (postings.where(F.col("term") == t)
+               .select(F.col(id_col).alias("doc_id"),
+                       F.explode("positions").alias(f"p{k}")))
+        cur = cur.join(
+            nxt,
+            (cur["doc_id"] == nxt["doc_id"])
+            & (nxt[f"p{k}"] == cur[f"p{k-1}"] + 1)
+        ).drop(nxt["doc_id"]).drop(f"p{k-1}")
+    return cur.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches"))
