@@ -4135,6 +4135,46 @@ ORDER BY doc_id
 """
 
 
+def q_schedule_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling (functions/robots.schedule_frontier):
+    7-host synthetic frontier, 5 s delay, 50-url per-host budget —
+    slot order is the engine-agnostic salted url hash, so the DuckDB
+    oracle replays the cap + ranking exactly (shared polynomial
+    token hash, ROW_NUMBER per host)."""
+    from neleval_spark.functions.robots import schedule_frontier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    frontier = docs.select(
+        F.concat(F.lit("http://h"), (i % 7).cast("string"),
+                 F.lit("/p"), i.cast("string")).alias("url"))
+    out = schedule_frontier(frontier, delay_s=5, max_per_host=50,
+                            start_ts=1000)
+    return out.select("url", "host", "slot", "fetch_ts") \
+        .orderBy("host", "slot")
+
+
+Q_SCHEDULE_FRONTIER_SQL = """
+WITH f AS (
+  SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR)
+         || '/p' || CAST(doc_id AS VARCHAR) AS url,
+         'h' || CAST(doc_id % 7 AS VARCHAR) AS host
+  FROM documents),
+h AS (
+  SELECT url, host, """ + _TOKEN_HASH_SQL.replace(
+    "token", "(url || '#sched')") + """ AS hh
+  FROM f),
+r AS (
+  SELECT url, host,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY hh, url) - 1
+           AS slot
+  FROM h)
+SELECT url, host, slot, 1000 + slot * 5 AS fetch_ts
+FROM r WHERE slot < 50
+ORDER BY host, slot
+"""
+
+
 def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness (functions/robots.py): parse synthetic
     per-host exclusion files (three body shapes: */fetchbot groups,
@@ -4597,6 +4637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "kg_merge": q_kg_merge,
         "robots": q_robots,
+        "schedule_frontier": q_schedule_frontier,
         "sitemap_urls": q_sitemap_urls,
         "inverted_index": q_inverted_index,
         "charset_sniff": q_charset_sniff,
@@ -4698,6 +4739,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": Q_WARC_ROUNDTRIP_SQL,
         "kg_merge": Q_KG_MERGE_SQL,
         "robots": Q_ROBOTS_SQL,
+        "schedule_frontier": Q_SCHEDULE_FRONTIER_SQL,
         "sitemap_urls": Q_SITEMAP_URLS_SQL,
         "inverted_index": Q_INVERTED_INDEX_SQL,
         "charset_sniff": Q_CHARSET_SNIFF_SQL,

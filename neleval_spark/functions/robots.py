@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_robots", "robots_filter"]
+__all__ = ["parse_robots", "robots_filter", "schedule_frontier"]
 
 
 def parse_robots(robots: DataFrame, host: str = "host",
@@ -46,8 +46,9 @@ def parse_robots(robots: DataFrame, host: str = "host",
 
     ``rule`` is 1 for Allow, 0 for Disallow (integer so downstream
     argmax tie-breaks are exact cross-engine); comments (#…) and
-    unknown directives are dropped; group structure is recovered by
-    a last-non-null ``User-agent`` window per file in line order.
+    unknown directives are dropped; group structure is recovered as
+    lag-marked ``User-agent`` RUNS (cumulative-sum group ids), and
+    rules join to every agent of their run's group.
     """
     from pyspark.sql import Window
 
@@ -138,3 +139,46 @@ def robots_filter(frontier: DataFrame, rules: DataFrame,
     if keep_disallowed:
         return out
     return out.where("allowed").drop("allowed")
+
+
+def schedule_frontier(frontier: DataFrame, delay_s: int,
+                      max_per_host: int | None = None,
+                      start_ts: int = 0,
+                      url: str = "url") -> DataFrame:
+    """Politeness scheduling: assign each frontier url a fetch slot
+    so one host is never hit more than once per ``delay_s`` seconds —
+    the dispatch step between the robots filter and the fetcher.
+
+    Adds ``host``, ``slot`` (0-based per-host ordinal) and
+    ``fetch_ts = start_ts + slot * delay_s``.  Slot order is the
+    engine-agnostic salted url hash (deterministic across runs,
+    engines and partitionings — the :func:`~neleval_spark.functions.
+    corpusops.hash_sample` convention), so a re-run schedules
+    identically.
+
+    A per-host sequence is inherently a per-host sort, so a hot host
+    serializes ITS OWN rows through one window task — that is why
+    ``max_per_host`` (applied BEFORE ranking, via the two-phase
+    bucketed top-k of :func:`~neleval_spark.functions.corpusops.
+    cap_per_domain`, which never sorts a whole hot host in one task)
+    should be set at crawl scale: it is also the operational reality
+    that a crawl cycle fetches a bounded number of urls per host
+    (the politeness budget: cycle_seconds / delay_s)."""
+    from neleval_spark.functions.corpusops import cap_per_domain
+
+    f = frontier.withColumn(
+        "host", F.parse_url(F.col(url), F.lit("HOST")))
+    if max_per_host is not None:
+        f = cap_per_domain(f, max_per_host, domain_col="host",
+                           id_col=url, salt="#sched") \
+            .drop("domain_rank")
+    from pyspark.sql import Window
+    from neleval_spark.functions.textops import token_hash
+    w = Window.partitionBy("host").orderBy(
+        token_hash(F.concat(F.col(url), F.lit("#sched"))),
+        F.col(url))
+    return (f.withColumn("slot",
+                         F.row_number().over(w) - F.lit(1))
+            .withColumn("fetch_ts",
+                        F.lit(start_ts)
+                        + F.col("slot") * F.lit(delay_s)))

@@ -81,3 +81,35 @@ def test_rootless_url_defaults_to_root_path(spark):
     body = "User-agent: *\nDisallow: /\n"
     got = _allowed(spark, ["http://h"], [("h", body)])
     assert got == {"http://h": False}
+
+
+def test_schedule_frontier(spark):
+    from neleval_spark.functions.robots import schedule_frontier
+
+    urls = [f"http://a/{i}" for i in range(6)] + ["http://b/x"]
+    out = schedule_frontier(_frontier(spark, urls), delay_s=10,
+                            start_ts=100).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r)
+    assert len(by_host["a"]) == 6 and len(by_host["b"]) == 1
+    slots = sorted(r.slot for r in by_host["a"])
+    assert slots == [0, 1, 2, 3, 4, 5]
+    for r in out:
+        assert r.fetch_ts == 100 + r.slot * 10
+    # deterministic across invocations
+    again = schedule_frontier(_frontier(spark, urls), delay_s=10,
+                              start_ts=100).collect()
+    assert {(r.url, r.slot) for r in again} == \
+        {(r.url, r.slot) for r in out}
+
+
+def test_schedule_frontier_budget(spark):
+    from neleval_spark.functions.robots import schedule_frontier
+
+    urls = [f"http://hot/{i}" for i in range(100)] + ["http://b/x"]
+    out = schedule_frontier(_frontier(spark, urls), delay_s=1,
+                            max_per_host=10).collect()
+    hot = [r for r in out if r.host == "hot"]
+    assert len(hot) == 10
+    assert sorted(r.slot for r in hot) == list(range(10))
