@@ -88,3 +88,28 @@ def test_stdlib_gzip_readable():
     # external tools (zcat) must see the same bytes
     blob = build_warc(RECS, gzip_members=True)
     assert gzip.decompress(blob) == build_warc(RECS)
+
+
+def test_roundtrip_fuzz_payloads():
+    """Property: Content-Length framing makes parse∘serialize the
+    identity for ARBITRARY payload bytes — including payloads that
+    contain CRLF CRLF, 'WARC/1.0', or gzip magic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    adversarial = [b"\r\n\r\n", b"WARC/1.0\r\n", b"\x1f\x8b",
+                   b"Content-Length: 0\r\n\r\n"]
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(
+        st.one_of(st.binary(max_size=200), st.sampled_from(adversarial)),
+        min_size=1, max_size=8))
+    def prop(payloads):
+        recs = [(f"http://f/{k}", "2026-01-01T00:00:00Z", p)
+                for k, p in enumerate(payloads)]
+        for gz in (False, True):
+            got = list(parse_warc(build_warc(recs, gzip_members=gz)))
+            assert [(r["url"], r["html"]) for r in got] == \
+                [(u, p) for u, _, p in recs]
+
+    prop()
