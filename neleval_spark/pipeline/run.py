@@ -27,7 +27,8 @@ from .triples import emit_triples
 
 def build_mentions(pages: DataFrame, kb: DataFrame,
                    use_stored_text: bool = False,
-                   dedupe_snapshots: bool = False) -> DataFrame:
+                   dedupe_snapshots: bool = False,
+                   canonicalize: bool = True) -> DataFrame:
     """web_pages + alias dict → linked, canonicalized mentions.
 
     ``dedupe_snapshots``: the BASELINE.json input table carries every
@@ -76,6 +77,14 @@ def build_mentions(pages: DataFrame, kb: DataFrame,
     # and a live plan with Python stages would re-run per consumer);
     # see _materialize for the scratch-parquet-vs-persist strategies
     linked = _materialize(score_and_select(cands))
+    if not canonicalize:
+        # pre-canonicalization linked mentions: the PER-PAGE-pure
+        # stage boundary (everything above depends only on the page
+        # row + broadcast KB; NIL canonicalization below is the one
+        # cross-document step) — pipeline/incremental.py reuses these
+        # rows for unchanged pages across crawl generations
+        linked._materialized_deps = [linked]
+        return linked
     out = canonicalize_nils(linked)
     # expose the materialization handle so callers that manage its
     # lifetime (e.g. streaming ingest, one release per micro-batch)
