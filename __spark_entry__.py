@@ -4307,6 +4307,55 @@ ORDER BY url
 """
 
 
+def q_ntriples_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF N-Triples serialization (pipeline/triples.to_ntriples):
+    deterministic triples with IRI-hostile characters (space, pipe,
+    quote) in ids and url objects — the oracle replays the minting
+    + RFC 3987 percent-escape chain with DuckDB replace()."""
+    from neleval_spark.pipeline.triples import to_ntriples
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    t = docs.select(
+        F.concat(F.lit("E "), (i % 40).cast("string")).alias("subj"),
+        F.when(i % 2 == 0, F.lit("mentioned_in"))
+        .otherwise(F.lit("cooccurs_with")).alias("pred"),
+        F.when(i % 2 == 0,
+               F.concat(F.lit("http://h/p|"), i.cast("string")))
+        .otherwise(F.concat(F.lit('E"'), ((i + 1) % 40).cast("string")))
+        .alias("obj"))
+    return to_ntriples(t).orderBy("line")
+
+
+Q_NTRIPLES_EXPORT_SQL = """
+WITH t AS (
+  SELECT 'E ' || CAST(doc_id % 40 AS VARCHAR) AS subj,
+         CASE WHEN doc_id % 2 = 0 THEN 'mentioned_in'
+              ELSE 'cooccurs_with' END AS pred,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'http://h/p|' || CAST(doc_id AS VARCHAR)
+              ELSE 'E"' || CAST((doc_id + 1) % 40 AS VARCHAR)
+         END AS obj
+  FROM documents),
+esc AS (
+  SELECT replace(replace(subj, ' ', '%20'), '"', '%22') AS s,
+         pred AS p,
+         replace(replace(obj, ' ', '%20'),
+                 '"', '%22') AS o0,
+         pred = 'mentioned_in' AS is_url
+  FROM t),
+esc2 AS (
+  SELECT s, p, replace(o0, '|', '%7C') AS o, is_url FROM esc)
+SELECT '<http://kg.local/e/' || s || '> <http://kg.local/p/' || p
+       || '> <'
+       || CASE WHEN is_url THEN o
+               ELSE 'http://kg.local/e/' || o END
+       || '> .' AS line
+FROM esc2
+ORDER BY line
+"""
+
+
 def q_kg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-generation KG upsert (pipeline/triples.aggregate_kg +
     merge_kg, mode="replace"): two synthetic crawl generations over
@@ -4636,6 +4685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pattern": q_graph_pattern,
         "warc_roundtrip": q_warc_roundtrip,
         "kg_merge": q_kg_merge,
+        "ntriples_export": q_ntriples_export,
         "robots": q_robots,
         "schedule_frontier": q_schedule_frontier,
         "sitemap_urls": q_sitemap_urls,
@@ -4738,6 +4788,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pattern": Q_GRAPH_PATTERN_SQL,
         "warc_roundtrip": Q_WARC_ROUNDTRIP_SQL,
         "kg_merge": Q_KG_MERGE_SQL,
+        "ntriples_export": Q_NTRIPLES_EXPORT_SQL,
         "robots": Q_ROBOTS_SQL,
         "schedule_frontier": Q_SCHEDULE_FRONTIER_SQL,
         "sitemap_urls": Q_SITEMAP_URLS_SQL,

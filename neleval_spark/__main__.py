@@ -742,6 +742,50 @@ def cmd_curate(args):
     print(json.dumps({"funnel": funnel, "out_path": args.out}))
 
 
+def cmd_frontier(args):
+    """Crawl dispatch: seed urls (+ optional fetched sitemaps) →
+    robots.txt compliance filter → politeness schedule → fetch-plan
+    parquet (url, host, slot, fetch_ts).  The plan is deterministic
+    (salted-hash slot order), so a re-run schedules identically —
+    the dispatch analogue of the pipeline's checkpoint-resume."""
+    from pyspark.sql import functions as F
+
+    from .functions.discovery import extract_sitemap_urls
+    from .functions.robots import (parse_robots, robots_filter,
+                                   schedule_frontier)
+
+    spark = _spark()
+    frontier = spark.read.parquet(args.urls).select("url")
+    stats = {"seed_urls": frontier.count()}
+    if args.sitemaps:
+        sm = spark.read.parquet(args.sitemaps)
+        discovered = (extract_sitemap_urls(sm)
+                      .where(F.col("kind") == "page")
+                      .select(F.col("loc").alias("url")))
+        frontier = frontier.unionByName(discovered)
+        stats["discovered"] = discovered.count()
+    frontier = frontier.distinct()
+    stats["distinct"] = frontier.count()
+    if args.robots:
+        rules = parse_robots(spark.read.parquet(args.robots))
+        frontier = robots_filter(frontier, rules, agent=args.agent)
+        stats["allowed"] = frontier.count()
+    plan = schedule_frontier(
+        frontier, delay_s=args.delay,
+        max_per_host=args.max_per_host or None,
+        start_ts=args.start_ts)
+    plan.write.mode("overwrite").parquet(args.out)
+    summary = plan.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("host").alias("hosts"),
+        F.max("fetch_ts").alias("horizon")).collect()[0]
+    stats.update({"scheduled": summary["n"],
+                  "hosts": summary["hosts"],
+                  "horizon_ts": summary["horizon"],
+                  "out": args.out})
+    print(json.dumps(stats))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="neleval_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -930,6 +974,26 @@ def main(argv=None):
                         help="token budget per stratum (repeat); "
                              "absent strata are dropped"),
         sp.add_argument("--stratum-col", default="lang")))
+    add("frontier", cmd_frontier, lambda sp: (
+        sp.add_argument("urls",
+                        help="parquet seed frontier with a url column"),
+        sp.add_argument("-o", "--out", required=True),
+        sp.add_argument("--sitemaps",
+                        help="parquet (url, body) fetched sitemap "
+                             "files to expand the frontier with"),
+        sp.add_argument("--robots",
+                        help="parquet (host, body) fetched robots.txt "
+                             "files for the compliance filter"),
+        sp.add_argument("--agent", default="*",
+                        help="crawler product token for robots "
+                             "group resolution"),
+        sp.add_argument("--delay", type=int, default=5,
+                        help="per-host politeness delay, seconds"),
+        sp.add_argument("--max-per-host", type=int, default=0,
+                        dest="max_per_host",
+                        help="per-host url budget (0 = unbounded)"),
+        sp.add_argument("--start-ts", type=int, default=0,
+                        dest="start_ts")))
     add("track-eval", cmd_track_eval, lambda sp: (
         sp.add_argument("gold_xml"),
         sp.add_argument("gold_tab"),

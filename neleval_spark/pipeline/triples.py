@@ -374,3 +374,38 @@ def prune_kg(kg: DataFrame, current_gen: int,
     accumulating forever."""
     return kg.where(
         F.col("last_seen") >= F.lit(current_gen - max_staleness))
+
+
+def to_ntriples(triples: DataFrame,
+                subj_base: str = "http://kg.local/e/",
+                pred_base: str = "http://kg.local/p/",
+                obj_base: str = "http://kg.local/e/",
+                url_preds: tuple = ("mentioned_in",)) -> DataFrame:
+    """Serialize triple rows as RDF N-Triples lines (W3C N-Triples:
+    one ``<s> <p> <o> .`` statement per line) — the interop exit so
+    the emitted KG loads into any standard triple store.
+
+    Entity/predicate ids mint IRIs under the given bases; predicates
+    in ``url_preds`` carry a URL object which IS the IRI.  IRI-unsafe
+    characters are percent-encoded per RFC 3987 (the minimal set that
+    can occur in ids and urls: space, quote, angle brackets, braces,
+    pipe, caret, backslash, backtick).  Pure column expressions — a
+    narrow projection, no shuffle; write with ``.write.text()``.
+    """
+    def esc(col):
+        out = col
+        for ch, enc in ((" ", "%20"), ('"', "%22"), ("<", "%3C"),
+                        (">", "%3E"), ("{", "%7B"), ("}", "%7D"),
+                        ("|", "%7C"), ("^", "%5E"), ("\\", "%5C"),
+                        ("`", "%60")):
+            out = F.replace(out, F.lit(ch), F.lit(enc))
+        return out
+
+    obj_iri = F.when(
+        F.col("pred").isin(*url_preds), esc(F.col("obj"))
+    ).otherwise(F.concat(F.lit(obj_base), esc(F.col("obj"))))
+    line = F.concat(
+        F.lit("<"), F.lit(subj_base), esc(F.col("subj")),
+        F.lit("> <"), F.lit(pred_base), esc(F.col("pred")),
+        F.lit("> <"), obj_iri, F.lit("> ."))
+    return triples.select(line.alias("line"))

@@ -480,3 +480,39 @@ def test_cli_curate_funnel(spark, capsys, tmp_path):
     assert cur.count() == funnel["out"]
     assert not cur.filter(cur.text.contains("cookie banner")).count()
     assert not cur.filter(cur.text.contains("promotional")).count()
+
+
+def test_cli_frontier(spark, capsys, tmp_path):
+    """frontier: sitemap expansion -> robots filter -> schedule."""
+    seeds = spark.createDataFrame(
+        [(f"http://a.example/p{i}",) for i in range(4)]
+        + [("http://b.example/blocked/x",)], "url string")
+    seeds.write.parquet(str(tmp_path / "seeds"))
+    spark.createDataFrame(
+        [("http://a.example/sitemap.xml",
+          "<urlset><url><loc>http://a.example/s0</loc></url>"
+          "<url><loc>http://b.example/blocked/y</loc></url>"
+          "</urlset>")],
+        "url string, body string",
+    ).write.parquet(str(tmp_path / "sitemaps"))
+    spark.createDataFrame(
+        [("b.example", "User-agent: *\nDisallow: /blocked")],
+        "host string, body string",
+    ).write.parquet(str(tmp_path / "robots"))
+
+    out = _run(capsys, "frontier", str(tmp_path / "seeds"),
+               "-o", str(tmp_path / "plan"),
+               "--sitemaps", str(tmp_path / "sitemaps"),
+               "--robots", str(tmp_path / "robots"),
+               "--delay", "10", "--start-ts", "50")
+    stats = json.loads(out.strip().split("\n")[-1])
+    assert stats["seed_urls"] == 5 and stats["discovered"] == 2
+    assert stats["allowed"] == 5  # both /blocked urls dropped
+    assert stats["hosts"] == 1
+    plan = spark.read.parquet(str(tmp_path / "plan"))
+    rows = plan.collect()
+    assert {r["url"] for r in rows} == {
+        f"http://a.example/p{i}" for i in range(4)
+    } | {"http://a.example/s0"}
+    assert sorted(r["slot"] for r in rows) == [0, 1, 2, 3, 4]
+    assert all(r["fetch_ts"] == 50 + r["slot"] * 10 for r in rows)

@@ -18,7 +18,9 @@ def _docid(col="url"):
 def gen1(spark):
     from neleval_spark.pipeline import synth_corpus
 
-    return synth_corpus(spark, N, seed=7).cache()
+    df = synth_corpus(spark, N, seed=7).cache()
+    yield df
+    df.unpersist()  # leave the shared session's cache manager clean
 
 
 @pytest.fixture(scope="module")
@@ -28,12 +30,14 @@ def gen2(spark, gen1):
     from neleval_spark.pipeline import synth_corpus
 
     rewritten = synth_corpus(spark, N, seed=8)
-    return (
+    df = (
         gen1.where(_docid() % 3 == 0)
         .unionByName(rewritten.where(_docid() % 3 == 1))
         .unionByName(
             synth_corpus(spark, N + 40, seed=8).where(_docid() >= N))
     ).cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
