@@ -59,3 +59,12 @@ def test_phrase_match(spark):
     assert phrase_match(idx, ["lazy", "fox"]).count() == 0
     with pytest.raises(ValueError):
         phrase_match(idx, [])
+
+
+def test_index_plan_shape(spark):
+    """PLANS.md claim: one inherent Generate (posexplode) + hash
+    aggregation; no Window, no join."""
+    plan = build_inverted_index(_docs(spark))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Generate") == 1
+    assert "Window" not in plan and "Join" not in plan

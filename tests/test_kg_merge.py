@@ -80,3 +80,12 @@ def test_prune_staleness(spark, gens):
 def test_bad_mode_raises(spark, gens):
     with pytest.raises(ValueError, match="mode"):
         merge_kg(*gens, mode="max")
+
+
+def test_merge_plan_single_join(spark, gens):
+    """PLANS.md claim: ONE full-outer equi-join on the triple key."""
+    g1, g2 = gens
+    plan = merge_kg(g1, g2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("FullOuter") == 1
+    assert "Window" not in plan and "CartesianProduct" not in plan

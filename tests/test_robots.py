@@ -113,3 +113,18 @@ def test_schedule_frontier_budget(spark):
     hot = [r for r in out if r.host == "hot"]
     assert len(hot) == 10
     assert sorted(r.slot for r in hot) == list(range(10))
+
+
+def test_robots_filter_plan_never_windows_frontier(spark):
+    """PLANS.md claim: FILTERING is join + max_by aggregate — given a
+    materialized rule table, the executed plan has no Window operator
+    (parse_robots itself windows only KB-sized robots LINES; that
+    side is materialized here to isolate the frontier plan)."""
+    rows = parse_robots(_robots(spark, [("h", BODY)])).collect()
+    rules = spark.createDataFrame(
+        rows, "host string, agent string, rule int, prefix string, "
+              "prefix_len int")
+    out = robots_filter(_frontier(spark, ["http://h/a"]), rules,
+                        keep_disallowed=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
