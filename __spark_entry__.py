@@ -4021,6 +4021,48 @@ ORDER BY term, doc_id
 """
 
 
+def q_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tf·idf keywords (functions/retrieval.
+    keyword_topk) over the same bounded doc subset as
+    inverted_index; the oracle replays tokenize → tf/df → smoothed
+    ln ratio → ROW_NUMBER top-3 in DuckDB (ln at 6 dp — the BM25
+    precedent)."""
+    from neleval_spark.functions.retrieval import (
+        build_inverted_index, keyword_topk)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(F.col("doc_id") % 37 == 0)
+    idx = build_inverted_index(docs, positional=False)
+    return keyword_topk(idx, k=3).orderBy("doc_id", "rank")
+
+
+Q_KEYWORD_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                                           '[^a-z0-9]+'),
+                     t -> t != '') AS lf
+  FROM documents WHERE doc_id % 37 = 0),
+flat AS (SELECT doc_id, UNNEST(lf) AS term FROM toks),
+postings AS (
+  SELECT term, doc_id, COUNT(*) AS tf
+  FROM flat GROUP BY term, doc_id),
+stats AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM postings),
+scored AS (
+  SELECT p.doc_id, p.term,
+         ROUND(p.tf * ln((n.nd + 1.0) / (s.df + 1.0)), 6) AS tfidf
+  FROM postings p JOIN stats s USING (term) CROSS JOIN n),
+r AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap URL discovery (functions/discovery.
     extract_sitemap_urls): even hosts get a <sitemapindex> (nested
@@ -4690,6 +4732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schedule_frontier": q_schedule_frontier,
         "sitemap_urls": q_sitemap_urls,
         "inverted_index": q_inverted_index,
+        "keyword_topk": q_keyword_topk,
         "charset_sniff": q_charset_sniff,
         "containment": q_containment,
     }
@@ -4793,6 +4836,7 @@ def oracle_sql() -> dict[str, str]:
         "schedule_frontier": Q_SCHEDULE_FRONTIER_SQL,
         "sitemap_urls": Q_SITEMAP_URLS_SQL,
         "inverted_index": Q_INVERTED_INDEX_SQL,
+        "keyword_topk": Q_KEYWORD_TOPK_SQL,
         "charset_sniff": Q_CHARSET_SNIFF_SQL,
         "containment": Q_CONTAINMENT_SQL,
     }

@@ -169,3 +169,45 @@ def phrase_match(postings: DataFrame, phrase: list[str],
         ).drop(nxt["doc_id"]).drop(f"p{k-1}")
     return cur.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_matches"))
+
+
+def keyword_topk(postings: DataFrame, k: int = 5,
+                 min_df: int = 1) -> DataFrame:
+    """Per-document top-k keywords by tf·idf over a
+    :func:`build_inverted_index` postings table — the doc-tagging /
+    routing signal next to BM25.
+
+    tf·idf = tf · ln((N+1)/(df+1)) (add-one smoothed, always
+    positive, so rare-term ties can't flip on sign).  Shape: df comes
+    from :func:`term_stats` (map-side combined), N is an in-plan
+    broadcast 1-row aggregate (no driver collect), and the per-doc
+    top-k is a ``slice(array_sort(collect_list(...)))`` whose size is
+    bounded by the DOCUMENT's distinct-term count (~10^3), never by
+    corpus size — no window, no hot key.  Scores are rounded to 6 dp
+    and tie-broken by term so the ordering is total cross-engine
+    (the BM25 oracle's ln-at-6dp precedent).
+    """
+    stats = term_stats(postings).where(F.col("df") >= min_df)
+    n_docs = postings.select(
+        F.count_distinct("doc_id").alias("_n"))
+    scored = (postings.join(stats.select("term", "df"), "term")
+              .crossJoin(F.broadcast(n_docs))
+              .select(
+                  "doc_id", "term",
+                  F.round(
+                      F.col("tf") * F.log((F.col("_n") + 1.0)
+                                          / (F.col("df") + 1.0)),
+                      6).alias("tfidf")))
+    ranked = scored.groupBy("doc_id").agg(
+        F.slice(
+            F.array_sort(F.collect_list(
+                F.struct((-F.col("tfidf")).alias("neg"),
+                         F.col("term").alias("term")))),
+            1, k).alias("top"))
+    return ranked.select(
+        "doc_id",
+        F.posexplode("top").alias("rank", "kw")
+    ).select(
+        "doc_id", (F.col("rank") + 1).alias("rank"),
+        F.col("kw.term").alias("term"),
+        (-F.col("kw.neg")).alias("tfidf"))

@@ -68,3 +68,28 @@ def test_index_plan_shape(spark):
         .executedPlan().toString()
     assert plan.count("Generate") == 1
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_keyword_topk(spark):
+    from neleval_spark.functions.retrieval import (
+        build_inverted_index, keyword_topk)
+
+    idx = build_inverted_index(_docs(spark), positional=False)
+    out = keyword_topk(idx, k=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append((r.rank, r.term, r.tfidf))
+    import math
+
+    for d, kws in got.items():
+        assert [k[0] for k in sorted(kws)] == \
+            list(range(1, len(kws) + 1))
+        vals = [k[2] for k in sorted(kws)]
+        assert all(v >= 0 for v in vals)  # df == N scores exactly 0
+        assert vals == sorted(vals, reverse=True)
+    # doc-unique terms win rank 1 (df=1 → max idf)
+    assert sorted(got[2])[0][1] == "cat"
+    # exact value check: cat in doc 2 = 1 * ln((3+1)/(1+1))
+    assert sorted(got[2])[0][2] == round(math.log(2.0), 6)
+    # 'quick' has df == N → tfidf 0, never beats a positive term
+    assert sorted(got[3])[0][1] == "brown"
