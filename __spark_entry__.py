@@ -4080,9 +4080,11 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     urlset_body = F.concat(
         F.lit('<?xml version="1.0"?><urlset><url><loc> http://h'), h,
         F.lit('/p1 </loc><lastmod>2026-01-01</lastmod></url>'
+              # loc-less element in the MIDDLE: must not absorb the
+              # next element's <loc> (ADVICE r4 regex-anchoring fix)
+              '<url><priority>0.5</priority></url>'
               '<url><loc>http://h'), h,
-        F.lit('/p2?a=1&amp;b=2</loc></url>'
-              '<url><priority>0.5</priority></url></urlset>'))
+        F.lit('/p2?a=1&amp;b=2</loc></url></urlset>'))
     sitemaps = spark.range(13).select(
         F.concat(F.lit("http://h"), h, F.lit("/sitemap.xml"))
         .alias("url"),
@@ -4106,15 +4108,15 @@ WITH sm AS (
            '<?xml version="1.0"?><urlset><url><loc> http://h'
            || CAST(id AS VARCHAR)
            || '/p1 </loc><lastmod>2026-01-01</lastmod></url>'
+           || '<url><priority>0.5</priority></url>'
            || '<url><loc>http://h' || CAST(id AS VARCHAR)
-           || '/p2?a=1&amp;b=2</loc></url>'
-           || '<url><priority>0.5</priority></url></urlset>'
+           || '/p2?a=1&amp;b=2</loc></url></urlset>'
          END AS body
   FROM range(13) t(id)),
 hits AS (
   SELECT sitemap_url,
          UNNEST(regexp_extract_all(
-           body, '(?s)<(sitemap|url)>.*?<loc>\s*(.*?)\s*</loc>', 0))
+           body, '(?s)<sitemap>.*?</sitemap>|<url>.*?</url>', 0))
            AS hit
   FROM sm),
 parsed AS (
@@ -4242,17 +4244,19 @@ def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
             "\nUser-agent: fetchbot\nDisallow: /priv"))
         .when(k == 1, F.lit(
             "User-agent: *\nDisallow:\n# blanket comment\n"
-            "Disallow: /tmp"))
+            "Disallow: /tmp\nDisallow: /search?q="))
         .otherwise(F.lit(
             "User-agent: fetchbot\nAllow: /pu\nDisallow: /"))
         .alias("body"))
     path = (
-        F.when(i % 5 == 0, F.concat(F.lit("/private/ok/x"),
+        F.when(i % 6 == 0, F.concat(F.lit("/private/ok/x"),
                                     i.cast("string")))
-        .when(i % 5 == 1, F.concat(F.lit("/private/x"),
+        .when(i % 6 == 1, F.concat(F.lit("/private/x"),
                                    i.cast("string")))
-        .when(i % 5 == 2, F.concat(F.lit("/tmp/x"), i.cast("string")))
-        .when(i % 5 == 3, F.concat(F.lit("/pub/x"), i.cast("string")))
+        .when(i % 6 == 2, F.concat(F.lit("/tmp/x"), i.cast("string")))
+        .when(i % 6 == 3, F.concat(F.lit("/pub/x"), i.cast("string")))
+        .when(i % 6 == 4, F.concat(F.lit("/search?q=x"),
+                                   i.cast("string")))
         .otherwise(F.lit("/")))
     frontier = docs.select(
         F.concat(F.lit("http://h"), (i % 13).cast("string"), path)
@@ -4272,7 +4276,8 @@ WITH robots AS (
              'User-agent: fetchbot' || chr(10) || 'Disallow: /priv'
            WHEN 1 THEN 'User-agent: *' || chr(10) ||
              'Disallow:' || chr(10) || '# blanket comment' ||
-             chr(10) || 'Disallow: /tmp'
+             chr(10) || 'Disallow: /tmp' || chr(10) ||
+             'Disallow: /search?q='
            ELSE 'User-agent: fetchbot' || chr(10) ||
              'Allow: /pu' || chr(10) || 'Disallow: /'
          END AS body
@@ -4325,11 +4330,12 @@ frontier AS (
   SELECT 'http://h' || CAST(doc_id % 13 AS VARCHAR) || p AS url,
          'h' || CAST(doc_id % 13 AS VARCHAR) AS host, p AS path
   FROM (SELECT doc_id,
-               CASE doc_id % 5
+               CASE doc_id % 6
                  WHEN 0 THEN '/private/ok/x' || CAST(doc_id AS VARCHAR)
                  WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
                  WHEN 2 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
                  WHEN 3 THEN '/pub/x' || CAST(doc_id AS VARCHAR)
+                 WHEN 4 THEN '/search?q=x' || CAST(doc_id AS VARCHAR)
                  ELSE '/'
                END AS p
         FROM documents)),

@@ -28,9 +28,17 @@ def extract_sitemap_urls(sitemaps: DataFrame, url: str = "url",
     loop's job; re-feed the fetched children through this function.
     XML entities in loc values are unescaped per the sitemap protocol
     (&amp; etc. — sitemap locs must be entity-escaped XML text).
+
+    The match is anchored to ONE complete element
+    (``<url>…</url>`` / ``<sitemap>…</sitemap>``, non-greedy to the
+    matching close tag) so a loc-less element — e.g.
+    ``<url><priority>…</priority></url>`` — can never absorb the
+    NEXT element's ``<loc>`` (which would misclassify its kind and
+    drop a discovered url).  Lookahead-free on purpose: the DuckDB
+    oracle replays the identical pattern under RE2.
     """
-    # capture the enclosing element to classify index vs urlset rows
-    pat = r"(?s)<(sitemap|url)>.*?<loc>\s*(.*?)\s*</loc>"
+    # one complete element per hit; loc-less elements yield loc=''
+    pat = r"(?s)<sitemap>.*?</sitemap>|<url>.*?</url>"
     pairs = F.regexp_extract_all(
         F.col(body), F.lit(pat), F.lit(0))
     exploded = sitemaps.select(

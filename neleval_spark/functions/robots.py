@@ -8,7 +8,9 @@ and the docstring below is the documented contract):
 
 * a robots.txt is a sequence of groups, each opened by one or more
   ``User-agent:`` lines followed by ``Allow:``/``Disallow:`` rules;
-* rule matching is LONGEST-PREFIX over the url path; on a tie,
+* rule matching is LONGEST-PREFIX over the url path PLUS the query
+  string (``path?query``, as RFC 9309 §2.2.2 and CPython's
+  robotparser match — so ``Disallow: /search?q=`` works); on a tie,
   ``Allow`` wins;
 * an empty ``Disallow:`` value means "no restriction" (dropped);
 * agent resolution: if any group names the crawler's product token
@@ -105,6 +107,11 @@ def robots_filter(frontier: DataFrame, rules: DataFrame,
     frontier is never windowed: matching is host-equi-join →
     prefix test → one ``max_by`` argmax per url on the total order
     (prefix_len, rule), which encodes longest-prefix-then-allow-wins.
+
+    Rules match against ``path?query`` (RFC 9309; CPython
+    robotparser parity).  ``*``/``$`` in rules stay LITERAL here
+    (documented module contract — no Google wildcard extension), in
+    the path and the query part alike.
     """
     agent = agent.lower()
     # agent resolution per host: specific group if present, else *
@@ -119,11 +126,15 @@ def robots_filter(frontier: DataFrame, rules: DataFrame,
                  "prefix_len"))
 
     raw_path = F.parse_url(F.col(url), F.lit("PATH"))
+    raw_query = F.parse_url(F.col(url), F.lit("QUERY"))
+    path = F.when(raw_path.isNull() | (raw_path == ""),
+                  F.lit("/")).otherwise(raw_path)
     f = frontier.select(url).withColumn(
         "_host", F.parse_url(F.col(url), F.lit("HOST"))) \
-        .withColumn("_path",
-                    F.when(raw_path.isNull() | (raw_path == ""),
-                           F.lit("/")).otherwise(raw_path))
+        .withColumn(
+            "_path",
+            F.when(raw_query.isNull() | (raw_query == ""), path)
+            .otherwise(F.concat(path, F.lit("?"), raw_query)))
     hits = (f.join(r, f["_host"] == r["_rhost"], "left")
             .where(F.col("_rhost").isNull()
                    | F.col("_path").startswith(F.col("prefix"))))

@@ -13,11 +13,14 @@ the natural split — Common Crawl sizes its .warc.gz at ~1 GB
 precisely so that one file ≈ one task).
 
 Scale shape: ``binaryFile`` lists the input tree distributedly; each
-task parses its own files streaming record-by-record (memory is
-bounded by one record, not one file, for the plain-WARC path; a
-gzipped file decompresses member-by-member).  Everything downstream
-is the ordinary page table.  There is no shuffle anywhere — the
-output partitioning is the input file split.
+task parses its own files.  Peak memory is bounded by ONE FILE (the
+``binaryFile`` source materializes each file as a single row value
+before parsing starts — which is why crawls size .warc.gz at ~1 GB);
+parsing WITHIN the file is streaming (plain WARC walks records in
+place, gzipped files decompress member-by-member over zero-copy
+memoryview slices).  Everything downstream is the ordinary page
+table.  There is no shuffle anywhere — the output partitioning is
+the input file split.
 
 Parity note: the reference engine has no crawl ingestion at all (its
 readers start at annotation TSVs, reference tsv.py); WARC handling
@@ -88,14 +91,20 @@ def _split_members(blob: bytes) -> Iterator[bytes]:
     or corrupt trailing member ends the scan instead of raising
     (gzip.GzipFile would decompress ALL members in one read and lose
     everything on a bad tail — zlib's decompressobj exposes the
-    member boundary via eof/unused_data)."""
+    member boundary via eof/unused_data).
+
+    The remaining-buffer slice is a zero-copy ``memoryview``: a
+    ``bytes`` slice per member would memcpy the whole tail each time,
+    O(members × filesize) on Common-Crawl-shaped files (~1 GB, tens
+    of thousands of members)."""
     import zlib
 
-    pos, n = 0, len(blob)
+    mv = memoryview(blob)
+    pos, n = 0, len(mv)
     while pos < n:
         d = zlib.decompressobj(wbits=31)  # gzip wrapper
         try:
-            chunk = d.decompress(blob[pos:]) + d.flush()
+            chunk = d.decompress(mv[pos:]) + d.flush()
         except zlib.error:
             return
         if not d.eof:
@@ -130,13 +139,32 @@ def _parse_http(block: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, body
 
 
+def _skip_marker(reason: str, skipped: int, warc_file: str) -> dict:
+    """Marker row for a skipped byte range — loss must be observable
+    (the repo's 'no silent caps' convention): filter it out with the
+    default ``responses_only=True``, or count it for crawl QA."""
+    return {
+        "url": None,
+        "warc_ts": None,
+        "html": b"",
+        "record_type": "parse_error",
+        "http_status": None,
+        "content_type": ("x-neleval/parse-error; reason=%s; "
+                         "skipped_bytes=%d" % (reason, skipped)),
+        "warc_file": warc_file,
+    }
+
+
 def parse_warc(blob: bytes, warc_file: str = "") -> Iterator[dict]:
     """One WARC blob (plain or member-gzipped) → record dicts.
 
-    Malformed trailing garbage ends the scan instead of raising —
-    a 10^12-page crawl always contains truncated files, and losing
-    the tail of one file must not kill the task (the lineage
-    manifest story covers re-pulls)."""
+    Malformed bytes never kill the task — a 10^12-page crawl always
+    contains truncated or corrupt files — and never vanish silently:
+    the parser RESYNCS to the next plausible record boundary
+    (``\\r\\n\\r\\nWARC/``) and emits one ``record_type='parse_error'``
+    marker row per skipped gap (reason + byte count in
+    ``content_type``), so downstream QA can count loss per file.
+    CRLF-only remnants (framing slack) are skipped without a marker."""
     if blob[:2] == b"\x1f\x8b":
         chunks: Iterable[bytes] = _split_members(blob)
     else:
@@ -145,23 +173,38 @@ def parse_warc(blob: bytes, warc_file: str = "") -> Iterator[dict]:
         pos = 0
         n = len(chunk)
         while pos < n:
+            bad = None  # (reason, resync-search-start)
             if not chunk.startswith(b"WARC/", pos):
-                break  # desynced / trailing junk: stop this chunk
-            hdr_end = chunk.find(b"\r\n\r\n", pos)
-            if hdr_end < 0:
-                break
-            headers: dict[str, str] = {}
-            for ln in chunk[pos:hdr_end].split(_CRLF)[1:]:
-                k, _, v = ln.partition(b":")
-                headers[k.strip().lower().decode("latin-1")] = \
-                    v.strip().decode("latin-1")
-            try:
-                clen = int(headers.get("content-length", ""))
-            except ValueError:
-                break
+                bad = ("desync", pos)
+            else:
+                hdr_end = chunk.find(b"\r\n\r\n", pos)
+                if hdr_end < 0:
+                    bad = ("unterminated_header", pos + 5)
+                else:
+                    headers: dict[str, str] = {}
+                    for ln in chunk[pos:hdr_end].split(_CRLF)[1:]:
+                        k, _, v = ln.partition(b":")
+                        headers[k.strip().lower().decode("latin-1")] = \
+                            v.strip().decode("latin-1")
+                    try:
+                        clen = int(headers.get("content-length", ""))
+                    except ValueError:
+                        bad = ("bad_content_length", hdr_end)
+                    else:
+                        if hdr_end + 4 + clen > n:
+                            bad = ("truncated_record", hdr_end)
+            if bad is not None:
+                reason, search_from = bad
+                nxt = chunk.find(b"\r\n\r\nWARC/", search_from)
+                end = n if nxt < 0 else nxt + 4
+                gap = bytes(chunk[pos:end])
+                # pure CRLF remnants are framing slack, not data loss
+                if gap.replace(_CRLF, b"").replace(b"\r", b"") \
+                        .replace(b"\n", b""):
+                    yield _skip_marker(reason, end - pos, warc_file)
+                pos = end
+                continue
             body_start = hdr_end + 4
-            if body_start + clen > n:
-                break  # truncated record
             block = chunk[body_start:body_start + clen]
             rtype = headers.get("warc-type", "")
             status = None

@@ -37,6 +37,29 @@ def test_sitemap_index_kind(spark):
                    ("http://h/s2.xml", "sitemap")]
 
 
+def test_locless_element_does_not_absorb_next(spark):
+    """A loc-less element in the MIDDLE must not swallow the next
+    element's <loc> (r4 ADVICE: the old non-anchored regex let
+    <url><priority/></url> absorb a following <loc>, and a loc-less
+    <sitemap> could misclassify the next page entry as 'sitemap')."""
+    body = ("<urlset>"
+            "<url><loc>http://h/a</loc></url>"
+            "<url><priority>0.5</priority></url>"
+            "<url><loc>http://h/b</loc></url>"
+            "</urlset>")
+    got = [(r.loc, r.kind)
+           for r in extract_sitemap_urls(_sm(spark, body))
+           .orderBy("loc").collect()]
+    assert got == [("http://h/a", "page"), ("http://h/b", "page")]
+    # loc-less <sitemap> entry followed by a page entry: kind intact
+    body2 = ("<sitemapindex><sitemap><lastmod>x</lastmod></sitemap>"
+             "</sitemapindex><urlset>"
+             "<url><loc>http://h/c</loc></url></urlset>")
+    got2 = [(r.loc, r.kind)
+            for r in extract_sitemap_urls(_sm(spark, body2)).collect()]
+    assert got2 == [("http://h/c", "page")]
+
+
 def test_multiline_and_empty(spark):
     body = "<urlset>\n  <url>\n    <loc>\n http://h/n \n</loc>\n</url>\n</urlset>"
     got = extract_sitemap_urls(_sm(spark, body)).collect()

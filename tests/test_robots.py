@@ -83,6 +83,21 @@ def test_rootless_url_defaults_to_root_path(spark):
     assert got == {"http://h": False}
 
 
+def test_query_string_matching(spark):
+    """RFC 9309 matches against path?query — 'Disallow: /search?q='
+    must block search result urls but not the bare /search page."""
+    body = "User-agent: *\nDisallow: /search?q=\nDisallow: /?sort=\n"
+    urls = ["http://h/search?q=cats", "http://h/search",
+            "http://h/search?lang=en", "http://h/?sort=price",
+            "http://h/"]
+    got = _allowed(spark, urls, [("h", body)])
+    assert got == {"http://h/search?q=cats": False,
+                   "http://h/search": True,
+                   "http://h/search?lang=en": True,
+                   "http://h/?sort=price": False,
+                   "http://h/": True}
+
+
 def test_schedule_frontier(spark):
     from neleval_spark.functions.robots import schedule_frontier
 

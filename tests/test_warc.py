@@ -90,6 +90,35 @@ def test_stdlib_gzip_readable():
     assert gzip.decompress(blob) == build_warc(RECS)
 
 
+def test_resync_recovers_after_corrupt_record():
+    """A corrupt record in the MIDDLE must not drop the rest of the
+    file: the parser resyncs at the next record boundary and emits a
+    parse_error marker for the gap."""
+    good = warc_record(*RECS[0]) + warc_record(*RECS[2])
+    corrupt = (b"WARC/1.0\r\n"
+               b"WARC-Type: response\r\n"
+               b"Content-Length: NOT_A_NUMBER\r\n\r\n"
+               b"garbage body without framing\r\n\r\n")
+    blob = warc_record(*RECS[0]) + corrupt + warc_record(*RECS[2])
+    got = list(parse_warc(blob))
+    recs = [r for r in got if r["record_type"] != "parse_error"]
+    errs = [r for r in got if r["record_type"] == "parse_error"]
+    assert [(r["url"], r["html"]) for r in recs] == \
+        [(RECS[0][0], RECS[0][2]), (RECS[2][0], RECS[2][2])]
+    assert len(errs) == 1
+    assert "reason=bad_content_length" in errs[0]["content_type"]
+    assert "skipped_bytes=" in errs[0]["content_type"]
+    # sanity: the same two good records parse identically standalone
+    assert [(r["url"], r["html"]) for r in parse_warc(good)] == \
+        [(r["url"], r["html"]) for r in recs]
+    # trailing non-CRLF junk is observable, CRLF slack is not
+    assert [r["record_type"] for r in
+            parse_warc(warc_record(*RECS[0]) + b"junk-tail")][-1] == \
+        "parse_error"
+    assert [r["record_type"] for r in
+            parse_warc(warc_record(*RECS[0]) + b"\r\n")] == ["response"]
+
+
 def test_roundtrip_fuzz_payloads():
     """Property: Content-Length framing makes parse∘serialize the
     identity for ARBITRARY payload bytes — including payloads that
