@@ -92,7 +92,7 @@ def dedup_corpus_lines(docs: DataFrame, id_col: str = "doc_id",
 def dedup_substrings(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
                      k: int = 20, min_docs: int = 2,
-                     broadcast_dup: bool = True) -> DataFrame:
+                     broadcast_dup: bool | None = None) -> DataFrame:
     """Remove every k-token window that occurs in ``min_docs``+
     distinct documents — the ExactSubstr granularity of the dedup
     family (Lee et al. 2021, "Deduplicating Training Data Makes
@@ -123,9 +123,17 @@ def dedup_substrings(docs: DataFrame, id_col: str = "doc_id",
     and explode to narrow (doc_id, start, whash) rows — the token
     text never leaves the document row; the per-window distinct-doc
     count spreads any Zipf-hot window over its document space before
-    the map-side-combined count; the duplicated-window set is
-    boilerplate-only — tiny relative to the corpus — and is
-    BROADCAST back (``broadcast_dup=False`` opts out); covered-range
+    the map-side-combined count; the duplicated-window set joins
+    back WITHOUT a broadcast hint by default (``broadcast_dup=None``)
+    — it is usually boilerplate-tiny, but on a heavily-duplicated
+    crawl (a fully-duplicated slice emits ~one window per token) an
+    unconditional broadcast would overflow the driver, so the
+    runtime decision is left to AQE, which broadcasts iff the
+    aggregated set actually fits ``autoBroadcastJoinThreshold`` and
+    falls back to a shuffle join otherwise.  ``broadcast_dup=True``
+    forces the hint (callers who KNOW the set is tiny and want to
+    skip AQE's stat collection), ``False`` pins the shuffle join.
+    Covered-range
     merging is one groupBy(doc_id) over DUPLICATED windows only
     (groups bounded by document length), then an in-row sorted-fold
     merge to disjoint intervals — a fully-duplicated document merges
@@ -161,7 +169,9 @@ def dedup_substrings(docs: DataFrame, id_col: str = "doc_id",
            .agg(F.count(F.lit(1)).alias("n_docs"))
            .where(F.col("n_docs") >= min_docs)
            .select("whash"))
-    if broadcast_dup:
+    # None = adaptive: no hint, AQE broadcasts iff the set fits —
+    # an unconditional hint would OOM on heavily-duplicated corpora
+    if broadcast_dup is True:
         dup = F.broadcast(dup)
 
     empty_ivs = F.array().cast("array<struct<s:int,e:int>>")

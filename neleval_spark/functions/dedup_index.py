@@ -21,7 +21,9 @@ Scale shape:
   doc_id first): boilerplate buckets can hold 10^6 index docs, and a
   new document needs ONE confirmed duplicate, not all of them.  The
   cap is the index-side analogue of ``minhash_lsh_pairs``'
-  hot-bucket guard (functions/textops.py:132).
+  hot-bucket guard (functions/textops.py:132), and is applied as a
+  TWO-PHASE partial top-k (the ``cap_per_domain`` shape) so no
+  single task ever sorts a whole boilerplate bucket.
 * Index updates reuse the run_id dynamic-partition-overwrite
   idempotence of the triple sink (pipeline/triples.py write_triples):
   replaying a crashed or duplicated increment converges to exactly
@@ -94,9 +96,26 @@ def check_increment(docs: DataFrame, index_sig: DataFrame | None,
     active = bn.select("band", "bucket").distinct()
     ba = ba.join(F.broadcast(active), ["band", "bucket"])
     # hot-bucket cap: a new doc needs one duplicate, not a million —
-    # keep the smallest candidate ids per bucket
-    w = Window.partitionBy("band", "bucket").orderBy("other_id")
-    ba = (ba.withColumn("_rn", F.row_number().over(w))
+    # keep the smallest candidate ids per bucket.  TWO-PHASE partial
+    # top-k (the cap_per_domain shape, corpusops.py): phase 1 caps
+    # per (band, bucket, hash-sub-bucket) so no single task ever
+    # sorts a whole boilerplate bucket (10^6 index docs per the
+    # module docstring); phase 2 then ranks ≤ max_candidates·n_sub
+    # rows per bucket.  The composition returns EXACTLY the global
+    # smallest max_candidates ids (every global top-k row is within
+    # its own sub-bucket's top-k), so the sub-bucket hash never
+    # affects the result and can be engine-local.
+    n_sub = 32
+    w1 = Window.partitionBy("band", "bucket", "_sub") \
+        .orderBy("other_id")
+    w2 = Window.partitionBy("band", "bucket").orderBy("other_id")
+    ba = (ba.withColumn("_sub", F.pmod(
+              F.xxhash64(F.col("other_id").cast("string")),
+              F.lit(n_sub)))
+          .withColumn("_rn", F.row_number().over(w1))
+          .where(F.col("_rn") <= max_candidates)
+          .drop("_rn", "_sub")
+          .withColumn("_rn", F.row_number().over(w2))
           .where(F.col("_rn") <= max_candidates).drop("_rn"))
 
     cand = (bn.join(ba, ["band", "bucket"])

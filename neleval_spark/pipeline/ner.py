@@ -197,9 +197,30 @@ def extract_and_detect(pages: DataFrame,
     return pages.select("url", "html").mapInPandas(gen, schema=NER_SCHEMA)
 
 
+MAX_GAZETTEER_ALIASES = 10_000_000
+
+
 def gazetteer_from_kb(kb: DataFrame) -> Gazetteer:
     """Build the tagger dictionary from the alias dim table (one
     driver-side collect of the SAME small table the candidate stage
-    broadcasts — not a data-proportional collect)."""
-    return build_gazetteer(
-        [r["alias"] for r in kb.select("alias").distinct().collect()])
+    broadcasts — not a data-proportional collect).
+
+    The collect is BOUNDED: a KB whose distinct alias set exceeds
+    ``MAX_GAZETTEER_ALIASES`` (~10^7, the point where the driver-side
+    dict rivals the broadcast limit) fails fast with a clear message
+    instead of OOM-ing the driver mid-collect.  The scalable path at
+    that size: keep candidate generation as the broadcast/shuffle
+    join it already is and run the tagger on casing evidence only
+    (``detect_mentions`` with an empty gazetteer) — the alias dict is
+    a recall booster, not a correctness requirement."""
+    aliases = kb.select("alias").distinct()
+    n = aliases.count()
+    if n > MAX_GAZETTEER_ALIASES:
+        raise ValueError(
+            f"KB has {n:,} distinct aliases > MAX_GAZETTEER_ALIASES="
+            f"{MAX_GAZETTEER_ALIASES:,}; a driver-side gazetteer this "
+            "large would exhaust driver memory. Run the tagger with a "
+            "truncated/curated alias list, or with an empty gazetteer "
+            "(casing evidence only) and let the candidate-generation "
+            "join handle alias matching distributedly.")
+    return build_gazetteer([r["alias"] for r in aliases.collect()])

@@ -156,12 +156,32 @@ def test_dedup_substrings_min_docs_and_case_sensitive(spark):
     assert out2[2]["n_removed"] == 0   # uppercase variant untouched
 
 
-def test_dedup_substrings_dup_set_is_broadcast(spark):
+def test_dedup_substrings_dup_set_broadcast_modes(spark):
+    """Default (None) carries NO broadcast hint — AQE decides from
+    the dup set's runtime size (a heavily-duplicated corpus must not
+    OOM the driver through an unconditional hint); True forces the
+    hint; all modes agree on results."""
     d = _docs(spark, [(i, f"filler {i} " + " ".join(
         f"c{j}" for j in range(12))) for i in range(6)])
-    plan = (dedup_substrings(d, k=8)
+    # forced hint: broadcast exchange in the static plan
+    plan = (dedup_substrings(d, k=8, broadcast_dup=True)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastExchange" in plan
+    # adaptive default: no hint in the optimized logical plan...
+    auto = dedup_substrings(d, k=8)
+    logical = auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
+    rows_auto = {r["doc_id"]: r["clean_text"] for r in auto.collect()}
+    # ...but AQE still broadcasts this tiny set at runtime
+    final = auto._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in final
+    rows_forced = {r["doc_id"]: r["clean_text"] for r in
+                   dedup_substrings(d, k=8, broadcast_dup=True)
+                   .collect()}
+    rows_shuffle = {r["doc_id"]: r["clean_text"] for r in
+                    dedup_substrings(d, k=8, broadcast_dup=False)
+                    .collect()}
+    assert rows_auto == rows_forced == rows_shuffle
 
 
 def test_latest_snapshot_keeps_newest_and_is_deterministic(spark):

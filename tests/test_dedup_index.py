@@ -80,6 +80,37 @@ def test_increment_buckets_are_broadcast(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_hot_bucket_cap_is_two_phase(spark):
+    """PLANS claim: the hot-bucket cap never sorts a whole bucket in
+    one task — phase 1 windows over (band, bucket, _sub) BEFORE any
+    (band, bucket) window, and the composition still returns the
+    smallest verified candidate (identical to a single-phase cap)."""
+    import re
+
+    from neleval_spark.functions.textops import minhash_signatures
+
+    # a boilerplate bucket: many index docs with IDENTICAL text all
+    # land in the same buckets; cap is far below the bucket size
+    inc = _docs(spark, [(1, TEXT_A)])
+    # shingle=3 matches check_increment's default signature space
+    idx_sig = minhash_signatures(
+        _docs(spark, [(100 + i, TEXT_A) for i in range(40)]),
+        shingle=3)
+    out = check_increment(inc, idx_sig, max_candidates=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every window listing (band, bucket) directly must be preceded
+    # in its subtree by the _sub partial window (root prints first,
+    # so the _sub window must appear AFTER the plain one but exist)
+    assert "_sub" in plan, "two-phase sub-bucket column missing"
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    bucket_specs = [s for s in specs
+                    if "band" in s and "bucket" in s]
+    assert any("_sub" in s for s in bucket_specs), bucket_specs
+    # composition == single-phase semantics: smallest index id wins
+    v = {r["doc_id"]: r for r in out.collect()}
+    assert v[1]["is_duplicate"] and v[1]["dup_of"] == 100
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     from neleval_spark.streaming import stream_pages
     from neleval_spark.streaming.dedup import stream_dedup

@@ -114,3 +114,18 @@ def test_tagger_exactly_matches_corpus_gold_driverside(n_docs):
                detect_mentions_text(d["text"], GAZ)]
         exp = [(s, e, surf) for s, e, surf, _, _, _ in d["mentions"]]
         assert got == exp, (i, got, exp)
+
+
+def test_gazetteer_collect_is_bounded(spark, monkeypatch):
+    """gazetteer_from_kb must refuse a KB whose alias set would OOM
+    the driver, with a pointer at the casing-only fallback."""
+    import neleval_spark.pipeline.ner as ner_mod
+
+    kb = spark.createDataFrame(
+        [(f"a{i}",) for i in range(10)], "alias string")
+    monkeypatch.setattr(ner_mod, "MAX_GAZETTEER_ALIASES", 5)
+    with pytest.raises(ValueError, match="casing evidence"):
+        ner_mod.gazetteer_from_kb(kb)
+    monkeypatch.setattr(ner_mod, "MAX_GAZETTEER_ALIASES", 100)
+    gaz = ner_mod.gazetteer_from_kb(kb)
+    assert gaz is not None

@@ -127,6 +127,24 @@ def test_ann_lsh_recall(spark):
     assert recall >= 0.6, recall
 
 
+def test_cosine_topk_refuses_large_cross_join(spark):
+    """cosine_topk is the exact-baseline cross join; above max_pairs
+    it must refuse with a pointer at the scale paths (the
+    match_pattern refuse-cartesian stance)."""
+    import pytest
+    from neleval_spark.functions.similarity import cosine_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb = F.col("embedding").cast("array<double>")
+    q = e.select(F.col("vec_id").alias("qid"), emb.alias("qv"))
+    c = e.select(F.col("vec_id").alias("cid"), emb.alias("cv"))
+    with pytest.raises(ValueError, match="ann_lsh_topk"):
+        cosine_topk(q, c, k=5, max_pairs=10)
+    # explicit opt-out skips the guard entirely
+    assert cosine_topk(q.limit(2), c.limit(3), k=1,
+                       max_pairs=None).count() > 0
+
+
 def test_multimodal_plumbing(spark):
     from neleval_spark.functions.multimodal import (
         FEATURE_DIM, bucketed, decode_stub, extract_features,
