@@ -47,47 +47,85 @@ def per_doc_contingency(sys_df: DataFrame, gold_df: DataFrame,
     return contingency_df(sys_df, gold_df, spec, gcols=["docid"])
 
 
+MIX_PRIME = 2147483647  # 2^31-1, the shared polynomial-hash modulus
+
+
 def _trial_partials(joined: DataFrame, n_trials: int, seed: int,
-                    mode: str) -> np.ndarray:
+                    mode: str, hash_mode: str = "xxhash64",
+                    ) -> np.ndarray:
     """One distributed pass: per partition, vectorized partial sums for
     all trials. Returns [n_trials, 8] (sys1 ptp,fp,rtp,fn, sys2 ...).
 
-    Per-doc randomness seeds from ``xxhash64(docid)`` computed JVM-side
-    before entering Python — no per-row (let alone per-byte) Python
-    anywhere in the stats path; determinism is independent of
-    partitioning and executor count.
+    Per-doc randomness seeds from a JVM-side doc hash — no per-row
+    (let alone per-byte) Python anywhere in the stats path;
+    determinism is independent of partitioning and executor count.
+
+    ``hash_mode="xxhash64"`` (default): 64-bit multiply-shift mixing —
+    the production path.  ``hash_mode="poly"``: the engine-agnostic
+    polynomial doc hash (textops.token_hash, mod 2^31-1) mixed as
+    ``((h * (t + seed + 1)) % (2^31-1))`` — every intermediate fits
+    int64 EXACTLY, so a DuckDB oracle replays the identical trial
+    flips bit-for-bit (the ``permutation_pvalue`` gate).  Weaker
+    mixing than xxhash64; meant for cross-engine verification, not to
+    replace the default.
     """
     cols = ["ptp1", "fp1", "rtp1", "fn1", "ptp2", "fp2", "rtp2", "fn2"]
     tseed = np.uint64(seed)
-    joined = joined.withColumn(
-        "doc_hash", F.xxhash64(F.col("docid").cast("string")))
+    if hash_mode == "poly":
+        from ..functions.textops import token_hash
+
+        joined = joined.withColumn(
+            "doc_hash", token_hash(F.col("docid").cast("string")))
+    else:
+        joined = joined.withColumn(
+            "doc_hash", F.xxhash64(F.col("docid").cast("string")))
 
     def gen(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            h = pdf["doc_hash"].to_numpy(dtype=np.int64).view(np.uint64)
             m1 = pdf[cols[:4]].to_numpy(dtype=np.float64)
             m2 = pdf[cols[4:]].to_numpy(dtype=np.float64)
-            t = np.arange(n_trials, dtype=np.uint64)
-            # mix(doc, trial): multiply-shift hash bits
-            mixed = (h[:, None] ^ ((t[None, :] + tseed) * MIX)) * MIX2
+            if hash_mode == "poly":
+                hp = pdf["doc_hash"].to_numpy(dtype=np.int64)
+                ti = np.arange(n_trials, dtype=np.int64)
+                # exact in int64: h < 2^31, (t+seed+1) small
+                mixed_i = (hp[:, None] * (ti[None, :] + seed + 1)) \
+                    % MIX_PRIME
+                if mode == "permute":
+                    flip = (mixed_i % 2).astype(bool)
+                elif mode == "poisson":
+                    u = mixed_i.astype(np.float64) / float(MIX_PRIME)
+                    flip = None
+                else:
+                    raise ValueError(mode)
+            else:
+                h = pdf["doc_hash"].to_numpy(dtype=np.int64) \
+                    .view(np.uint64)
+                t = np.arange(n_trials, dtype=np.uint64)
+                # mix(doc, trial): multiply-shift hash bits
+                mixed = (h[:, None] ^ ((t[None, :] + tseed) * MIX)) \
+                    * MIX2
+                if mode == "permute":
+                    flip = (mixed >> np.uint64(63)).astype(bool)
+                elif mode == "poisson":
+                    # uniform from the top 53 bits
+                    u = (mixed >> np.uint64(11)).astype(np.float64) \
+                        / float(1 << 53)
+                    flip = None
+                else:
+                    raise ValueError(mode)
             if mode == "permute":
-                flip = (mixed >> np.uint64(63)).astype(bool)  # [docs, trials]
                 # pseudo1 = flip ? m2 : m1 ; pseudo2 = flip ? m1 : m2
                 p1 = np.einsum("dt,dk->tk", (~flip).astype(np.float64), m1) \
                     + np.einsum("dt,dk->tk", flip.astype(np.float64), m2)
                 p2 = np.einsum("dt,dk->tk", (~flip).astype(np.float64), m2) \
                     + np.einsum("dt,dk->tk", flip.astype(np.float64), m1)
-            elif mode == "poisson":
-                # Poisson(1) weights from the mixed hash (inverse CDF
-                # over a uniform derived from the top 53 bits)
-                u = (mixed >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+            else:
+                # Poisson(1) weights via inverse CDF over the uniform
                 w = _poisson_icdf(u).astype(np.float64)
                 p1 = np.einsum("dt,dk->tk", w, m1)
                 p2 = np.einsum("dt,dk->tk", w, m2)
-            else:
-                raise ValueError(mode)
             out = np.hstack([p1, p2]).reshape(n_trials * 8)
             yield pd.DataFrame({"partial": [out.tolist()]})
 
@@ -142,9 +180,16 @@ def permutation_test(
     n_trials: int = 2500,
     metrics: tuple[str, ...] = ("precision", "recall", "fscore"),
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> dict:
     """Paired permutation test between two systems' per-doc
-    contingency tables. Returns {metric: {'diff': .., 'p': ..}}."""
+    contingency tables. Returns {metric: {'diff': .., 'p': ..}}.
+
+    ``hash_mode="poly"`` switches the per-(doc, trial) flip bits to
+    the engine-agnostic polynomial derivation (see
+    :func:`_trial_partials`) so the whole test is replayable in a
+    DuckDB oracle; the default xxhash64 mixing is the production
+    path."""
     joined = _join_per_doc(per_doc1, per_doc2)
 
     base = joined.agg(
@@ -159,7 +204,8 @@ def permutation_test(
     base2 = _metrics_from(b2)
     base_diff = {m: float(base1[m][0] - base2[m][0]) for m in metrics}
 
-    partials = _trial_partials(joined, n_trials, seed, "permute")
+    partials = _trial_partials(joined, n_trials, seed, "permute",
+                               hash_mode)
     t1 = _metrics_from(partials[:, :4])
     t2 = _metrics_from(partials[:, 4:])
 

@@ -83,6 +83,32 @@ def test_permutation_detects_difference(spark):
     assert res["fscore"]["p"] < 0.05
 
 
+def test_permutation_poly_hash_mode(spark):
+    """hash_mode='poly' (the DuckDB-replayable flip derivation behind
+    the permutation_pvalue driver oracle) must behave like a real
+    permutation test: deterministic, p=1 on identical systems, small
+    p on a clearly different pair; flips must actually mix (p < 1 on
+    a same-ish pair would fail if all flips were constant)."""
+    from neleval_spark.stats import per_doc_contingency, permutation_test
+
+    gold = _read(spark, f"{EXAMPLES}/tac_gold.combined.tsv")
+    good = _read(spark, f"{EXAMPLES}/tac_system.combined.tsv")
+    bad = good.withColumn("start", F.col("start") + 1000) \
+        .withColumn("end", F.col("end") + 1000)
+    pd1 = per_doc_contingency(good, gold, "strong_all_match")
+    pd2 = per_doc_contingency(bad, gold, "strong_all_match")
+    res = permutation_test(pd1, pd1, n_trials=100, hash_mode="poly")
+    assert all(r["p"] == 1.0 and r["diff"] == 0.0
+               for r in res.values())
+    res1 = permutation_test(pd1, pd2, n_trials=200, seed=3,
+                            hash_mode="poly")
+    res2 = permutation_test(pd1, pd2, n_trials=200, seed=3,
+                            hash_mode="poly")
+    assert res1 == res2  # deterministic regardless of partitioning
+    assert res1["fscore"]["diff"] == 1.0
+    assert res1["fscore"]["p"] < 0.05
+
+
 def test_bootstrap_ci_contains_point(spark):
     from neleval_spark.stats import bootstrap_confidence, per_doc_contingency
 
