@@ -232,6 +232,14 @@ def plot_systems_data(results: dict, measures: list[str],
     Returns [{'figure': name, 'secondary': ..., 'points': [{system,
     group, measure, score, prf?, lo?, hi?}]}].
 
+    Grouping (reference _regroup, summary.py:280-301): with
+    ``group_re``, points are emitted BY GROUP — groups ordered by key
+    (``sort_by='name'``, the default grouping order) or by their best
+    member's score (``sort_by='score'``), systems name-sorted within
+    a group — and ``at_most`` keeps the first N GROUPS (whole), not N
+    points; ``best_in_group`` reduces each group to its top system
+    first.  Without ``group_re``, sort/truncate act on points.
+
     The reference's figure-data variants are all carried in the
     payload so a front-end can render each of them:
 
@@ -275,6 +283,21 @@ def plot_systems_data(results: dict, measures: list[str],
                 if cur is None or p["score"] > cur["score"]:
                     best[p["group"]] = p
             points = list(best.values())
+        if group_re is not None:
+            # reference _regroup (summary.py:280-301): points order
+            # BY GROUP — groups sorted by key ('name') or by their
+            # best score ('score'), systems name-sorted within —
+            # and ``at_most`` truncates GROUPS, not points
+            groups: dict = {}
+            for p in sorted(points, key=lambda p: p["system"]):
+                groups.setdefault(p["group"], []).append(p)
+            keys = sorted(groups)
+            if sort_by == "score":
+                keys.sort(key=lambda g: -max(p["score"]
+                                             for p in groups[g]))
+            if at_most is not None:
+                keys = keys[:at_most]
+            return [p for g in keys for p in groups[g]]
         if sort_by == "name":
             points.sort(key=lambda p: p["system"])
         elif sort_by == "score":

@@ -89,3 +89,49 @@ def test_cli_plot_systems_svg_output(spark, capsys, tmp_path):
     minidom.parseString(svg)
     # evaluate input carries prf triples -> recall/precision scatter
     assert "recall" in svg and "<circle" in svg
+
+
+def test_group_ordering_and_at_most_groups():
+    """Reference _regroup parity (summary.py:280-301): with group_re,
+    points order BY GROUP (name- or best-score-sorted), systems
+    name-sorted within, and at_most truncates GROUPS not points."""
+    import re
+
+    from neleval_spark.summary import plot_systems_data
+
+    results = {
+        "teamB-run2": {"m": {"fscore": 0.60}},
+        "teamA-run1": {"m": {"fscore": 0.55}},
+        "teamB-run1": {"m": {"fscore": 0.90}},
+        "teamC-run1": {"m": {"fscore": 0.70}},
+        "teamA-run2": {"m": {"fscore": 0.80}},
+    }
+    gre = re.compile(r"^team[A-Z]")
+    figs = plot_systems_data(results, ["m"], group_re=gre)
+    order = [(p["group"], p["system"]) for p in figs[0]["points"]]
+    assert order == [("teamA", "teamA-run1"), ("teamA", "teamA-run2"),
+                     ("teamB", "teamB-run1"), ("teamB", "teamB-run2"),
+                     ("teamC", "teamC-run1")]
+    # sort_by=score orders groups by their best score
+    figs = plot_systems_data(results, ["m"], group_re=gre,
+                             sort_by="score")
+    assert [p["group"] for p in figs[0]["points"]] == \
+        ["teamB", "teamB", "teamA", "teamA", "teamC"]
+    # at_most keeps whole groups (2 groups -> 4 points, not 2 points)
+    figs = plot_systems_data(results, ["m"], group_re=gre,
+                             sort_by="score", at_most=2)
+    assert [(p["group"], p["system"]) for p in figs[0]["points"]] == \
+        [("teamB", "teamB-run1"), ("teamB", "teamB-run2"),
+         ("teamA", "teamA-run1"), ("teamA", "teamA-run2")]
+    # best_in_group + group ordering compose
+    figs = plot_systems_data(results, ["m"], group_re=gre,
+                             best_in_group=True, sort_by="score")
+    assert [(p["system"], p["score"]) for p in figs[0]["points"]] == \
+        [("teamB-run1", 0.90), ("teamA-run2", 0.80),
+         ("teamC-run1", 0.70)]
+    # heatmap columns follow the same group selection
+    figs = plot_systems_data(results, ["m"], group_re=gre,
+                             sort_by="score", at_most=1,
+                             secondary="heatmap")
+    assert figs[0]["columns"] == ["teamB-run1", "teamB-run2"]
+    assert figs[0]["matrix"] == [[0.90, 0.60]]
