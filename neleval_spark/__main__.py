@@ -639,6 +639,116 @@ def cmd_track_eval(args):
     print(json.dumps({"systems": len(report), "out": args.out}))
 
 
+# reference scripts/run_tac14_filtered.sh FILTERS array: NE-type,
+# genre, and combined subsets, each a POSIX regex egrep'd over the
+# combined.tsv LINES (docid leads the line, type ends it)
+TAC14_FILTERS = [
+    ("PER", r"PER$"), ("ORG", r"ORG$"), ("GPE", r"GPE$"),
+    ("NW", r"^(AFP|APW|CNA|LTW|NYT|WPB|XIN)_ENG_"),
+    ("WB", r"^eng-(NG|WL)-"), ("DF", r"^bolt-eng-DF-"),
+    ("PER_NW", r"^(AFP|APW|CNA|LTW|NYT|WPB|XIN)_ENG_.*PER$"),
+    ("PER_WB", r"^eng-(NG|WL)-.*PER$"),
+    ("PER_DF", r"^bolt-eng-DF-.*PER$"),
+    ("ORG_NW", r"^(AFP|APW|CNA|LTW|NYT|WPB|XIN)_ENG_.*ORG$"),
+    ("ORG_WB", r"^eng-(NG|WL)-.*ORG$"),
+    ("ORG_DF", r"^bolt-eng-DF-.*ORG$"),
+    ("GPE_NW", r"^(AFP|APW|CNA|LTW|NYT|WPB|XIN)_ENG_.*GPE$"),
+    ("GPE_WB", r"^eng-(NG|WL)-.*GPE$"),
+    ("GPE_DF", r"^bolt-eng-DF-.*GPE$"),
+]
+
+# split-by-netype.sh: one subset per CoNLL03 entity type
+NETYPE_FILTERS = [(t, t + r"$") for t in ("PER", "LOC", "ORG", "MISC")]
+
+
+def cmd_filtered_track_eval(args):
+    """Filtered-subset re-evaluation over a ``track-eval`` output
+    directory (analogue of reference scripts/run_tac14_filtered.sh +
+    run_filtrate.sh + run_tac15_filtered.sh/run_tac16_filtered.sh and
+    the split-by-netype.sh type split): for each named filter
+    (``NAME:::REGEX``, matched against the rendered TSV line exactly
+    like the reference's ``egrep``), evaluate every system's filtered
+    mentions against the filtered gold and write
+    ``00filtered/<NAME>/{*.evaluation, 00report.tab}``.
+
+    The reference filters by piping files through egrep into temp
+    copies and re-spawning an evaluator per (system, subset) with
+    ``xargs -P``; here the filter is ONE JVM ``rlike`` on the raw
+    line frame (no temp files, no re-parse of unfiltered rows — the
+    predicate sits directly on the text scan) and one Spark session
+    evaluates every subset."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .measures import evaluate
+    from .measures.contingency import tab_format
+    from .sources.tsv import parse_annotation_lines
+
+    spark = _spark()
+    filters = list(NETYPE_FILTERS) if args.netype_split else []
+    for f in args.filter or []:
+        name, _, regex = f.partition(":::")
+        if not regex:
+            raise SystemExit(f"bad --filter {f!r}: want NAME:::REGEX")
+        filters.append((name, regex))
+    if not filters:
+        filters = list(TAC14_FILTERS)
+
+    gold_path = os.path.join(args.outdir, "gold.combined.tsv")
+    if not os.path.exists(gold_path):
+        raise SystemExit(f"{gold_path} does not exist (run track-eval "
+                         "first)")
+    sys_paths = sorted(
+        p for p in glob.glob(os.path.join(args.outdir,
+                                          "*.combined.tsv"))
+        if os.path.basename(p) != "gold.combined.tsv")
+    if not sys_paths:
+        raise SystemExit("no system *.combined.tsv found")
+    measures = ["all", "mention_ceaf:is_first:span",
+                "b_cubed:is_first:span", "muc:is_first:span"]
+
+    gold_raw = spark.read.text(gold_path).persist()
+    gold_raw.count()
+    done = {}
+    try:
+        for name, regex in filters:
+            gold = parse_annotation_lines(
+                gold_raw.where(F.col("value").rlike(regex)))
+            if gold.isEmpty():
+                print(f"WARN ignoring filter {name!r} ({regex!r}): "
+                      "no gold mentions")
+                continue
+            subdir = os.path.join(args.outdir, "00filtered", name)
+            os.makedirs(subdir, exist_ok=True)
+            report = []
+            for sp_ in sys_paths:
+                sysname = os.path.basename(sp_)[:-len(".combined.tsv")]
+                sys_df = parse_annotation_lines(
+                    spark.read.text(sp_)
+                    .where(F.col("value").rlike(regex)))
+                res = evaluate(sys_df, gold, measures=measures)
+                with open(os.path.join(
+                        subdir, f"{sysname}.evaluation"), "w") as f:
+                    f.write(tab_format(res) + "\n")
+                report.append([sysname] + [
+                    f"{res[m][k]:.3f}"
+                    for m in ("strong_typed_mention_match",
+                              "strong_all_match", "mention_ceaf")
+                    for k in ("precision", "recall", "fscore")])
+            with open(os.path.join(subdir, "00report.tab"), "w") as f:
+                f.write("DiscP\tDiscR\tDiscF\tLinkP\tLinkR\tLinkF\t"
+                        "CEAFmP\tCEAFmR\tCEAFmF\tSystem\n")
+                for row in report:
+                    f.write("\t".join(row[1:] + [row[0]]) + "\n")
+            done[name] = len(report)
+    finally:
+        gold_raw.unpersist()
+    print(json.dumps({"subsets": done,
+                      "out": os.path.join(args.outdir, "00filtered")}))
+
+
 def cmd_compact_sink(args):
     """Compact an accumulated streaming triple sink (many run_id
     partitions of small files) into the batch layout — the
@@ -1000,6 +1110,17 @@ def main(argv=None):
         sp.add_argument("sysdir"),
         sp.add_argument("-o", "--out", required=True),
         sp.add_argument("-x", "--excluded")))
+    add("filtered-track-eval", cmd_filtered_track_eval, lambda sp: (
+        sp.add_argument("outdir",
+                        help="track-eval output dir of *.combined.tsv"),
+        sp.add_argument("--filter", action="append",
+                        help="NAME:::REGEX over the TSV line "
+                             "(repeatable; default: the TAC14 "
+                             "type/genre subset list)"),
+        sp.add_argument("--netype-split", action="store_true",
+                        dest="netype_split",
+                        help="PER/LOC/ORG/MISC type split "
+                             "(split-by-netype.sh analogue)")))
 
     args = p.parse_args(argv)
     args.fn(args)

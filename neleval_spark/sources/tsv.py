@@ -97,7 +97,14 @@ def _candidates_expr(colname: str):
 
 def read_annotations_tsv(spark: SparkSession, path: str) -> DataFrame:
     """Read an annotation TSV into the normalized mentions DataFrame."""
-    raw = spark.read.text(path)
+    return parse_annotation_lines(spark.read.text(path))
+
+
+def parse_annotation_lines(raw: DataFrame) -> DataFrame:
+    """Parse a DataFrame of raw TSV ``value`` lines into the
+    normalized mentions frame — the line-level entry point that lets
+    callers pre-filter lines JVM-side (e.g. ``filtered-track-eval``'s
+    egrep-equivalent ``rlike`` subsets) without a temp file."""
     parts = F.split(F.regexp_replace(F.col("value"), "[\n\t]+$", ""), "\t", 4)
     df = raw.select(
         F.element_at(parts, 1).alias("docid"),

@@ -441,6 +441,62 @@ def test_cli_track_eval(spark, capsys, tmp_path):
     assert row[-1] == "teamA" and set(row[:-1]) == {"1.000"}
 
 
+def test_cli_filtered_track_eval(spark, capsys, tmp_path):
+    """Filtered-subset rerun (reference run_tac14_filtered.sh +
+    run_filtrate.sh): per-filter egrep-equivalent rlike over the
+    combined.tsv lines, per-subset evaluations + report; empty-gold
+    filters are skipped with a warning like the reference."""
+    import shutil
+
+    sysdir = tmp_path / "systems"
+    sysdir.mkdir()
+    shutil.copy(os.path.join(EXAMPLES, "tac_system.tab"),
+                sysdir / "teamA.tab")
+    shutil.copy(os.path.join(EXAMPLES, "tac_system.xml"),
+                sysdir / "teamA.xml")
+    out = tmp_path / "track"
+    _run(capsys, "track-eval",
+         os.path.join(EXAMPLES, "tac_gold.xml"),
+         os.path.join(EXAMPLES, "tac_gold.tab"),
+         str(sysdir), "-o", str(out))
+
+    # six of the default TAC14 filters, passed explicitly to keep the
+    # test lean (the full default list is 15 subsets of the same code
+    # path); regexes verbatim from TAC14_FILTERS
+    from neleval_spark.__main__ import TAC14_FILTERS
+
+    want = dict(TAC14_FILTERS)
+    args = []
+    for subset in ("PER", "ORG", "GPE", "NW", "WB", "DF"):
+        args += ["--filter", f"{subset}:::{want[subset]}"]
+    res = json.loads(_run(capsys, "filtered-track-eval", str(out),
+                          *args).splitlines()[-1])
+    # the example corpus has PER/ORG/GPE and NW/WB/DF docids
+    for subset in ("PER", "ORG", "GPE", "NW", "WB", "DF"):
+        assert res["subsets"].get(subset) == 1, (subset, res)
+        rep = out / "00filtered" / subset / "00report.tab"
+        with open(rep) as f:
+            lines = f.read().rstrip("\n").split("\n")
+        row = lines[1].split("\t")
+        # system == gold on every subset of a perfect system
+        assert row[-1] == "teamA" and set(row[:-1]) == {"1.000"}
+        with open(out / "00filtered" / subset /
+                  "teamA.evaluation") as f:
+            assert "mention_ceaf:is_first:span" in f.read()
+    # custom filter + no-match filter (skipped, not failed)
+    res2 = json.loads(_run(
+        capsys, "filtered-track-eval", str(out),
+        "--filter", "kbA:::kb_A",
+        "--filter", "nothing:::^NO_SUCH_DOC")
+        .splitlines()[-1])
+    assert list(res2["subsets"]) == ["kbA"]
+    # netype split writes one dir per CoNLL03 type with gold mentions
+    res3 = json.loads(_run(capsys, "filtered-track-eval", str(out),
+                           "--netype-split").splitlines()[-1])
+    assert set(res3["subsets"]) <= {"PER", "LOC", "ORG", "MISC"}
+    assert "PER" in res3["subsets"]
+
+
 def test_cli_curate_funnel(spark, capsys, tmp_path):
     docs = str(tmp_path / "docs")
     near_dup_text = ("unique body line about entity linking\n"
