@@ -186,6 +186,13 @@ def keyword_topk(postings: DataFrame, k: int = 5,
     corpus size — no window, no hot key.  Scores are rounded to 6 dp
     and tie-broken by term so the ordering is total cross-engine
     (the BM25 oracle's ln-at-6dp precedent).
+
+    Feed a MATERIALIZED postings table: this query scans ``postings``
+    three times (df stats, corpus N, the scoring join), so an
+    unmaterialized text→postings lineage re-tokenizes the corpus
+    three times — 4.5× slower at the 120k-doc probe
+    (docs/PLANS.md "IR/dedup scale probe"), and at crawl scale the
+    difference between reading an index and re-reading the corpus.
     """
     stats = term_stats(postings).where(F.col("df") >= min_df)
     n_docs = postings.select(
