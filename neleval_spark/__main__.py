@@ -295,6 +295,19 @@ def _read_results_files(paths):
     return out
 
 
+def _parse_label_map(arg):
+    """--label-map: inline JSON or a path to a JSON file (reference
+    _parse_label_map, summary.py:73-83)."""
+    import os.path
+
+    if arg is None:
+        return None
+    if os.path.exists(arg):
+        with open(arg) as f:
+            return json.load(f)
+    return json.loads(arg)
+
+
 def _short_names(systems):
     """Strip common path prefix/suffix (reference: _get_system_names,
     summary.py:86-92)."""
@@ -416,6 +429,24 @@ def cmd_compare_measures(args):
     mnames = [str(m) for m in measures]
     scores = {m: [per_system[p][m]["fscore"] for p in args.systems]
               for m in mnames}
+    if args.fmt == "plot":
+        # reference plot_format (summary.py:734-806): three
+        # correlation matrices + spread boxplot + violin, measures
+        # ordered per --sort-by (eigen/mds orderings re-derived
+        # deterministically; see summary.order_measures)
+        from .figures import render_compare_measures_svgs
+        from .summary import compare_measures_data
+
+        data = compare_measures_data(
+            scores, sort_by=args.sort_by,
+            label_map=_parse_label_map(args.label_map))
+        out_fmt = args.out_fmt or "compare_{name}.svg"
+        for name, svg in render_compare_measures_svgs(data).items():
+            path = out_fmt.format(name=name)
+            with open(path, "w") as f:
+                f.write(svg)
+            print(path)
+        return
     res = compare_measures_full(scores)
     if args.fmt == "json":
         print(json.dumps(
@@ -466,12 +497,13 @@ def cmd_plot_systems(args):
                         f"{sorted(map(str, ivs))})")
                 return got
 
+            wanted = args.metrics or (args.metric,)
             results[path] = {
-                e["measure"]: {args.metric: {
-                    "score": e["overall"][args.metric],
-                    "lo": _iv(e, args.metric)[0],
-                    "hi": _iv(e, args.metric)[1],
-                }}
+                e["measure"]: {mt: {
+                    "score": e["overall"][mt],
+                    "lo": _iv(e, mt)[0],
+                    "hi": _iv(e, mt)[1],
+                } for mt in wanted}
                 for e in data
             }
     else:
@@ -487,6 +519,9 @@ def cmd_plot_systems(args):
         at_most=args.at_most,
         figures_by=args.figures_by,
         secondary=args.secondary,
+        metrics=args.metrics,
+        label_map=_parse_label_map(args.label_map),
+        anon=args.anon,
     )
     try:
         import matplotlib  # noqa: F401
@@ -501,7 +536,9 @@ def cmd_plot_systems(args):
         for fig in figures:
             path = args.out_fmt.format(name=fig["figure"])
             with open(path, "w") as f:
-                f.write(render_figure_svg(fig))
+                f.write(render_figure_svg(
+                    fig, lines=args.lines, cmap=args.cmap,
+                    limits=args.limits, scale=args.figsize))
             print(path)
     elif args.out_fmt and has_mpl:
         import matplotlib.pyplot as plt
@@ -966,7 +1003,17 @@ def main(argv=None):
         sp.add_argument("-m", "--measure", dest="measures",
                         action="append"),
         sp.add_argument("-f", "--fmt", default="tab",
-                        choices=["tab", "json"])))
+                        choices=["tab", "json", "plot"]),
+        sp.add_argument("-s", "--sort-by", default="none",
+                        choices=["none", "name", "eigen", "mds"],
+                        help="measure order in plot output "
+                             "(eigen: PC-1 loadings; mds: 1-d "
+                             "classical MDS)"),
+        sp.add_argument("--label-map",
+                        help="JSON (or file) display renames"),
+        sp.add_argument("-o", "--out-fmt",
+                        help="plot output path format {name}; "
+                             "default compare_{name}.svg")))
     add("analyze", cmd_analyze, lambda sp: (
         sp.add_argument("system"),
         sp.add_argument("-g", "--gold", required=True),
@@ -1019,6 +1066,14 @@ def main(argv=None):
                         action="append"),
         sp.add_argument("--metric", default="fscore",
                         choices=["precision", "recall", "fscore"]),
+        sp.add_argument("--pr", dest="metrics", action="store_const",
+                        const=("precision", "recall"), default=None,
+                        help="plot precision and recall"),
+        sp.add_argument("--prf", dest="metrics",
+                        action="store_const",
+                        const=("precision", "recall", "fscore")),
+        sp.add_argument("--recall-only", dest="metrics",
+                        action="store_const", const=("recall",)),
         sp.add_argument("--confidence", type=int, default=95),
         sp.add_argument("--figures-by", default="measure",
                         choices=["measure", "system", "single"]),
@@ -1030,6 +1085,22 @@ def main(argv=None):
         sp.add_argument("--sort-by", default="none",
                         choices=["none", "name", "score"]),
         sp.add_argument("--at-most", type=int),
+        sp.add_argument("--label-map",
+                        help="JSON (or file) display renames"),
+        sp.add_argument("--anon", action="store_true",
+                        help="hide system names in figures"),
+        sp.add_argument("--lines", action="store_true",
+                        help="join 1-d plot dots with a line"),
+        sp.add_argument("--cmap", default="blues",
+                        choices=["blues", "rdbu"]),
+        sp.add_argument("--limits", default="0,1",
+                        type=lambda s: tuple(
+                            float(v) for v in s.split(",")),
+                        help="score-axis limits lo,hi"),
+        sp.add_argument("--figsize", default=1.0, type=float,
+                        help="canvas scale factor (reference "
+                             "--figsize inches -> here a multiplier "
+                             "on the base SVG size)"),
         sp.add_argument("-o", "--out-fmt",
                         help="figure path format {name}; requires "
                              "matplotlib, else JSON to stdout")))

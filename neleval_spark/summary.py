@@ -153,6 +153,90 @@ def compare_measures_full(scores_by_measure: dict) -> dict:
     return {"correlations": correlations, "quartiles": quarts}
 
 
+def order_measures(scores_by_measure: dict, sort_by: str = "none"
+                   ) -> list[str]:
+    """Measure ordering for the CompareMeasures plot family
+    (reference summary.py:742-760).
+
+    * ``'none'`` — input order; ``'name'`` — lexicographic.
+    * ``'eigen'`` — by each measure's loading on the first principal
+      component of the (system × measure) score matrix.  The
+      reference's ``np.argsort(PCA(all_results).s)`` indexes the
+      singular-VALUE vector, which mlab's PCA returns already sorted
+      — a no-op quirk; the intent ("order correlated measures next
+      to each other") is the PC-1 loading order implemented here.
+    * ``'mds'`` — 1-d classical MDS (Torgerson) over euclidean
+      distances between measure score vectors.  The reference uses
+      sklearn's SMACOF with a fixed ``random_state``; the classical
+      eigensolve is deterministic with no dependency and agrees on
+      the axis that explains the most pairwise distance.
+
+    Both embeddings fix the eigenvector sign (largest-|coordinate|
+    entry positive) so the order is reproducible across BLAS builds.
+    """
+    measures = list(scores_by_measure)
+    if sort_by in ("none", None):
+        return measures
+    if sort_by == "name":
+        return sorted(measures)
+    x = np.column_stack([np.asarray(scores_by_measure[m], dtype=float)
+                         for m in measures])
+    if sort_by == "eigen":
+        centered = x - x.mean(axis=0, keepdims=True)
+        # loadings of PC-1 = right singular vector of the centered
+        # score matrix (systems × measures)
+        _, _, vt = np.linalg.svd(centered, full_matrices=False)
+        coord = vt[0]
+    elif sort_by == "mds":
+        # classical MDS: double-centre the squared-distance matrix
+        # between measure columns, top eigenvector = 1-d embedding
+        sq = ((x[:, :, None] - x[:, None, :]) ** 2).sum(axis=0)
+        n = len(measures)
+        j = np.eye(n) - np.full((n, n), 1.0 / n)
+        b = -0.5 * j @ sq @ j
+        vals, vecs = np.linalg.eigh(b)
+        coord = vecs[:, np.argmax(vals)]
+    else:
+        raise ValueError(f"unknown sort_by: {sort_by!r}")
+    if coord[np.argmax(np.abs(coord))] < 0:
+        coord = -coord
+    return [measures[i] for i in np.argsort(coord, kind="stable")]
+
+
+def compare_measures_data(scores_by_measure: dict,
+                          sort_by: str = "none",
+                          label_map: dict | None = None) -> dict:
+    """The data side of CompareMeasures' plot output (reference
+    summary.py:734-806): per-metric correlation MATRICES (symmetric,
+    unit diagonal, measures ordered per :func:`order_measures`), the
+    quartile SPREAD payload of its boxplot, and the raw score vectors
+    its violin plot draws from.  Rendering lives in
+    :mod:`neleval_spark.figures` (SVG, no matplotlib)."""
+    measures = order_measures(scores_by_measure, sort_by)
+    full = compare_measures_full(scores_by_measure)
+    corr = full["correlations"]
+
+    def _cell(m1, m2, metric):
+        if m1 == m2:
+            return 1.0
+        pair = corr.get((m1, m2)) or corr[(m2, m1)]
+        return pair[metric]
+
+    label_map = label_map or {}
+    return {
+        "measures": measures,
+        "labels": [label_map.get(m, m) for m in measures],
+        "matrices": {
+            metric: [[_cell(m1, m2, metric) for m2 in measures]
+                     for m1 in measures]
+            for metric in ("pearson", "spearman", "kendall")
+        },
+        "spread": {m: list(full["quartiles"][m]) for m in measures},
+        "scores": {m: [float(v) for v in scores_by_measure[m]]
+                   for m in measures},
+    }
+
+
 def compare_measures_tab(results: dict, measures: list[str]) -> str:
     """Reference CompareMeasures.tab_format (summary.py:709-726):
     width-padded, tab-joined rows of pearson/spearman/kendall plus
@@ -221,7 +305,10 @@ def plot_systems_data(results: dict, measures: list[str],
                       best_in_group: bool = False, sort_by: str = "none",
                       at_most: int | None = None,
                       figures_by: str = "measure",
-                      secondary: str = "markers") -> list[dict]:
+                      secondary: str = "markers",
+                      metrics: tuple | None = None,
+                      label_map: dict | None = None,
+                      anon: bool = False) -> list[dict]:
     """The data side of the reference's PlotSystems (summary.py:116-654):
     select/group/sort the (system, measure, score[, ci]) points that
     each figure would render.  Figure rendering itself is a thin
@@ -255,7 +342,40 @@ def plot_systems_data(results: dict, measures: list[str],
       the score ``matrix`` plus ``rows``/``columns`` name lists
       (primary × secondary per ``figures_by``, like _metric_matrix,
       :452-462).
+
+    Display options (reference add_arguments, summary.py:604-650):
+    ``metrics`` — the ``--pr`` / ``--prf`` / ``--recall-only``
+    metric-set selectors; one figure list per metric, each payload
+    tagged with its ``metric`` (the reference overlays them as
+    series; the payload keeps them separable).  ``label_map`` — the
+    ``--label-map`` display renames; every point (and heatmap
+    row/column list) gains a ``label``.  ``anon`` — ``--anon`` hides
+    system names (their labels become empty; measure labels are kept,
+    matching the reference, which blanks only system ticks).
     """
+    if metrics is not None:
+        out = []
+        for mt in metrics:
+            for fig in plot_systems_data(
+                    results, measures, metric=mt, group_re=group_re,
+                    best_in_group=best_in_group, sort_by=sort_by,
+                    at_most=at_most, figures_by=figures_by,
+                    secondary=secondary, label_map=label_map,
+                    anon=anon):
+                fig = dict(fig)
+                fig["metric"] = mt
+                if len(metrics) > 1:
+                    fig["figure"] = f"{fig['figure']}-{mt}"
+                out.append(fig)
+        return out
+
+    label_map = label_map or {}
+
+    def _label(name, is_system):
+        if anon and is_system:
+            return ""
+        return label_map.get(name, name)
+
     def _point(system, measure):
         cell = results[system][measure]
         val = cell[metric]
@@ -271,6 +391,8 @@ def plot_systems_data(results: dict, measures: list[str],
                             cell["fscore"]]
         if group_re is not None:
             p["group"] = group_re.search(system).group()
+        p["label"] = (_label(measure, False) if figures_by == "system"
+                      else _label(system, True))
         return p
 
     systems = list(results)
@@ -318,9 +440,13 @@ def plot_systems_data(results: dict, measures: list[str],
         col_order = ([p["system"] for p in
                       _select([_point(s, rows[0]) for s in systems])]
                      if figures_by != "system" else cols)
+        rows_are_systems = figures_by == "system"
         return [{
             "figure": "heatmap", "secondary": "heatmap",
             "rows": list(rows), "columns": list(col_order),
+            "row_labels": [_label(r, rows_are_systems) for r in rows],
+            "col_labels": [_label(c, not rows_are_systems)
+                           for c in col_order],
             "matrix": [[cell(r, c)["score"] for c in col_order]
                        for r in rows],
         }]
