@@ -59,7 +59,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "commit_snapshot", "snapshots", "current_snapshot",
-    "read_snapshot", "expire_snapshots", "remove_orphan_files",
+    "read_snapshot", "rollback", "expire_snapshots",
+    "remove_orphan_files",
 ]
 
 _META = "metadata"
@@ -161,8 +162,13 @@ def commit_snapshot(out_dir: str, run_id: str | None = None,
             snap_removed = sorted(
                 set(_resolve_files(out_dir, parent)) - set(snap_added))
         else:
-            known = (set(_resolve_files(out_dir, parent))
-                     if parent is not None else set())
+            # the auto-added default adopts only files NO live
+            # snapshot references (crashed-writer strays) — files on
+            # a divergent branch after a rollback stay out of the
+            # table until expire+orphan cleanup reclaims them
+            known: set[str] = set()
+            for s in snapshots(out_dir):
+                known.update(_resolve_files(out_dir, s["seq"]))
             snap_added = (sorted(added) if added is not None
                           else [f for f in live if f not in known])
             snap_removed = sorted(removed) if removed else []
@@ -255,6 +261,23 @@ def read_snapshot(spark: SparkSession, out_dir: str,
     # explicit file paths would otherwise strip
     return (spark.read.option("basePath", data)
             .parquet(*[os.path.join(data, f) for f in files]))
+
+
+def rollback(out_dir: str, snapshot_id: int) -> dict:
+    """Move the current pointer back to an earlier snapshot
+    (Iceberg's ``rollback_to_snapshot``).  Later snapshots stay on
+    disk as divergent history until :func:`expire_snapshots` drops
+    them; the next commit chains from the restored snapshot, and its
+    auto-added default will NOT re-adopt the rolled-back files (they
+    remain referenced by live snapshot metadata).  Returns the
+    restored snapshot dict."""
+    try:
+        snap = _load(out_dir, snapshot_id)
+    except FileNotFoundError:
+        raise ValueError(
+            f"snapshot {snapshot_id} is expired or unknown") from None
+    _write_hint(out_dir, snapshot_id)
+    return snap
 
 
 def expire_snapshots(out_dir: str, keep_last: int = 1) -> list[int]:

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from neleval_spark.pipeline.snapshots import (
     commit_snapshot, current_snapshot, expire_snapshots,
-    read_snapshot, remove_orphan_files, snapshots)
+    read_snapshot, remove_orphan_files, rollback, snapshots)
 from neleval_spark.pipeline.triples import write_triples
 
 
@@ -168,6 +168,30 @@ def test_optimistic_concurrency_retry(spark, sink):
     s = commit_snapshot(out, run_id="retry", timestamp=300.0)
     assert s["seq"] == 4 and s["parent"] == 2
     assert current_snapshot(out)["seq"] == 4
+
+
+def test_rollback(spark, sink):
+    """Rollback restores an earlier table state; the abandoned
+    snapshot becomes divergent history that expire + orphan cleanup
+    reclaims, and later commits never re-adopt its files."""
+    out, _s1, _s2 = sink
+    assert rollback(out, 1)["seq"] == 1
+    assert current_snapshot(out)["seq"] == 1
+    assert read_snapshot(spark, out).count() == 40
+    # snapshot 2 stays on disk as divergent history
+    assert [s["seq"] for s in snapshots(out)] == [1, 2]
+    # next commit chains from the restored snapshot; the rolled-back
+    # files are still referenced by live metadata, so the auto-added
+    # default does not adopt them
+    s3 = commit_snapshot(out, run_id="r3", timestamp=300.0)
+    assert (s3["parent"], s3["added"]) == (1, [])
+    assert read_snapshot(spark, out).count() == 40
+    # expiring the divergent branch frees its files for orphan cleanup
+    expire_snapshots(out, keep_last=1)
+    assert remove_orphan_files(out, older_than_s=0)
+    assert read_snapshot(spark, out).count() == 40
+    with pytest.raises(ValueError, match="expired or unknown"):
+        rollback(out, 99)
 
 
 def test_remote_uri_refused(tmp_path):
