@@ -56,11 +56,12 @@ import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = [
     "commit_snapshot", "snapshots", "current_snapshot",
-    "read_snapshot", "rollback", "expire_snapshots",
-    "remove_orphan_files",
+    "read_snapshot", "rollback", "merge_commit",
+    "expire_snapshots", "remove_orphan_files",
 ]
 
 _META = "metadata"
@@ -278,6 +279,66 @@ def rollback(out_dir: str, snapshot_id: int) -> dict:
             f"snapshot {snapshot_id} is expired or unknown") from None
     _write_hint(out_dir, snapshot_id)
     return snap
+
+
+def merge_commit(spark: SparkSession, out_dir: str, delta: DataFrame,
+                 generation: int, mode: str = "replace",
+                 n_buckets: int = 64,
+                 timestamp: float | None = None) -> dict:
+    """Copy-on-write MERGE of one crawl generation into the
+    snapshot-tracked KG table (Iceberg's ``MERGE INTO`` with
+    copy-on-write: the merge rewrites the table into NEW files and
+    the commit re-points; old generations stay on disk, readable by
+    pinned readers, until expire + orphan cleanup).
+
+    ``delta`` is an :func:`~.triples.aggregate_kg` frame
+    ``(subj, pred, obj, n_pages, first_seen, last_seen)``.  Steps:
+
+    1. read the CURRENT snapshot as the base (crashed earlier merge
+       attempts are invisible — their files were never committed);
+    2. :func:`~.triples.merge_kg` base + delta (one full-outer join
+       on the KG primary key — no skew side, both inputs
+       aggregate-sized);
+    3. write the merged table under ``run_id=gen-{generation:06d}``
+       partitions, bucketed by ``pmod(xxhash64(subj), n_buckets)``
+       (the subj key, not url — KG rows are witness-aggregated).
+       Dynamic partition overwrite makes a REPLAY of the same failed
+       generation converge to one copy;
+    4. commit a ``replace`` snapshot whose file set is exactly this
+       generation's files.
+
+    A generation the current snapshot already supersedes is refused
+    (the optimistic-concurrency analogue for out-of-order merge
+    jobs); :func:`rollback` first to redo history intentionally.
+    Returns the committed snapshot dict."""
+    from .triples import merge_kg, write_triples
+
+    run_id = f"gen-{generation:06d}"
+    cur = current_snapshot(out_dir)
+    if (cur is not None and isinstance(cur.get("run_id"), str)
+            and cur["run_id"].startswith("gen-")
+            and cur["run_id"] >= run_id):
+        raise ValueError(
+            f"generation {generation} is already superseded (current "
+            f"snapshot is {cur['run_id']}); rollback first to redo "
+            "history")
+
+    merged = delta
+    if cur is not None:
+        base = read_snapshot(spark, out_dir).select(
+            "subj", "pred", "obj", "n_pages", "first_seen",
+            "last_seen")
+        merged = merge_kg(base, delta, mode=mode)
+    merged = merged.withColumn(
+        "part_id", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)))
+    write_triples(merged, out_dir, run_id=run_id, overwrite_run=True)
+
+    prefix = f"run_id={run_id}/"
+    gen_files = [f for f in _list_data_files(out_dir)
+                 if f.startswith(prefix)]
+    return commit_snapshot(out_dir, run_id=run_id,
+                           operation="replace", added=gen_files,
+                           timestamp=timestamp)
 
 
 def expire_snapshots(out_dir: str, keep_last: int = 1) -> list[int]:

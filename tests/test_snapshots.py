@@ -15,8 +15,9 @@ from pyspark.sql import functions as F
 
 from neleval_spark.pipeline.snapshots import (
     commit_snapshot, current_snapshot, expire_snapshots,
-    read_snapshot, remove_orphan_files, rollback, snapshots)
-from neleval_spark.pipeline.triples import write_triples
+    merge_commit, read_snapshot, remove_orphan_files, rollback,
+    snapshots)
+from neleval_spark.pipeline.triples import aggregate_kg, write_triples
 
 
 def _mk_triples(spark, lo, hi, part_mod=4):
@@ -192,6 +193,58 @@ def test_rollback(spark, sink):
     assert read_snapshot(spark, out).count() == 40
     with pytest.raises(ValueError, match="expired or unknown"):
         rollback(out, 99)
+
+
+def _witness(spark, rows):
+    """(subj, pred, obj, url) witness rows from (subj, obj, url)."""
+    return spark.createDataFrame(
+        [(s, "cooccurs_with", o, u) for s, o, u in rows],
+        "subj string, pred string, obj string, url string")
+
+
+def test_merge_commit(spark, tmp_path):
+    """Copy-on-write MERGE of crawl generations: each merge commits a
+    replace snapshot; pinned readers keep the old generation;
+    replaced counts follow merge_kg semantics; expire + orphan
+    reclaims superseded generations; out-of-order merges are
+    refused."""
+    out = str(tmp_path / "kg")
+    g1 = aggregate_kg(_witness(spark, [
+        ("a", "b", "u1"), ("a", "b", "u2"), ("c", "d", "u1")]), 1)
+    s1 = merge_commit(spark, out, g1, generation=1, timestamp=100.0)
+    assert (s1["seq"], s1["operation"]) == (1, "replace")
+    kg1 = {(r.subj, r.obj): r for r in read_snapshot(spark, out).collect()}
+    assert kg1[("a", "b")].n_pages == 2 and kg1[("c", "d")].n_pages == 1
+
+    # generation 2 re-observes (a,b) on ONE page and finds (e,f);
+    # (c,d) was not re-observed and persists with its old count
+    g2 = aggregate_kg(_witness(spark, [
+        ("a", "b", "u3"), ("e", "f", "u3")]), 2)
+    s2 = merge_commit(spark, out, g2, generation=2, timestamp=200.0)
+    kg2 = {(r.subj, r.obj): r for r in read_snapshot(spark, out).collect()}
+    assert len(kg2) == 3
+    assert kg2[("a", "b")].n_pages == 1          # replace mode
+    assert kg2[("a", "b")].first_seen == 1       # min across gens
+    assert kg2[("a", "b")].last_seen == 2        # max across gens
+    assert kg2[("c", "d")].last_seen == 1        # stale, persisted
+    assert kg2[("e", "f")].first_seen == 2
+    # snapshot isolation: a reader pinned to gen 1 is untouched
+    assert read_snapshot(spark, out, snapshot_id=1).count() == 2
+    # the replace commit's file set is exactly generation 2's files
+    assert all(f.startswith("run_id=gen-000002/") for f in s2["added"])
+
+    # out-of-order merge refused; rollback makes it legal again
+    with pytest.raises(ValueError, match="superseded"):
+        merge_commit(spark, out, g2, generation=2)
+    rollback(out, 1)
+    s3 = merge_commit(spark, out, g2, generation=2, timestamp=300.0)
+    assert s3["seq"] == 3 and s3["parent"] == 1
+
+    # retention: expiring history frees gen-1 files for orphan cleanup
+    expire_snapshots(out, keep_last=1)
+    gone = remove_orphan_files(out, older_than_s=0)
+    assert any(f.startswith("run_id=gen-000001/") for f in gone)
+    assert read_snapshot(spark, out).count() == 3
 
 
 def test_remote_uri_refused(tmp_path):
