@@ -132,7 +132,17 @@ def write_triples(
     replayed write converges to exactly one copy regardless of where
     the previous attempt stopped.  Idempotence IS the resume story in
     this mode, so the part_id-keyed resume anti-join (whose done-set
-    would wrongly cover every later run's part_ids) is disabled."""
+    would wrongly cover every later run's part_ids) is disabled.
+
+    The frame is repartitioned ON part_id before the partitionBy
+    write: without it every upstream task opens one file per bucket
+    it touches, so a P-partition frame emits up to P x n_buckets
+    files (the round-5 merge probe measured 2,752 files for a 5.5M-row
+    generation — the classic partitionBy small-files explosion).
+    With it each bucket is written by exactly one task: files per
+    run == occupied buckets, and file SIZE is steered by the
+    ``n_buckets`` chosen at part_id derivation (raise it at scale so
+    one bucket ~ one ideal parquet file)."""
     spark = triples.sparkSession
     run_id = run_id or f"run-{int(time.time() * 1000)}"
     data_dir = os.path.join(out_dir, "triples")
@@ -147,6 +157,8 @@ def write_triples(
         todo = triples.join(F.broadcast(done), "part_id", "left_anti")
 
     if not todo.isEmpty():
+        # one writer task per bucket -> one file per (run, part_id)
+        todo = todo.repartition("part_id")
         if overwrite_run:
             todo = todo.withColumn("run_id", F.lit(run_id))
             (todo.write.mode("overwrite")
@@ -273,7 +285,10 @@ def compact_triples(spark: SparkSession, out_dir: str,
     triples = triples.drop("part_id").withColumn(
         "part_id", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
 
-    triples.write.mode("overwrite").partitionBy("part_id") \
+    # the whole point of compaction is FEWER files: cluster each
+    # bucket into one writer task (see write_triples)
+    triples.repartition("part_id").write.mode("overwrite") \
+        .partitionBy("part_id") \
         .parquet(os.path.join(staging, "triples"))
     # partition-column inference types directory-derived part_id as
     # int32 — cast back so manifest files keep one schema (long)
