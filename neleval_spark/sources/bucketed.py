@@ -46,7 +46,14 @@ def write_mentions_bucketed(df: DataFrame, table: str,
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
     if wh.scheme in ("", "file"):
         shutil.rmtree(f"{wh.path}/{table.lower()}", ignore_errors=True)
-    (df.write.bucketBy(n_buckets, "docid").sortBy("docid")
+    # repartition(n, docid) uses the same murmur3-pmod-n placement as
+    # bucketBy(n, docid), so each writer task holds exactly one
+    # bucket's rows -> one file per bucket.  Without it every
+    # upstream task opens a file per bucket it touches (P x n files
+    # — the same small-files explosion fixed in
+    # pipeline/triples.write_triples; see docs/PLANS.md merge probe).
+    (df.repartition(n_buckets, "docid")
+     .write.bucketBy(n_buckets, "docid").sortBy("docid")
      .format("parquet").mode("overwrite").saveAsTable(table))
 
 

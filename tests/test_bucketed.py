@@ -73,6 +73,29 @@ def test_bucketed_scores_match(spark, tables):
     assert got == want
 
 
+def test_bucketed_one_file_per_bucket(spark, tables):
+    """bucketBy without an aligned repartition writes one file per
+    (task, bucket); the writer repartitions on the bucket key first,
+    so the table directory holds exactly n_buckets data files even
+    when the input frame has many partitions."""
+    from urllib.parse import urlparse
+
+    from neleval_spark.sources.bucketed import write_mentions_bucketed
+
+    gold, _ = tables
+    write_mentions_bucketed(gold.repartition(16), "gold_fpb",
+                            n_buckets=4)
+    try:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        files = [f for f in os.listdir(f"{wh}/gold_fpb")
+                 if f.endswith(".parquet")]
+        assert len(files) == 4, files
+        assert (spark.table("gold_fpb").count()
+                == spark.table("gold_b").count())
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gold_fpb")
+
+
 @pytest.mark.parametrize("name", ["a.b", "x/y", "..", "t-1", ""])
 def test_bucketed_rejects_unsafe_table_names(spark, tables, name):
     """The stale-location cleanup rmtree's <warehouse>/<table>; any
