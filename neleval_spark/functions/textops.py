@@ -507,17 +507,32 @@ def trigram_weights(lang: str) -> dict[str, int]:
     return {t: len(tris) - i for i, t in enumerate(tris)}
 
 
-def _char_trigrams(text_col) -> F.Column:
-    """Space-padded lowercase letter trigrams of a text column."""
-    norm = F.concat(
+def _char_norm(text_col) -> F.Column:
+    """Space-padded lowercase-letter normalization of a text column.
+
+    Callers MUST materialize this as its own column (``withColumn``)
+    before windowing trigrams over it: higher-order functions are
+    interpreted (CodegenFallback), so an expression embedded in the
+    ``transform`` lambda is re-evaluated PER ELEMENT — inlining the
+    regexp_replace here turned trigram extraction O(len²) per doc.  A
+    materialized column is a bound reference inside the lambda (and
+    CollapseProject keeps the producing projection because the
+    non-cheap expression is referenced more than once)."""
+    return F.concat(
         F.lit(" "),
         F.regexp_replace(F.lower(text_col), "[^a-z]+", " "),
         F.lit(" "))
-    n = F.length(norm)
+
+
+def _char_trigrams(norm_col) -> F.Column:
+    """All 3-char windows of an (already materialized) normalized
+    string column — see `_char_norm` for why it must be a column
+    reference, not an inline expression."""
+    n = F.length(norm_col)
     return F.when(
         n >= 3,
         F.transform(F.sequence(F.lit(1), n - 2),
-                    lambda i: norm.substr(i, F.lit(3))),
+                    lambda i: norm_col.substr(i, F.lit(3))),
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -535,53 +550,65 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Everything is integer arithmetic (cross-engine float-tie rule),
     so the DuckDB oracle reproduces the classification exactly.
 
-    Plan shape: the profiles are tiny map literals evaluated inside
-    one narrow projection (``aggregate`` over the trigram array) and
-    the script counters are ``regexp_count`` projections — no
-    explode, no join, no shuffle; the per-doc work is O(len(text) ×
-    n_languages) inside whole-stage codegen.  A corpus-trained
-    profile TABLE would broadcast-join the exploded trigrams instead;
-    at 10^12 docs the literal-map form is strictly better (no
-    mention-scale explode)."""
+    Plan shape: ONE ``aggregate`` pass over the trigram array against
+    a combined trigram → per-language weight-vector map (`zip_with`
+    accumulator), with the argmax + tie rule folded into the
+    aggregate's ``finish`` lambda so the 250-entry literal map occurs
+    exactly once in the plan; the script counters are ``regexp_count``
+    projections — no explode, no join, no shuffle; per-doc work is
+    O(len(text)) map lookups.  Higher-order functions are interpreted
+    (CodegenFallback), which made two costs real in the old
+    8-aggregates-plus-CASE form: the normalization regexp was inlined
+    into the trigram lambda (re-evaluated per TRIGRAM → O(len²)/doc,
+    fixed by materializing ``_li_norm`` first — see `_char_norm`) and
+    the per-language literal maps were scanned 8× per trigram.  The
+    single-pass form cut the sf0.01 driver query 22.5 s → 1.9 s
+    end-to-end with bit-identical classifications — integer sums per
+    language are unchanged, and ``array_position`` of the max
+    reproduces the first-max-wins fixed profile order.  A
+    corpus-trained profile TABLE would broadcast-join the exploded
+    trigrams instead; at 10^12 docs the in-row form is strictly
+    better (no mention-scale explode)."""
     text = F.col(text_col)
-    tris = _char_trigrams(text)
-    scores = []
-    for lang in CHAR_TRIGRAM_PROFILES:
-        wmap = F.create_map(*[
-            F.lit(x) for t, w in trigram_weights(lang).items()
-            for x in (t, w)])
-        scores.append(
-            F.aggregate(
-                tris, F.lit(0),
-                lambda acc, t: acc + F.coalesce(  # noqa: B023
-                    F.try_element_at(wmap, t), F.lit(0)),  # noqa: B023
-            ).alias(f"s_{lang}"))
-    counts = [
-        F.regexp_count(text, F.lit(pat)).alias(f"c_{name}")
-        for name, pat in SCRIPT_PATTERNS.items()]
-    scored = docs.select("*", *scores, *counts)
-
+    staged = docs.withColumn("_li_norm", _char_norm(text))
+    tris = _char_trigrams(F.col("_li_norm"))
     langs = list(CHAR_TRIGRAM_PROFILES)
-    tri_best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
-    latin_guess = F.when(tri_best <= 0, F.lit("und"))
-    for lg in langs:  # first max wins, fixed order
-        latin_guess = latin_guess.when(
-            F.col(f"s_{lg}") == tri_best, F.lit(lg))
+    combined: dict[str, list[int]] = {}
+    for i, lg in enumerate(langs):
+        for t, w in trigram_weights(lg).items():
+            combined.setdefault(t, [0] * len(langs))[i] = w
+    wmap = F.create_map(*[
+        x for t in sorted(combined)
+        for x in (F.lit(t), F.array(*[F.lit(w) for w in combined[t]]))])
+    zero = F.array(*[F.lit(0) for _ in langs])
+    lang_arr = F.array(*[F.lit(lg) for lg in langs])
+    # Whole Latin-script decision inside `finish`: when the best
+    # trigram score is ≤0 → 'und', else the FIRST language (profile
+    # order) attaining the max — `array_position` returns the first
+    # index, mirroring the old fixed-order when-chain exactly.
+    latin_guess = F.aggregate(
+        tris, zero,
+        lambda acc, t: F.zip_with(
+            acc, F.coalesce(F.try_element_at(wmap, t), zero),
+            lambda a, b: a + b),
+        lambda acc: F.when(F.array_max(acc) <= 0, F.lit("und"))
+        .otherwise(F.element_at(
+            lang_arr,
+            F.array_position(acc, F.array_max(acc)).cast("int"))))
 
-    cjk = F.col("c_han") + F.col("c_kana")
+    c = {name: F.regexp_count(text, F.lit(pat))
+         for name, pat in SCRIPT_PATTERNS.items()}
+    cjk = c["han"] + c["kana"]
     scr_best = F.greatest(
-        F.col("c_latin"),
-        *[F.col(f"c_{s}") for s, _ in SCRIPT_LANGS], cjk)
+        c["latin"], *[c[s] for s, _ in SCRIPT_LANGS], cjk)
     guess = F.when(scr_best == 0, F.lit("und")) \
-        .when(F.col("c_latin") == scr_best, latin_guess)
+        .when(c["latin"] == scr_best, latin_guess)
     for script, lg in SCRIPT_LANGS:
-        guess = guess.when(F.col(f"c_{script}") == scr_best, F.lit(lg))
+        guess = guess.when(c[script] == scr_best, F.lit(lg))
     guess = guess.otherwise(  # CJK: kana share separates ja from zh
-        F.when(2 * F.col("c_kana") > F.col("c_han"), F.lit("ja"))
+        F.when(2 * c["kana"] > c["han"], F.lit("ja"))
         .otherwise(F.lit("zh")))
-    return scored.withColumn("lang_guess", guess).drop(
-        *[f"s_{lg}" for lg in langs],
-        *[f"c_{name}" for name in SCRIPT_PATTERNS])
+    return staged.withColumn("lang_guess", guess).drop("_li_norm")
 
 
 def pack_sequences(docs: DataFrame, capacity: int,

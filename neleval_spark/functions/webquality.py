@@ -73,13 +73,16 @@ def _dup_frac(arr):
     ).otherwise(F.lit(0.0))
 
 
-def _dup_char_frac(arr):
+def _dup_char_frac(s):
     """Fraction of characters in elements that occur more than once.
 
-    In-row O(L log L): sort, then an element is duplicated iff it
-    equals a sorted neighbour (``try_element_at`` is 1-based and null
-    out of bounds, so the boundaries fall out)."""
-    s = F.array_sort(arr)
+    Takes the **pre-sorted** array as a materialized column reference
+    (see `repetition_signals` staging): an element is duplicated iff
+    it equals a sorted neighbour (``try_element_at`` is 1-based and
+    null out of bounds, so the boundaries fall out).  In-row O(L)
+    given the sort; the sort itself happens once in the staging
+    projection — inlining ``array_sort`` here would re-sort PER
+    ELEMENT under interpreted higher-order-function eval."""
     # transform's second lambda arg is the 0-based index; try_element_at
     # is 1-based (and raises on index 0 even in the try_ form, hence
     # the i > 0 guard), so neighbours sit at positions i and i + 2.
@@ -97,15 +100,15 @@ def _dup_char_frac(arr):
     ).otherwise(F.lit(0.0))
 
 
-def _top_run(arr):
+def _top_run(s):
     """(count, value) of the modal element, smallest value on ties.
 
-    In-row O(G log G): sort, then one linear fold with a struct
+    Takes the **pre-sorted** array as a materialized column reference
+    (see `repetition_signals` staging); one linear fold with a struct
     accumulator tracking the current and best run.  Because the array
     is sorted ascending and a later value only replaces the best on a
     STRICTLY longer run, ties resolve to the lexicographically
     smallest value — the documented cross-engine tie-break."""
-    s = F.array_sort(arr)
     init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
                     F.lit(0).alias("best"), F.lit("").alias("bestval"))
 
@@ -139,32 +142,51 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
       over the normalized token stream; modal gram ties break to the
       lexicographically smallest).
 
-    Everything is computed in-row (see module scale notes): the plan
-    is a single projection over the scan."""
+    Everything is computed in-row (see module scale notes).  The
+    shared token / line / paragraph / n-gram / sorted arrays are
+    materialized as staging columns (evaluated ONCE per row) rather
+    than inlined into every consumer: higher-order functions are
+    interpreted (CodegenFallback), so an expression embedded in a
+    lambda body is re-evaluated per ELEMENT — the pre-staging form
+    re-tokenized and re-sorted the document once per line/gram,
+    O(G²·len) per doc (sf0.01 driver query: 15.1 s → 4.8 s end-to-end
+    after staging, single-task; per-doc cost ~26 ms → ~6 ms)."""
     text = F.col(text_col)
-    lines = _nonempty(F.transform(F.split(text, r"\n"),
-                                  lambda t: F.trim(t)))
-    paras = _nonempty(F.transform(F.split(text, r"\n{2,}"),
-                                  lambda t: F.trim(t)))
-    tok = _tokens(text_col)
-    stream_len = F.length(F.concat_ws(" ", tok))
-
-    cols = {
-        "dup_line_frac": _dup_frac(lines),
-        "dup_line_char_frac": _dup_char_frac(lines),
-        "dup_para_frac": _dup_frac(paras),
-        "dup_para_char_frac": _dup_char_frac(paras),
+    stage1 = {
+        "_rs_lines": _nonempty(F.transform(F.split(text, r"\n"),
+                                           lambda t: F.trim(t))),
+        "_rs_paras": _nonempty(F.transform(F.split(text, r"\n{2,}"),
+                                           lambda t: F.trim(t))),
+        "_rs_tok": _tokens(text_col),
+    }
+    stage2 = {
+        "_rs_lines_s": F.array_sort(F.col("_rs_lines")),
+        "_rs_paras_s": F.array_sort(F.col("_rs_paras")),
     }
     for n in ngram_ns:
-        grams = _ngrams(tok, n)
-        best, bestval = _top_run(grams)
-        cols[f"dup_{n}gram_frac"] = _dup_frac(grams)
+        stage2[f"_rs_g{n}"] = _ngrams(F.col("_rs_tok"), n)
+    stage3 = {f"_rs_g{n}_s": F.array_sort(F.col(f"_rs_g{n}"))
+              for n in ngram_ns}
+    staged = (docs.withColumns(stage1).withColumns(stage2)
+              .withColumns(stage3))
+
+    stream_len = F.length(F.concat_ws(" ", F.col("_rs_tok")))
+    cols = {
+        "dup_line_frac": _dup_frac(F.col("_rs_lines")),
+        "dup_line_char_frac": _dup_char_frac(F.col("_rs_lines_s")),
+        "dup_para_frac": _dup_frac(F.col("_rs_paras")),
+        "dup_para_char_frac": _dup_char_frac(F.col("_rs_paras_s")),
+    }
+    for n in ngram_ns:
+        best, bestval = _top_run(F.col(f"_rs_g{n}_s"))
+        cols[f"dup_{n}gram_frac"] = _dup_frac(F.col(f"_rs_g{n}"))
         cols[f"top_{n}gram_char_frac"] = F.when(
             stream_len > 0,
             F.round(best * F.length(bestval)
                     / stream_len.cast("double"), 6),
         ).otherwise(F.lit(0.0))
-    return docs.withColumns(cols)
+    return staged.withColumns(cols).drop(
+        *stage1, *stage2, *stage3)
 
 
 def contamination(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
