@@ -274,19 +274,28 @@ def _shingle_pair_counts(docs: DataFrame, pairs: DataFrame,
     list bounds the work — produce it with LSH at scale.  Documents
     shorter than ``n`` tokens get an EMPTY shingle set (sz = 0), not
     a garbage descending sequence.
+
+    The token array is materialized as a staging column before the
+    shingle ``transform``: higher-order functions are interpreted
+    (CodegenFallback), so referencing the tokenize expression inside
+    the lambda re-splits the document PER SHINGLE × n (see the
+    PLANS.md "higher-order functions are interpreted" note).
     """
-    arr = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
-                   lambda t: t != "")
+    toks = F.col("_toks")
     sh_arr = F.when(
-        F.size(arr) >= n,
+        F.size(toks) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(arr) - n),
+            F.sequence(F.lit(0), F.size(toks) - n),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(arr, (i + j + 1).cast("int"))
+                " ", *[F.element_at(toks, (i + j + 1).cast("int"))
                        for j in range(n)]),
         )).otherwise(F.array().cast("array<string>"))
     shingled = docs.select(
         F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                 lambda t: t != "").alias("_toks"),
+    ).select(
+        "doc_id",
         F.explode(sh_arr).alias("shingle"),
     ).distinct()
 
