@@ -371,11 +371,11 @@ STOPWORDS = {
 }
 
 
-def _stop_hits(text_col, words) -> F.Column:
-    arr = F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"),
-                   lambda t: t != "")
+def _stop_hits(toks, words) -> F.Column:
+    """Count of stopword tokens in an (already materialized) token
+    array column — see `quality_features` staging."""
     lit_words = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(arr, lambda t: F.array_contains(lit_words, t)))
+    return F.size(F.filter(toks, lambda t: F.array_contains(lit_words, t)))
 
 
 # Character-trigram language profiles (Cavnar & Trenkle-style rank
@@ -702,18 +702,25 @@ def hash_sample(docs: DataFrame, rates: dict[str, float],
 
 
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length / punctuation / stopword-ratio quality signals."""
+    """Length / punctuation / stopword-ratio quality signals.
+
+    The token array is a staging column: the old inline form
+    re-tokenized the document once per reference (~6× per row across
+    n_tokens / ratios / mean length)."""
     text = F.col(text_col)
-    arr = F.filter(F.split(F.lower(text), r"[^a-z0-9]+"),
-                   lambda t: t != "")
+    staged = docs.withColumn(
+        "_qf_toks",
+        F.filter(F.split(F.lower(text), r"[^a-z0-9]+"),
+                 lambda t: t != ""))
+    arr = F.col("_qf_toks")
     n_tokens = F.size(arr)
     n_chars = F.length(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
     stop_ratio = F.when(
         n_tokens > 0,
-        _stop_hits(text, STOPWORDS["en"]) / n_tokens.cast("double")
+        _stop_hits(arr, STOPWORDS["en"]) / n_tokens.cast("double")
     ).otherwise(0.0)
-    return docs.withColumns({
+    return staged.withColumns({
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_tokens.cast("long"),
         "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1))
@@ -724,7 +731,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
                    F.aggregate(arr, F.lit(0),
                                lambda acc, t: acc + F.length(t))
                    / n_tokens.cast("double")).otherwise(0.0), 6),
-    })
+    }).drop("_qf_toks")
 
 
 def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id",
