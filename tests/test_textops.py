@@ -105,6 +105,32 @@ def test_quality_features(spark):
     assert r2["n_tokens"] == 0 and r2["stopword_ratio"] == 0.0
 
 
+def test_staged_arrays_survive_optimizer(spark):
+    """Plan pin for the interpreted-HOF fix (PLANS.md "higher-order
+    functions are interpreted"): the materialized normalization /
+    token arrays must survive as staging projections in the OPTIMIZED
+    plan.  If CollapseProject inlines them back into the lambda
+    bodies (alias gone from the plan), interpreted eval re-runs the
+    tokenize/normalize expression per element — the O(len²)/doc
+    regression this test guards against."""
+    from neleval_spark.functions.textops import (
+        lang_id, ngram_jaccard_pairs, quality_features)
+
+    d = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+
+    def opt(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    assert "_li_norm" in opt(lang_id(d)), "lang_id norm inlined"
+    assert "_qf_toks" in opt(quality_features(d)), \
+        "quality_features tokens inlined"
+    pairs = spark.createDataFrame([(1, 1)], "doc_a long, doc_b long")
+    assert "_toks" in opt(ngram_jaccard_pairs(d, pairs, n=2)), \
+        "shingle tokens inlined"
+
+
 def test_ann_lsh_recall(spark):
     """LSH top-k must recover most of the exact top-k (the scale
     path's recall contract)."""

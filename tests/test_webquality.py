@@ -62,6 +62,20 @@ def test_repetition_signals_shuffle_free(spark, docs):
     assert "Exchange" not in plan, plan[:2000]
 
 
+def test_repetition_signals_staged_arrays(spark, docs):
+    """Plan pin for the interpreted-HOF fix (PLANS.md "higher-order
+    functions are interpreted"): the shared token/sorted arrays must
+    survive as staging projections in the OPTIMIZED plan.  If
+    CollapseProject ever inlines them back into the lambda bodies
+    (alias gone from the plan), interpreted eval re-tokenizes and
+    re-sorts the document per element — the O(G²·len)/doc regression
+    this test guards against."""
+    plan = (repetition_signals(docs)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    for alias in ("_rs_tok", "_rs_lines_s", "_rs_g2_s"):
+        assert alias in plan, f"staging column {alias} was inlined"
+
+
 def test_contamination_counts_and_plan(spark, docs):
     ev = spark.createDataFrame([(100, "a b a b a", "en")],
                                "doc_id long, text string, lang string")
