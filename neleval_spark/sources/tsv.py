@@ -31,14 +31,21 @@ from ..schema import ATTRS_TYPE
 from ..operators.normalize import derive_mention_columns, with_is_first
 
 
-def _candidates_expr(colname: str):
+def _candidates_expr(colname: str, cols_colname: str):
     """Parse the variable-arity candidate tail into an array of
     candidate structs; ``type`` JSON objects land in ``attrs`` with
     ``attrs['type']`` promoted to the type column.
 
+    ``cols_colname`` must hold the MATERIALIZED tab-split of
+    ``colname`` (see `parse_annotation_lines`): the per-candidate
+    ``transform`` lambda indexes into it several times per element,
+    and higher-order functions evaluate interpreted — an inline
+    split expression would re-split the tail once per reference
+    (PLANS.md "higher-order functions are interpreted").
+
     Mirrors neleval/annotation.py:217-235 (Candidate.from_string).
     """
-    cols = F.split(F.col(colname), "\t")
+    cols = F.col(cols_colname)
     n = F.size(cols)
 
     one = F.array(
@@ -112,7 +119,10 @@ def parse_annotation_lines(raw: DataFrame) -> DataFrame:
         F.element_at(parts, 3).cast("long").alias("end"),
         F.when(F.size(parts) >= 4, F.element_at(parts, 4)).alias("_tail"),
     )
-    df = df.withColumn("candidates", _candidates_expr("_tail")).drop("_tail")
+    df = df.withColumn("_tail_cols", F.split(F.col("_tail"), "\t"))
+    df = df.withColumn(
+        "candidates", _candidates_expr("_tail", "_tail_cols")
+    ).drop("_tail", "_tail_cols")
     df = derive_mention_columns(df, sort=True)
     return with_is_first(df)
 
