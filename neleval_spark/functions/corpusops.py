@@ -119,7 +119,9 @@ def dedup_substrings(docs: DataFrame, id_col: str = "doc_id",
     ``(doc_id, n_tokens, n_removed, clean_text)``.
 
     Scale shape (10^12 docs): window hashes are computed IN-ROW from
-    the per-token hash array (O(n·k) per doc, whole-stage codegen)
+    the per-token hash array (O(n·k) per doc, JVM-side — the
+    higher-order functions evaluate interpreted over the staged
+    ``_tids`` column)
     and explode to narrow (doc_id, start, whash) rows — the token
     text never leaves the document row; the per-window distinct-doc
     count spreads any Zipf-hot window over its document space before

@@ -9,8 +9,11 @@ signals a KG-construction pipeline needs: which hosts link to which,
 and which hosts carry authority.
 
 Spark-first design — every step below is a JVM column expression
-(regexp / array / higher-order functions) inside whole-stage
-codegen; there is NO Python in the path.  The only wide operations
+(regexp / array / higher-order functions; the scalar/regexp parts
+run in whole-stage codegen, higher-order functions evaluate as
+interpreted JVM expressions — CodegenFallback, see PLANS.md
+"higher-order functions are interpreted"); there is NO Python in
+the path.  The only wide operations
 are the one inherent explode (one output row per anchor) and the one
 inherent groupBy (host-pair counts, map-side combinable — a hub host
 pair partially aggregates on every input partition before the

@@ -13,8 +13,8 @@ query this is all waste: only the query's own terms matter.  Here:
 
 * term frequencies are IN-ROW column expressions — one
   ``size(filter(tokens, t == term))`` per query term over the same
-  split-once token array (no explode, no shuffle, stays inside
-  whole-stage codegen);
+  split-once staged token array (no explode, no shuffle, no Python;
+  the filter lambdas evaluate as interpreted JVM expressions);
 * corpus statistics (N, avgdl, per-term document frequencies) are
   ONE 1-row aggregate with map-side partials, broadcast back via a
   1×1 cross join (the same in-plan-scalar pattern as pagerank's

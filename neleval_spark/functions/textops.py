@@ -79,7 +79,8 @@ def shingle_ids(docs: DataFrame, id_col: str = "doc_id",
     Pure column expressions (split → transform → transform over an
     index sequence → explode): no window, no shuffle, no Python — the
     per-doc shingle list never leaves the row until the explode, so
-    the stage stays narrow and whole-stage-codegened.  Docs shorter
+    the stage stays narrow and JVM-side (the transforms evaluate
+    interpreted over the staged ``_tids`` column).  Docs shorter
     than ``n`` tokens hash their full token sequence instead."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),

@@ -16,9 +16,10 @@ Scale notes (audited in docs/PLANS.md):
 * ``repetition_signals`` is a pure per-row projection — every signal,
   including the per-document modal n-gram, is computed in-row with
   ``array_sort`` + adjacency/run-length expressions (O(G log G) per
-  document, G = grams per doc).  Zero shuffles, zero explodes, full
-  whole-stage codegen; at 10^12 documents the operator is
-  embarrassingly parallel.
+  document, G = grams per doc).  Zero shuffles, zero explodes, all
+  JVM-side (the higher-order functions evaluate interpreted —
+  CodegenFallback — over staged array columns; see PLANS.md); at
+  10^12 documents the operator is embarrassingly parallel.
 * ``contamination`` explodes document n-grams narrowly (no exchange),
   hash-joins them against a **broadcast** eval-gram set (eval suites
   are ~10^5-10^6 grams — always broadcastable), and aggregates back to
