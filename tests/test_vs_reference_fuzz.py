@@ -1,0 +1,139 @@
+"""Differential FUZZ vs the live reference engine.
+
+`test_vs_reference.py` runs one fixed 1000-doc generated corpus — a
+broad-drift net.  This module walks the degenerate corners instead:
+hypothesis generates tiny annotation sets (1-3 docs, colliding span
+grids, NIL-heavy pools, disjoint/identical gold-system pairs) and
+EVERY measure — including ``mention_ceaf`` / ``entity_ceaf``, whose
+Hungarian solve is instant at this size — must agree with the
+reference to 1e-10.  This is the suite's only randomized CEAF parity
+net (the driver gate records ``mention_ceaf`` as ``no_oracle``), and
+it exercises exactly the places where zero-denominator guards,
+NIL handling, and cluster tie-breaking live (reference
+evaluate.py:281 StrictMetricWarning; coref_metrics.py ceaf paths).
+
+Cost control: examples are capped (each one runs 12 Spark measure
+jobs, ~10 s warm) and shrinking is disabled — a failure prints the
+raw example, which at <=10 rows/side is already minimal enough to
+debug by eye.
+"""
+
+import os
+import sys
+
+import pytest
+from hypothesis import HealthCheck, Phase, example, given, settings
+from hypothesis import strategies as st
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "neleval")),
+    reason="reference not present")
+
+MEASURES = [
+    "strong_mention_match", "strong_typed_mention_match",
+    "strong_link_match", "strong_typed_all_match", "strong_all_match",
+    "entity_match", "b_cubed", "muc", "pairwise", "b_cubed_plus",
+    "mention_ceaf", "entity_ceaf",
+]
+
+KBIDS = ["E00001", "E00002", "E00003", "NIL0001", "NIL0002"]
+TYPES = ["PER", "ORG"]
+
+# (doc, start, span-length, kbid-index, type-index).  The tight
+# start/length grid makes span collisions (exact and overlapping)
+# between gold and system the COMMON case, which is where the match
+# joins and cluster intersections get interesting.
+_row = st.tuples(
+    st.integers(0, 2), st.integers(0, 6), st.integers(1, 3),
+    st.integers(0, len(KBIDS) - 1), st.integers(0, len(TYPES) - 1))
+_rows = st.lists(_row, min_size=1, max_size=10)
+
+
+def _dedupe(rows):
+    """One annotation per (doc, start, end) per side — both engines
+    key strong measures on the span tuple; duplicate spans within one
+    side would test reader behavior, not measure semantics."""
+    seen, out = set(), []
+    for doc, start, length, kb, ty in rows:
+        key = (doc, start, length)
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append((f"doc{doc}", start, start + length,
+                    KBIDS[kb], TYPES[ty]))
+    return sorted(out)
+
+
+def _write(path, rows):
+    with open(path, "w") as f:
+        for docid, start, end, kbid, ty in rows:
+            f.write(f"{docid}\t{start}\t{end}\t{kbid}\t1.0\t{ty}\n")
+
+
+def _reference_scores(data_dir):
+    import collections
+    import collections.abc
+
+    for n in ("Sequence", "Mapping", "MutableMapping", "Iterable",
+              "Callable", "Set", "MutableSet", "MutableSequence",
+              "Hashable"):
+        setattr(collections, n, getattr(collections.abc, n))
+    import numpy as np
+
+    for n, v in (("bool", bool), ("int", int), ("float", float),
+                 ("object", object)):
+        if not hasattr(np, n):
+            setattr(np, n, v)
+    sys.path.insert(0, REF)
+    try:
+        from neleval.evaluate import Evaluate
+
+        res = Evaluate(f"{data_dir}/system.tsv",
+                       gold=f"{data_dir}/gold.tsv",
+                       measures=MEASURES, fmt="none")()
+        return {m: {k: res[m][k]
+                    for k in ("precision", "recall", "fscore")}
+                for m in res}
+    finally:
+        sys.path.remove(REF)
+
+
+# Explicit corners always run (Phase.explicit): identical sides,
+# fully disjoint spans, all-NIL vs all-linked, and one-mention sides.
+_IDENTICAL = [(0, 0, 2, 0, 0), (0, 3, 2, 3, 1), (1, 0, 1, 1, 0)]
+_DISJOINT_G = [(0, 0, 1, 0, 0), (1, 0, 1, 1, 0)]
+_DISJOINT_S = [(0, 4, 1, 0, 0), (2, 0, 1, 1, 0)]
+_ALL_NIL = [(0, 0, 2, 3, 0), (0, 3, 2, 4, 0), (1, 0, 2, 3, 1)]
+_ALL_LINKED = [(0, 0, 2, 0, 0), (0, 3, 2, 1, 0), (1, 0, 2, 0, 1)]
+
+
+@settings(max_examples=8, deadline=None,
+          phases=[Phase.explicit, Phase.reuse, Phase.generate],
+          suppress_health_check=[HealthCheck.too_slow])
+@example(gold=_IDENTICAL, system=_IDENTICAL)
+@example(gold=_DISJOINT_G, system=_DISJOINT_S)
+@example(gold=_ALL_NIL, system=_ALL_LINKED)
+@example(gold=[(0, 0, 1, 0, 0)], system=[(0, 0, 1, 3, 0)])
+@given(gold=_rows, system=_rows)
+def test_fuzz_reference_parity(spark, gold, system):
+    import tempfile
+
+    from neleval_spark.measures import evaluate
+    from neleval_spark.sources.tsv import read_annotations_tsv
+
+    data_dir = tempfile.mkdtemp(prefix="nef_")
+    _write(f"{data_dir}/gold.tsv", _dedupe(gold))
+    _write(f"{data_dir}/system.tsv", _dedupe(system))
+
+    want = _reference_scores(data_dir)
+    got = evaluate(
+        read_annotations_tsv(spark, f"{data_dir}/system.tsv"),
+        read_annotations_tsv(spark, f"{data_dir}/gold.tsv"),
+        measures=MEASURES)
+
+    assert set(want) == set(got)
+    for m, sc in want.items():
+        for k, v in sc.items():
+            assert abs(got[m][k] - v) <= 1e-10, (
+                m, k, v, got[m][k], gold, system)
