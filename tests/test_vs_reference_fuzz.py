@@ -37,6 +37,18 @@ MEASURES = [
     "mention_ceaf", "entity_ceaf",
 ]
 
+# The long tail both engines expose as measure strings: the four
+# overlap aggregates (fractional credit for partial span overlap —
+# exercised hard by the colliding grid), BLANC-negative, the NIL
+# tagging filter, and the typed/linked CEAF variants.
+EXTENDED = [
+    "overlap-sumsum:None:span", "overlap-summax:None:span",
+    "overlap-maxsum:None:span", "overlap-maxmax:None:span",
+    "pairwise_negative:None:span", "strong_typed_nil_match",
+    "mention_ceaf_plus", "typed_mention_ceaf",
+    "typed_mention_ceaf_plus",
+]
+
 KBIDS = ["E00001", "E00002", "E00003", "NIL0001", "NIL0002"]
 TYPES = ["PER", "ORG"]
 
@@ -65,13 +77,32 @@ def _dedupe(rows):
     return sorted(out)
 
 
+def _nonoverlapping(rows):
+    """Valid-input constraint for the overlap family: the reference's
+    pair sweep (annotation.py:419-431, its own ``XXX: cands should
+    not be overlapping`` note) assumes spans within ONE side never
+    overlap — its ``validate-spans`` tool flags such input as
+    invalid, and on it the sweep silently drops pairs while our range
+    join finds them all (divergence documented in
+    measures/overlap.py).  Greedily keep each doc's first
+    non-conflicting span, inclusive-end overlap test."""
+    kept = []
+    for row in rows:
+        docid, start, end = row[0], row[1], row[2]
+        if any(d == docid and start <= e and s <= end
+               for d, s, e, _, _ in kept):
+            continue
+        kept.append(row)
+    return kept
+
+
 def _write(path, rows):
     with open(path, "w") as f:
         for docid, start, end, kbid, ty in rows:
             f.write(f"{docid}\t{start}\t{end}\t{kbid}\t1.0\t{ty}\n")
 
 
-def _reference_scores(data_dir):
+def _reference_scores(data_dir, measures):
     import collections
     import collections.abc
 
@@ -91,7 +122,7 @@ def _reference_scores(data_dir):
 
         res = Evaluate(f"{data_dir}/system.tsv",
                        gold=f"{data_dir}/gold.tsv",
-                       measures=MEASURES, fmt="none")()
+                       measures=measures, fmt="none")()
         return {m: {k: res[m][k]
                     for k in ("precision", "recall", "fscore")}
                 for m in res}
@@ -108,6 +139,33 @@ _ALL_NIL = [(0, 0, 2, 3, 0), (0, 3, 2, 4, 0), (1, 0, 2, 3, 1)]
 _ALL_LINKED = [(0, 0, 2, 0, 0), (0, 3, 2, 1, 0), (1, 0, 2, 0, 1)]
 
 
+def _assert_parity(spark, gold, system, measures, valid_spans=False):
+    import tempfile
+
+    from neleval_spark.measures import evaluate
+    from neleval_spark.sources.tsv import read_annotations_tsv
+
+    g_rows, s_rows = _dedupe(gold), _dedupe(system)
+    if valid_spans:
+        g_rows, s_rows = _nonoverlapping(g_rows), _nonoverlapping(s_rows)
+
+    data_dir = tempfile.mkdtemp(prefix="nef_")
+    _write(f"{data_dir}/gold.tsv", g_rows)
+    _write(f"{data_dir}/system.tsv", s_rows)
+
+    want = _reference_scores(data_dir, measures)
+    got = evaluate(
+        read_annotations_tsv(spark, f"{data_dir}/system.tsv"),
+        read_annotations_tsv(spark, f"{data_dir}/gold.tsv"),
+        measures=measures)
+
+    assert set(want) == set(got)
+    for m, sc in want.items():
+        for k, v in sc.items():
+            assert abs(got[m][k] - v) <= 1e-10, (
+                m, k, v, got[m][k], gold, system)
+
+
 @settings(max_examples=8, deadline=None,
           phases=[Phase.explicit, Phase.reuse, Phase.generate],
           suppress_health_check=[HealthCheck.too_slow])
@@ -117,23 +175,22 @@ _ALL_LINKED = [(0, 0, 2, 0, 0), (0, 3, 2, 1, 0), (1, 0, 2, 0, 1)]
 @example(gold=[(0, 0, 1, 0, 0)], system=[(0, 0, 1, 3, 0)])
 @given(gold=_rows, system=_rows)
 def test_fuzz_reference_parity(spark, gold, system):
-    import tempfile
+    _assert_parity(spark, gold, system, MEASURES)
 
-    from neleval_spark.measures import evaluate
-    from neleval_spark.sources.tsv import read_annotations_tsv
 
-    data_dir = tempfile.mkdtemp(prefix="nef_")
-    _write(f"{data_dir}/gold.tsv", _dedupe(gold))
-    _write(f"{data_dir}/system.tsv", _dedupe(system))
-
-    want = _reference_scores(data_dir)
-    got = evaluate(
-        read_annotations_tsv(spark, f"{data_dir}/system.tsv"),
-        read_annotations_tsv(spark, f"{data_dir}/gold.tsv"),
-        measures=MEASURES)
-
-    assert set(want) == set(got)
-    for m, sc in want.items():
-        for k, v in sc.items():
-            assert abs(got[m][k] - v) <= 1e-10, (
-                m, k, v, got[m][k], gold, system)
+@settings(max_examples=4, deadline=None,
+          phases=[Phase.explicit, Phase.reuse, Phase.generate],
+          suppress_health_check=[HealthCheck.too_slow])
+@example(gold=_IDENTICAL, system=_IDENTICAL)
+@example(gold=_ALL_NIL, system=_ALL_LINKED)
+@given(gold=_rows, system=_rows)
+def test_fuzz_reference_parity_extended(spark, gold, system):
+    """Overlap aggregates reward PARTIAL span overlap, so the
+    colliding grid (lengths 1-3 at adjacent starts) produces the
+    fractional-credit cases.  Spans within one side are made
+    non-overlapping first (``_nonoverlapping``): that is the
+    reference sweep's documented input precondition — this very test
+    caught the divergence on invalid input before the constraint was
+    added (overlap-sumsum precision 0.5119 ref vs 0.5476 ours on a
+    doc whose gold mentions nested)."""
+    _assert_parity(spark, gold, system, EXTENDED, valid_spans=True)
