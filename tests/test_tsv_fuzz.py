@@ -116,3 +116,74 @@ def test_tsv_write_read_roundtrip(spark, tmp_path_factory, mentions):
             for _d, _s, _e, _c in rows}
     got = {_norm(r) for r in back.collect()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(mentions=st.lists(_mention(), min_size=1, max_size=15))
+def test_tsv_reader_matches_reference(spark, tmp_path_factory, mentions):
+    """Cross-engine READER differential: the reference's
+    ``Annotation.from_string`` (annotation.py:103-112, candidate sort
+    by -score; Candidate.from_string:218-236, bare-type vs JSON-attrs
+    tails) and our ``read_annotations_tsv`` must produce identical
+    mentions from the SAME TSV bytes (emitted by our writer — so this
+    also proves the reference engine can consume our files).  Guards
+    the candidate-tail parser, which is plan-staged and easy to
+    regress silently."""
+    import collections
+    import collections.abc
+    import os
+    import sys
+
+    for n in ("Sequence", "Mapping", "MutableMapping", "Iterable",
+              "Callable", "Set", "MutableSet", "MutableSequence",
+              "Hashable"):
+        setattr(collections, n, getattr(collections.abc, n))
+
+    REF = "/root/reference"
+    if not os.path.isdir(os.path.join(REF, "neleval")):
+        pytest.skip("reference not present")
+
+    from neleval_spark.operators.normalize import (
+        derive_mention_columns, with_is_first)
+    from neleval_spark.sources.tsv import (
+        annotations_to_tsv_lines, read_annotations_tsv)
+
+    mentions = [m for m in mentions if m is not None]
+    seen, rows = set(), []
+    for m in mentions:
+        if m[:3] in seen:
+            continue
+        seen.add(m[:3])
+        rows.append(m)
+    if not rows:
+        return
+
+    schema = ("docid string, start long, end long, candidates "
+              "array<struct<eid string, score double, type string, "
+              "attrs map<string,string>>>")
+    df = with_is_first(derive_mention_columns(
+        spark.createDataFrame(rows, schema), sort=True))
+    lines = [r["value"] for r in annotations_to_tsv_lines(df).collect()]
+
+    p = tmp_path_factory.mktemp("tsvdiff") / "ann.tsv"
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+
+    ours = {_norm(r)
+            for r in read_annotations_tsv(spark, str(p)).collect()}
+
+    sys.path.insert(0, REF)
+    try:
+        from neleval.annotation import Annotation
+        theirs = set()
+        for line in lines:
+            ann = Annotation.from_string(line)
+            theirs.add((ann.docid, ann.start, ann.end,
+                        tuple((c.eid, c.score,
+                               c.__dict__.get("type"),
+                               _attrs_key(dict(c.__dict__)))
+                              for c in ann.candidates)))
+    finally:
+        sys.path.remove(REF)
+
+    assert ours == theirs
