@@ -194,3 +194,76 @@ def test_fuzz_reference_parity_extended(spark, gold, system):
     added (overlap-sumsum precision 0.5119 ref vs 0.5476 ours on a
     doc whose gold mentions nested)."""
     _assert_parity(spark, gold, system, EXTENDED, valid_spans=True)
+
+
+def _reference_errors(data_dir):
+    """Reference Analyze.iter_errors as normalized (doc, gold, sys,
+    label) tuples — MISSING/NIL disambiguated the way the reference's
+    string form does (analyze.py:33-38)."""
+    import collections
+    import collections.abc
+
+    for n in ("Sequence", "Mapping", "MutableMapping", "Iterable",
+              "Callable", "Set", "MutableSet", "MutableSequence",
+              "Hashable"):
+        setattr(collections, n, getattr(collections.abc, n))
+    import numpy as np
+
+    for n, v in (("bool", bool), ("int", int), ("float", float),
+                 ("object", object)):
+        if not hasattr(np, n):
+            setattr(np, n, v)
+    sys.path.insert(0, REF)
+    try:
+        from neleval.analyze import MISSING, Analyze
+
+        def norm(v):
+            return "MISSING" if v is MISSING else (
+                "NIL" if v is None else v)
+
+        a = Analyze(f"{data_dir}/system.tsv",
+                    gold=f"{data_dir}/gold.tsv")
+        return collections.Counter(
+            (e.doc_id, norm(e.gold), norm(e.system), e.label)
+            for e in a.iter_errors())
+    finally:
+        sys.path.remove(REF)
+
+
+@settings(max_examples=6, deadline=None,
+          phases=[Phase.explicit, Phase.reuse, Phase.generate],
+          suppress_health_check=[HealthCheck.too_slow])
+@example(gold=_IDENTICAL, system=_IDENTICAL)
+@example(gold=_DISJOINT_G, system=_DISJOINT_S)
+@example(gold=_ALL_NIL, system=_ALL_LINKED)
+@given(gold=_rows, system=_rows)
+def test_fuzz_reference_error_analysis(spark, gold, system):
+    """Per-mention error taxonomy parity: error_table must emit the
+    reference's exact (doc, gold, system, label) multiset, incl. the
+    reference quirk that correct links are ALWAYS yielded
+    (analyze.py:87-91 — the `continue` is commented out) and that
+    one-sided docs align against an empty counterpart
+    (evaluate.py:62-68)."""
+    import collections
+    import tempfile
+
+    from neleval_spark.analyze import error_table
+    from neleval_spark.sources.tsv import read_annotations_tsv
+
+    data_dir = tempfile.mkdtemp(prefix="nea_")
+    _write(f"{data_dir}/gold.tsv", _dedupe(gold))
+    _write(f"{data_dir}/system.tsv", _dedupe(system))
+
+    want = _reference_errors(data_dir)
+    rows = error_table(
+        read_annotations_tsv(spark, f"{data_dir}/system.tsv"),
+        read_annotations_tsv(spark, f"{data_dir}/gold.tsv")).collect()
+    got = collections.Counter(
+        (r["docid"],
+         "MISSING" if r["label"] == "extra"
+         else (r["gold_kbid"] if r["gold_kbid"] is not None else "NIL"),
+         "MISSING" if r["label"] == "missing"
+         else (r["system_kbid"] if r["system_kbid"] is not None
+               else "NIL"),
+         r["label"]) for r in rows)
+    assert got == want, (got, want, gold, system)
