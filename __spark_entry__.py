@@ -4475,6 +4475,105 @@ ORDER BY subj, pred, obj
 """
 
 
+def q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG integrity report (pipeline/triples.validate_kg): a witness
+    table derived from documents with deterministically injected
+    violations — NULL objects (doc_id%101), an unknown predicate
+    (%103), self-loops (%107), reversed canonical pairs (%109),
+    dangling objects (%113), plus the natural (subj,pred,obj)
+    duplication of the ring construction — must yield the exact
+    six-check violation counts.  The oracle rebuilds the same table
+    (identical CASE priority, so overlapping moduli agree) and
+    recomputes every check in SQL."""
+    from neleval_spark.pipeline.triples import validate_kg
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    i = F.col("doc_id")
+
+    def e(x):
+        # zero-padded so string order == numeric order (canonical
+        # subj < obj stays meaningful under lexicographic compare)
+        return F.format_string("E%03d", x)
+
+    u = F.format_string("u%d", i % 97)
+    mentioned = docs.select(
+        e(i % 40).alias("subj"),
+        F.lit("mentioned_in").alias("pred"),
+        F.when(i % 101 == 0, F.lit(None).cast("string"))
+        .otherwise(u).alias("obj"),
+        u.alias("url"))
+    cooc = docs.select(
+        F.when(i % 109 == 0, e((i % 40) + 1))
+        .otherwise(e(i % 40)).alias("subj"),
+        F.when(i % 103 == 0, F.lit("related_to"))
+        .otherwise(F.lit("cooccurs_with")).alias("pred"),
+        F.when(i % 113 == 0, F.format_string("X%05d", i))
+        .when(i % 109 == 0, e(i % 40))
+        .when(i % 107 == 0, e(i % 40))
+        .otherwise(e((i % 40) + 1)).alias("obj"),
+        u.alias("url"))
+    return validate_kg(mentioned.unionByName(cooc))
+
+
+Q_KG_VALIDATE_SQL = """
+WITH t AS (
+  SELECT printf('E%03d', doc_id % 40) AS subj,
+         'mentioned_in' AS pred,
+         CASE WHEN doc_id % 101 = 0 THEN NULL
+              ELSE 'u' || CAST(doc_id % 97 AS VARCHAR) END AS obj
+  FROM documents
+  UNION ALL
+  SELECT CASE WHEN doc_id % 109 = 0 THEN printf('E%03d', (doc_id % 40) + 1)
+              ELSE printf('E%03d', doc_id % 40) END,
+         CASE WHEN doc_id % 103 = 0 THEN 'related_to'
+              ELSE 'cooccurs_with' END,
+         CASE WHEN doc_id % 113 = 0 THEN printf('X%05d', doc_id)
+              WHEN doc_id % 109 = 0 THEN printf('E%03d', doc_id % 40)
+              WHEN doc_id % 107 = 0 THEN printf('E%03d', doc_id % 40)
+              ELSE printf('E%03d', (doc_id % 40) + 1) END
+  FROM documents
+),
+rowwise AS (
+  SELECT
+    SUM(CASE WHEN subj IS NULL OR subj = '' OR pred IS NULL
+              OR pred = '' OR obj IS NULL OR obj = ''
+             THEN 1 ELSE 0 END) AS null_field,
+    SUM(CASE WHEN pred NOT IN ('mentioned_in', 'cooccurs_with')
+             THEN 1 ELSE 0 END) AS unknown_pred,
+    SUM(CASE WHEN pred = 'cooccurs_with' AND subj = obj
+             THEN 1 ELSE 0 END) AS self_loop,
+    SUM(CASE WHEN pred = 'cooccurs_with' AND subj >= obj
+             THEN 1 ELSE 0 END) AS non_canonical_pair
+  FROM t
+),
+dupes AS (
+  SELECT COALESCE(SUM(n - 1), 0) AS v
+  FROM (SELECT COUNT(*) AS n FROM t GROUP BY subj, pred, obj)
+),
+dangling AS (
+  SELECT COUNT(*) AS v FROM (
+    SELECT DISTINCT obj FROM t WHERE pred IN ('cooccurs_with')
+  ) o WHERE o.obj NOT IN (SELECT DISTINCT subj FROM t)
+)
+SELECT "check", violations FROM (
+  SELECT 'null_field' AS "check",
+         COALESCE(null_field, 0) AS violations FROM rowwise
+  UNION ALL
+  SELECT 'unknown_pred', COALESCE(unknown_pred, 0) FROM rowwise
+  UNION ALL
+  SELECT 'self_loop', COALESCE(self_loop, 0) FROM rowwise
+  UNION ALL
+  SELECT 'non_canonical_pair', COALESCE(non_canonical_pair, 0)
+  FROM rowwise
+  UNION ALL
+  SELECT 'duplicate_key', v FROM dupes
+  UNION ALL
+  SELECT 'dangling_object', v FROM dangling
+) ORDER BY "check"
+"""
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC serialize∘parse identity (sources/warc.py): each Arrow
     batch of documents is framed as one WARC blob with the REAL
@@ -4900,6 +4999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_fixed": q_ivf_topk_fixed,
+        # ---- round-5 late addition: after the 50-slot window by
+        # design (the local gate replays it; swap forward next round)
+        "kg_validate": q_kg_validate,
     }
     return qs
 
@@ -4996,6 +5098,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pattern": Q_GRAPH_PATTERN_SQL,
         "warc_roundtrip": Q_WARC_ROUNDTRIP_SQL,
         "kg_merge": Q_KG_MERGE_SQL,
+        "kg_validate": Q_KG_VALIDATE_SQL,
         "ntriples_export": Q_NTRIPLES_EXPORT_SQL,
         "robots": Q_ROBOTS_SQL,
         "schedule_frontier": Q_SCHEDULE_FRONTIER_SQL,

@@ -391,6 +391,82 @@ def prune_kg(kg: DataFrame, current_gen: int,
         F.col("last_seen") >= F.lit(current_gen - max_staleness))
 
 
+def validate_kg(triples: DataFrame,
+                known_preds: tuple = ("mentioned_in", "cooccurs_with"),
+                entity_preds: tuple = ("cooccurs_with",),
+                canonical_preds: tuple = ("cooccurs_with",),
+                key: tuple = ("subj", "pred", "obj")) -> DataFrame:
+    """Integrity report over a triple table: one ``(check,
+    violations)`` row per invariant, all checks always present (count
+    0 when clean) so downstream gates can assert on a fixed shape.
+
+    Checks:
+
+    * ``null_field`` — any of subj/pred/obj NULL or empty.
+    * ``unknown_pred`` — pred outside ``known_preds`` (the pipeline's
+      closed vocabulary; emit_triples mints only these).
+    * ``self_loop`` — subj == obj on an entity-object predicate.
+    * ``non_canonical_pair`` — subj >= obj on a symmetric predicate
+      (emit_triples generates pairs over the SORTED entity set, so
+      subj < obj is a construction invariant; a violation means a
+      foreign/corrupted generation entered the store).
+    * ``dangling_object`` — an entity-valued object that never occurs
+      as a subject (every co-occurring entity also gets its own
+      ``mentioned_in`` row, so the subject set is the entity
+      universe).
+    * ``duplicate_key`` — rows sharing ``key`` beyond the first; pass
+      ``key=("subj", "pred", "obj", "url")`` for witness-level tables
+      where the same triple legitimately repeats across pages.
+
+    Scale shape: the four per-row checks fold into ONE map-side
+    combined aggregate (no data-proportional shuffle); duplicate_key
+    is a groupBy on the KG's primary key (near-unique, no skew side);
+    dangling_object is distinct-objects LEFT ANTI distinct-subjects —
+    both sides entity-keyed, broadcast-eligible only if tiny, and
+    bounded by the entity universe, not the triple count.  No
+    collect, no cartesian, no Python.
+    """
+    nullish = None
+    for c in ("subj", "pred", "obj"):
+        e = F.col(c).isNull() | (F.col(c) == "")
+        nullish = e if nullish is None else nullish | e
+    is_entity = F.col("pred").isin(*entity_preds)
+    rowwise = triples.agg(
+        F.sum(nullish.cast("long")).alias("null_field"),
+        F.sum((~F.col("pred").isin(*known_preds)).cast("long"))
+        .alias("unknown_pred"),
+        F.sum((is_entity & (F.col("subj") == F.col("obj")))
+              .cast("long")).alias("self_loop"),
+        F.sum((F.col("pred").isin(*canonical_preds)
+               & (F.col("subj") >= F.col("obj"))).cast("long"))
+        .alias("non_canonical_pair"),
+    ).select(F.explode(F.map_from_arrays(
+        F.array(F.lit("null_field"), F.lit("unknown_pred"),
+                F.lit("self_loop"), F.lit("non_canonical_pair")),
+        F.array("null_field", "unknown_pred", "self_loop",
+                "non_canonical_pair"),
+    )).alias("check", "violations"))
+    rowwise = rowwise.select(
+        "check", F.coalesce("violations", F.lit(0)).alias("violations"))
+
+    dupes = (triples.groupBy(*key)
+             .agg(F.count(F.lit(1)).alias("_n"))
+             .agg(F.coalesce(F.sum(F.col("_n") - 1), F.lit(0))
+                  .alias("violations"))
+             .select(F.lit("duplicate_key").alias("check"), "violations"))
+
+    objs = triples.where(is_entity).select(
+        F.col("obj").alias("_e")).distinct()
+    subjs = triples.select(F.col("subj").alias("_e")).distinct()
+    dangling = (objs.join(subjs, "_e", "left_anti")
+                .agg(F.count(F.lit(1)).alias("violations"))
+                .select(F.lit("dangling_object").alias("check"),
+                        "violations"))
+
+    return rowwise.unionByName(dupes).unionByName(dangling) \
+        .orderBy("check")
+
+
 def to_ntriples(triples: DataFrame,
                 subj_base: str = "http://kg.local/e/",
                 pred_base: str = "http://kg.local/p/",

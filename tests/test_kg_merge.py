@@ -89,3 +89,72 @@ def test_merge_plan_single_join(spark, gens):
         .executedPlan().toString()
     assert plan.count("FullOuter") == 1
     assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+WITNESS_SCHEMA = "subj string, pred string, obj string, url string"
+
+
+def test_validate_kg_clean(spark):
+    from neleval_spark.pipeline.triples import validate_kg
+
+    rows = [("E1", "mentioned_in", "u1", "u1"),
+            ("E2", "mentioned_in", "u1", "u1"),
+            ("E1", "cooccurs_with", "E2", "u1")]
+    got = {r.check: r.violations for r in validate_kg(
+        spark.createDataFrame(rows, WITNESS_SCHEMA),
+        key=("subj", "pred", "obj", "url")).collect()}
+    assert got == {"null_field": 0, "unknown_pred": 0, "self_loop": 0,
+                   "non_canonical_pair": 0, "duplicate_key": 0,
+                   "dangling_object": 0}
+
+
+def test_validate_kg_empty(spark):
+    from neleval_spark.pipeline.triples import validate_kg
+
+    got = {r.check: r.violations for r in validate_kg(
+        spark.createDataFrame([], WITNESS_SCHEMA)).collect()}
+    assert set(got) == {"null_field", "unknown_pred", "self_loop",
+                        "non_canonical_pair", "duplicate_key",
+                        "dangling_object"}
+    assert all(v == 0 for v in got.values())
+
+
+def test_validate_kg_counts(spark):
+    """Every check fires with an exact count; a self-loop on a
+    canonical predicate counts as BOTH self_loop and
+    non_canonical_pair (independent invariants)."""
+    from neleval_spark.pipeline.triples import validate_kg
+
+    rows = [
+        # clean core
+        ("E1", "mentioned_in", "u1", "u1"),
+        ("E2", "mentioned_in", "u1", "u1"),
+        ("E1", "cooccurs_with", "E2", "u1"),
+        # violations
+        ("E3", "mentioned_in", None, "u2"),    # null_field
+        ("E1", "related_to", "E2", "u1"),      # unknown_pred
+        ("E2", "cooccurs_with", "E2", "u3"),   # self_loop (+ canon)
+        ("E9", "cooccurs_with", "E1", "u4"),   # non_canonical_pair
+        ("E5", "cooccurs_with", "E7", "u5"),   # E7 dangling
+        # duplicates of the clean pair (count 3 -> 2 extras)
+        ("E1", "cooccurs_with", "E2", "u1"),
+        ("E1", "cooccurs_with", "E2", "u1"),
+    ]
+    got = {r.check: r.violations for r in validate_kg(
+        spark.createDataFrame(rows, WITNESS_SCHEMA)).collect()}
+    assert got == {"null_field": 1, "unknown_pred": 1, "self_loop": 1,
+                   "non_canonical_pair": 2, "duplicate_key": 2,
+                   "dangling_object": 1}
+
+
+def test_validate_kg_plan_shape(spark):
+    """Scale claims: no cartesian, no window, no collect-backed
+    literal plan; dangling check is a LeftAnti join."""
+    from neleval_spark.pipeline.triples import validate_kg
+
+    df = spark.createDataFrame(
+        [("E1", "cooccurs_with", "E2", "u1")], WITNESS_SCHEMA)
+    plan = validate_kg(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    assert "LeftAnti" in plan
