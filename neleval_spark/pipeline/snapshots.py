@@ -284,7 +284,8 @@ def rollback(out_dir: str, snapshot_id: int) -> dict:
 def merge_commit(spark: SparkSession, out_dir: str, delta: DataFrame,
                  generation: int, mode: str = "replace",
                  n_buckets: int = 64,
-                 timestamp: float | None = None) -> dict:
+                 timestamp: float | None = None,
+                 validate: tuple = ()) -> dict:
     """Copy-on-write MERGE of one crawl generation into the
     snapshot-tracked KG table (Iceberg's ``MERGE INTO`` with
     copy-on-write: the merge rewrites the table into NEW files and
@@ -310,8 +311,18 @@ def merge_commit(spark: SparkSession, out_dir: str, delta: DataFrame,
     A generation the current snapshot already supersedes is refused
     (the optimistic-concurrency analogue for out-of-order merge
     jobs); :func:`rollback` first to redo history intentionally.
-    Returns the committed snapshot dict."""
-    from .triples import merge_kg, write_triples
+    Returns the committed snapshot dict.
+
+    ``validate`` names :func:`~.triples.validate_kg` checks that must
+    report ZERO violations on the DELTA before anything is written
+    (e.g. ``("null_field", "unknown_pred", "duplicate_key")`` — the
+    structural invariants that hold inductively: the base passed them
+    at ITS commit, so gating each delta keeps the whole store clean).
+    Cross-generational checks like ``dangling_object`` are not
+    inductive — run ``validate_kg(read_snapshot(...))`` on the merged
+    table for those.  A failed gate raises before the write, so no
+    files land and no snapshot is committed."""
+    from .triples import merge_kg, validate_kg, write_triples
 
     run_id = f"gen-{generation:06d}"
     cur = current_snapshot(out_dir)
@@ -322,6 +333,20 @@ def merge_commit(spark: SparkSession, out_dir: str, delta: DataFrame,
             f"generation {generation} is already superseded (current "
             f"snapshot is {cur['run_id']}); rollback first to redo "
             "history")
+
+    if validate:
+        report = {r["check"]: r["violations"]
+                  for r in validate_kg(delta).collect()}
+        unknown = set(validate) - set(report)
+        if unknown:
+            raise ValueError(
+                f"unknown validate_kg checks: {sorted(unknown)}; "
+                f"available: {sorted(report)}")
+        bad = {c: report[c] for c in validate if report[c]}
+        if bad:
+            raise ValueError(
+                f"delta for generation {generation} fails integrity "
+                f"checks {bad}; nothing was written")
 
     merged = delta
     if cur is not None:

@@ -250,3 +250,42 @@ def test_merge_commit(spark, tmp_path):
 def test_remote_uri_refused(tmp_path):
     with pytest.raises(ValueError, match="POSIX"):
         commit_snapshot("s3://bucket/table")
+
+
+def test_merge_commit_validate_gate(spark, tmp_path):
+    """validate= names checks that must be zero on the DELTA; a
+    failed gate raises BEFORE any write — no files land, no snapshot
+    is committed — and an unknown check name is refused."""
+    out = str(tmp_path / "kgv")
+    checks = ("null_field", "unknown_pred", "duplicate_key")
+    g1 = aggregate_kg(_witness(spark, [
+        ("a", "b", "u1"), ("c", "d", "u1")]), 1)
+    s1 = merge_commit(spark, out, g1, generation=1, timestamp=100.0,
+                      validate=checks)
+    assert s1["seq"] == 1
+
+    # poisoned delta: a duplicate primary key and a NULL object
+    poison = g1.unionByName(g1.limit(1)).unionByName(
+        spark.createDataFrame(
+            [("x", "cooccurs_with", None, 1, 2, 2)],
+            "subj string, pred string, obj string, n_pages long, "
+            "first_seen int, last_seen int"))
+    with pytest.raises(ValueError, match="integrity"):
+        merge_commit(spark, out, poison, generation=2,
+                     validate=checks)
+    # nothing was written or committed
+    assert current_snapshot(out)["seq"] == 1
+    assert read_snapshot(spark, out).count() == 2
+    assert not any("gen-000002" in f
+                   for f in os.listdir(os.path.join(out, "triples")))
+
+    with pytest.raises(ValueError, match="unknown validate_kg"):
+        merge_commit(spark, out, g1, generation=2,
+                     validate=("no_such_check",))
+
+    # a clean delta still commits with the gate on
+    g2 = aggregate_kg(_witness(spark, [("e", "f", "u2")]), 2)
+    s2 = merge_commit(spark, out, g2, generation=2, timestamp=200.0,
+                      validate=checks)
+    assert s2["seq"] == 2
+    assert read_snapshot(spark, out).count() == 3
