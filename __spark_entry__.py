@@ -2187,6 +2187,78 @@ SELECT qid, cid, cos, rk FROM r WHERE rk <= {k} ORDER BY qid, rk
 Q_IVF_TOPK_FIXED_SQL = _ivf_fixed_sql()
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup;
+    Abbas et al. 2023): fixed-codebook cell assignment (broadcast
+    argmin, no embedding shuffle) → within-cell exact cosine pairs
+    (equi-join on cell, never a cross product) → greedy lowest-id-
+    survivor flagging at round(cos,6) ≥ 0.35.  With the codebook
+    pinned every step is deterministic column arithmetic; the oracle
+    replays assignment, pair join, and the (min dup_of / arg_min
+    dup_cos) aggregation exactly.  NULL survivor columns are pinned
+    to sentinels (-1 / 0 / -1.0) on BOTH engines for the gate's
+    row-sort."""
+    from neleval_spark.functions.similarity import semantic_dedup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = e.select(F.col("vec_id").alias("id"),
+                 F.col("embedding").alias("vec"))
+    out = semantic_dedup(d, threshold=0.35,
+                         centroids=_ivf_fixed_centroids())
+    return out.select(
+        "id", "cell", F.col("is_dup").cast("int").alias("is_dup"),
+        F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
+        F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+        F.coalesce("dup_cos", F.lit(-1.0)).alias("dup_cos"),
+    ).orderBy("id")
+
+
+def _semantic_dedup_sql(threshold: float = 0.35) -> str:
+    """DuckDB replica of q_semantic_dedup: same codebook doubles via
+    repr(), same ordered-fold distances/struct sort as the
+    ivf_topk_fixed oracle, same pair join and survivor sentinels."""
+    cents = _ivf_fixed_centroids()
+
+    def dist(j: int) -> str:
+        lit = "[" + ", ".join(repr(x) for x in cents[j]) + "]::DOUBLE[]"
+        return ("list_reduce(list_transform(v, (x, i) -> "
+                f"(x - ({lit})[i]) * (x - ({lit})[i])), "
+                "(acc, x) -> acc + x)")
+
+    structs = ", ".join(
+        f"struct_pack(d := {dist(j)}, cell := {j})"
+        for j in range(len(cents)))
+    return f"""
+WITH vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+              FROM embeddings),
+assigned AS (SELECT id, v,
+                    (list_sort([{structs}]))[1].cell AS cell
+             FROM vecs),
+pairs AS (
+  SELECT a.cell, a.id AS ida, b.id AS idb,
+         ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+  FROM assigned a JOIN assigned b USING (cell)
+  WHERE a.id < b.id),
+flagged AS (
+  SELECT idb AS id, MIN(ida) AS dup_of, COUNT(*) AS n_dups,
+         arg_min(cos, ida) AS dup_cos
+  FROM pairs WHERE cos >= {threshold}
+  GROUP BY idb)
+SELECT a.id, a.cell,
+       CASE WHEN f.id IS NULL THEN 0 ELSE 1 END AS is_dup,
+       COALESCE(f.dup_of, -1) AS dup_of,
+       COALESCE(f.n_dups, 0) AS n_dups,
+       COALESCE(f.dup_cos, -1.0) AS dup_cos
+FROM assigned a LEFT JOIN flagged f USING (id)
+ORDER BY a.id
+"""
+
+
+Q_SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
+
+
 def q_sessionize(spark, sf_dir):
     """Stateful-style sessionization (30-min gap) via window + cumsum."""
     from pyspark.sql import Window
@@ -4926,8 +4998,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "associations": q_associations,
         "triangles": q_triangles,
         "communities": q_communities,
-        # ---- new this round: stats path oracle-gated
+        # ---- new this round: stats path oracle-gated + training-data
+        # curation additions
         "permutation_pvalue": q_permutation_pvalue,
+        "semantic_dedup": q_semantic_dedup,
         # ---- round-3 green, driver-stale since
         "sessionize": q_sessionize,
         "minhash": q_minhash,
@@ -4951,8 +5025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "muc": _measure_query("muc"),
         "b_cubed": _measure_query("b_cubed"),
-        "grouped_eval": q_grouped_eval,
         # ---- long-green tail (driver-checked r4; local gate always)
+        "grouped_eval": q_grouped_eval,
         "strong_mention_match": _measure_query("strong_mention_match"),
         "strong_all_match": _measure_query("strong_all_match"),
         "strong_link_match": _measure_query("strong_link_match"),
@@ -5062,6 +5136,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": Q_COSINE_TOPK_SQL,
         "ann_lsh_topk": Q_ANN_LSH_TOPK_SQL,
         "ivf_topk_fixed": Q_IVF_TOPK_FIXED_SQL,
+        "semantic_dedup": Q_SEMANTIC_DEDUP_SQL,
         "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,

@@ -171,6 +171,49 @@ def test_cosine_topk_refuses_large_cross_join(spark):
                        max_pairs=None).count() > 0
 
 
+def test_semantic_dedup_flags_planted_neardups(spark):
+    """SemDeDup policy: a planted near-identical vector must be
+    flagged against its lower-id twin (same cell by construction); a
+    far-off vector must survive; chains follow greedy lowest-id."""
+    from neleval_spark.functions.similarity import semantic_dedup
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, base),
+        (1, [0.999, 0.01, 0.0, 0.0]),     # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),        # different direction
+        (3, [0.998, 0.02, 0.0, 0.0]),     # near-dup of 0 and 1
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = {r["id"]: r for r in semantic_dedup(
+        df, threshold=0.99, centroids=cents).collect()}
+    assert not out[0]["is_dup"] and not out[2]["is_dup"]
+    assert out[1]["is_dup"] and out[1]["dup_of"] == 0
+    assert out[3]["is_dup"] and out[3]["dup_of"] == 0
+    assert out[3]["n_dups"] == 2  # flagged by both 0 and 1
+    # survivors carry NULL dup metadata
+    assert out[0]["dup_of"] is None and out[0]["dup_cos"] is None
+
+
+def test_semantic_dedup_refuses_hot_cells(spark):
+    """All vectors in one cell → quadratic pair fan-in; must refuse
+    above max_cell_pairs with a pointer at n_cells (the
+    refuse-cartesian stance of cosine_topk/match_pattern)."""
+    import pytest
+    from neleval_spark.functions.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i) / 100.0]) for i in range(30)],
+        "id long, vec array<double>")
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    with pytest.raises(ValueError, match="n_cells"):
+        semantic_dedup(df, threshold=0.9, centroids=cents,
+                       max_cell_pairs=100)
+    assert semantic_dedup(df, threshold=0.9, centroids=cents,
+                          max_cell_pairs=None).count() == 30
+
+
 def test_multimodal_plumbing(spark):
     from neleval_spark.functions.multimodal import (
         FEATURE_DIM, bucketed, decode_stub, extract_features,
