@@ -2259,6 +2259,80 @@ ORDER BY a.id
 Q_SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 
+def q_bloom_dedup(spark, sf_dir):
+    """Cross-generation Bloom-filter dedup (functions/bloom.py):
+    generation 0 (even doc_ids) builds a ``(word, bits)`` filter with
+    one bit_or aggregation; every url then probes it — "definitely
+    new" is exact (no false negatives, asserted by the ``fn`` column
+    being all-zero), "maybe seen" is FP-prone by design.  Every step
+    is integer column arithmetic on the engine-agnostic 31/131
+    polynomial pair + Knuth finalizer, so the oracle replays build
+    AND probe bit-exactly, including which specific urls false-
+    positive at m=2^14, k=7."""
+    from neleval_spark.functions.bloom import bloom_build, bloom_probe
+
+    m, k = 1 << 14, 7
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(F.lit("http://h"), (F.col("doc_id") % 13),
+                   F.lit("/p"), F.col("doc_id"))
+    keyed = docs.select(url.alias("url"),
+                        (F.col("doc_id") % 2 == 0).cast("int")
+                        .alias("seen"))
+    gen0 = keyed.where(F.col("seen") == 1)
+    filt = bloom_build(gen0, "url", m_bits=m, k_hashes=k)
+    out = bloom_probe(keyed, filt, "url", m_bits=m, k_hashes=k)
+    return out.select(
+        "url", "seen", "maybe_seen",
+        ((F.col("maybe_seen") == 1) & (F.col("seen") == 0))
+        .cast("int").alias("fp"),
+        ((F.col("maybe_seen") == 0) & (F.col("seen") == 1))
+        .cast("int").alias("fn"),
+    ).orderBy("url")
+
+
+Q_BLOOM_DEDUP_SQL = """
+WITH keyed AS (
+  SELECT 'http://h' || CAST(doc_id % 13 AS VARCHAR)
+         || '/p' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS seen
+  FROM documents),
+hashed AS (
+  SELECT url, seen,
+         (list_reduce(list_prepend(0::BIGINT,
+            list_transform(split(url, ''), c -> ascii(c)::BIGINT)),
+            (acc, c) -> (acc * 31 + c) % 2147483647)
+          * 2654435761) % 2147483647 AS h1,
+         (list_reduce(list_prepend(0::BIGINT,
+            list_transform(split(url, ''), c -> ascii(c)::BIGINT)),
+            (acc, c) -> (acc * 131 + c) % 2147483647)
+          * 2654435761) % 2147483647 AS h2
+  FROM keyed),
+pos AS (
+  SELECT url, seen,
+         (h1 + i * h2 + i * i) % 16384 AS p
+  FROM hashed, UNNEST(range(7)) t(i)),
+masked AS (
+  SELECT url, seen, p >> 6 AS word,
+         CASE WHEN p % 64 = 63 THEN (-9223372036854775807 - 1)
+              ELSE 1::BIGINT << CAST(p % 64 AS INTEGER) END AS mask
+  FROM pos),
+filt AS (
+  SELECT word, bit_or(mask) AS bits
+  FROM masked WHERE seen = 1 GROUP BY word),
+probed AS (
+  SELECT m.url, m.seen,
+         MIN(CASE WHEN f.bits IS NOT NULL
+                  AND (f.bits & m.mask) != 0 THEN 1 ELSE 0 END)
+           AS maybe_seen
+  FROM masked m LEFT JOIN filt f USING (word)
+  GROUP BY m.url, m.seen)
+SELECT url, seen, maybe_seen,
+       CASE WHEN maybe_seen = 1 AND seen = 0 THEN 1 ELSE 0 END AS fp,
+       CASE WHEN maybe_seen = 0 AND seen = 1 THEN 1 ELSE 0 END AS fn
+FROM probed ORDER BY url
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Stateful-style sessionization (30-min gap) via window + cumsum."""
     from pyspark.sql import Window
@@ -5002,6 +5076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curation additions
         "permutation_pvalue": q_permutation_pvalue,
         "semantic_dedup": q_semantic_dedup,
+        "bloom_dedup": q_bloom_dedup,
         # ---- round-3 green, driver-stale since
         "sessionize": q_sessionize,
         "minhash": q_minhash,
@@ -5024,8 +5099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_ceaf": q_mention_ceaf,
         "cosine_topk": q_cosine_topk,
         "muc": _measure_query("muc"),
-        "b_cubed": _measure_query("b_cubed"),
         # ---- long-green tail (driver-checked r4; local gate always)
+        "b_cubed": _measure_query("b_cubed"),
         "grouped_eval": q_grouped_eval,
         "strong_mention_match": _measure_query("strong_mention_match"),
         "strong_all_match": _measure_query("strong_all_match"),
@@ -5137,6 +5212,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": Q_ANN_LSH_TOPK_SQL,
         "ivf_topk_fixed": Q_IVF_TOPK_FIXED_SQL,
         "semantic_dedup": Q_SEMANTIC_DEDUP_SQL,
+        "bloom_dedup": Q_BLOOM_DEDUP_SQL,
         "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,
