@@ -2333,6 +2333,53 @@ FROM probed ORDER BY url
 """
 
 
+def q_surprisal(spark, sf_dir):
+    """CCNet-style LM quality signal in exact integers
+    (webquality.unigram_surprisal): per-token surprisal =
+    bitlen(C) − bitlen(cf(t)) — an integer −log₂p within one bit —
+    summed per document, with head/middle/tail buckets at pinned
+    millibit thresholds.  Corpus frequencies are the two-phase
+    vocab aggregate; the total count is one broadcast scalar row
+    (BM25 pattern); everything is integer arithmetic so the oracle
+    replays the whole computation exactly."""
+    from neleval_spark.functions.webquality import unigram_surprisal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_surprisal(docs, thresholds=(5001, 5100)) \
+        .orderBy("doc_id")
+
+
+Q_SURPRISAL_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            t -> t != '')) AS token
+  FROM documents),
+cf AS (SELECT token, COUNT(*) AS cf FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS c FROM cf),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(length(bin(c)) - length(bin(cf))) AS BIGINT)
+           AS bits_sum
+  FROM tok JOIN cf USING (token) CROSS JOIN tot
+  GROUP BY doc_id),
+scored AS (
+  SELECT d.doc_id,
+         COALESCE(p.n_tokens, 0) AS n_tokens,
+         COALESCE(p.bits_sum, 0) AS bits_sum,
+         CASE WHEN COALESCE(p.n_tokens, 0) > 0
+              THEN (1000 * p.bits_sum) // p.n_tokens
+              ELSE -1 END AS millibits_per_token
+  FROM documents d LEFT JOIN per p USING (doc_id))
+SELECT doc_id, n_tokens, bits_sum, millibits_per_token,
+       CASE WHEN millibits_per_token < 5001 THEN 'head'
+            WHEN millibits_per_token >= 5100 THEN 'tail'
+            ELSE 'middle' END AS bucket
+FROM scored ORDER BY doc_id
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Stateful-style sessionization (30-min gap) via window + cumsum."""
     from pyspark.sql import Window
@@ -5077,6 +5124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "permutation_pvalue": q_permutation_pvalue,
         "semantic_dedup": q_semantic_dedup,
         "bloom_dedup": q_bloom_dedup,
+        "surprisal": q_surprisal,
         # ---- round-3 green, driver-stale since
         "sessionize": q_sessionize,
         "minhash": q_minhash,
@@ -5095,11 +5143,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- re-check slate (positions 44-50): proxy-oracle CEAF
         # family + queries whose code or oracle changed this round
         "ceaf_small_components": q_ceaf_small_components,
-        "ceaf_star": q_ceaf_star,
+        "kg_validate": q_kg_validate,
         "mention_ceaf": q_mention_ceaf,
         "cosine_topk": q_cosine_topk,
-        "muc": _measure_query("muc"),
         # ---- long-green tail (driver-checked r4; local gate always)
+        "muc": _measure_query("muc"),
         "b_cubed": _measure_query("b_cubed"),
         "grouped_eval": q_grouped_eval,
         "strong_mention_match": _measure_query("strong_mention_match"),
@@ -5150,7 +5198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_fixed": q_ivf_topk_fixed,
         # ---- round-5 late addition: after the 50-slot window by
         # design (the local gate replays it; swap forward next round)
-        "kg_validate": q_kg_validate,
+        "ceaf_star": q_ceaf_star,
     }
     return qs
 
@@ -5213,6 +5261,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_fixed": Q_IVF_TOPK_FIXED_SQL,
         "semantic_dedup": Q_SEMANTIC_DEDUP_SQL,
         "bloom_dedup": Q_BLOOM_DEDUP_SQL,
+        "surprisal": Q_SURPRISAL_SQL,
         "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,

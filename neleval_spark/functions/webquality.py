@@ -248,3 +248,73 @@ def vocab_stats(docs: DataFrame, text_col: str = "text",
     return toks.groupBy("token").agg(
         F.count("*").alias("tf"),
         F.countDistinct("_doc").alias("df"))
+
+
+def unigram_surprisal(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      thresholds: tuple[int, int] | None = None
+                      ) -> DataFrame:
+    """Integer-bit unigram surprisal — the CCNet-style language-model
+    quality signal (Wenzek et al. 2020: score each document under a
+    corpus LM, split the corpus into head/middle/tail) reduced to
+    exact integer arithmetic so it cross-engine-verifies bit-for-bit.
+
+    Per token occurrence the surprisal is
+    ``bitlen(C) - bitlen(cf(t))`` where ``cf(t)`` is the token's
+    corpus frequency, ``C`` the total token count and ``bitlen`` the
+    binary length (= 1 + floor(log2)): an integer approximation of
+    ``-log2 p(t)`` within 1 bit.  A document's score is the sum over
+    its tokens; ``millibits_per_token`` (integer division, sentinel
+    -1 for token-less docs) is the comparable per-token rate — LOW
+    means common/templated text, HIGH means rare-token (or noisy)
+    text, the same ordering CCNet's perplexity gives.
+
+    With ``thresholds=(lo, hi)`` in millibits, adds the CCNet
+    ``bucket`` column: head (< lo), middle, tail (≥ hi).  Thresholds
+    are corpus-level choices (CCNet uses per-language perplexity
+    percentiles) — compute them once from this output's distribution
+    and pin them, rather than re-deriving in-plan.
+
+    Scale shape (audited in PLANS.md): corpus frequencies are the
+    ``vocab_stats`` two-phase aggregate (map-side combine absorbs
+    Zipf-hot tokens); the token→cf join leaves broadcast-vs-shuffle
+    to AQE (a web-scale vocab can exceed broadcast range); the total
+    count joins in as ONE broadcast scalar row (the BM25 corpus-stats
+    pattern — never a driver collect); the per-document re-aggregate
+    is keyed by doc id — uniform.  Three exchanges total, each
+    map-side combined."""
+    toks = docs.select(F.col(id_col).alias("_doc"),
+                       F.explode(_tokens(text_col)).alias("token"))
+    cf = toks.groupBy("token").agg(F.count("*").alias("_cf"))
+    total = cf.agg(F.sum("_cf").alias("_c"))
+    bits = (F.length(F.bin(F.col("_c")))
+            - F.length(F.bin(F.col("_cf"))))
+    per_doc = (
+        toks.join(cf, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("_doc")
+        .agg(F.count("*").alias("n_tokens"),
+             F.sum(bits).alias("bits_sum"))
+    )
+    out = (
+        docs.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("_doc", id_col), id_col,
+              "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("bits_sum", F.lit(0)).alias("bits_sum"))
+        .withColumn(
+            "millibits_per_token",
+            F.when(F.col("n_tokens") > 0,
+                   F.expr("(1000 * bits_sum) div n_tokens"))
+            .otherwise(F.lit(-1)))
+    )
+    if thresholds is not None:
+        lo, hi = thresholds
+        out = out.withColumn(
+            "bucket",
+            F.when(F.col("millibits_per_token") < lo, F.lit("head"))
+            .when(F.col("millibits_per_token") >= hi, F.lit("tail"))
+            .otherwise(F.lit("middle")))
+    return out

@@ -133,3 +133,38 @@ def test_association_scores_partitioning_invariant(spark):
     b = {tuple(r) for r in
          association_scores(emit_triples(m.repartition(7))).collect()}
     assert a == b and a
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    """Integer-bit surprisal on a corpus small enough to verify by
+    hand: C=8 total tokens → bitlen(C)=4; 'the' occurs 4× (bitlen 3,
+    1 bit each), rare tokens occur 1× (bitlen 1, 3 bits each)."""
+    from neleval_spark.functions.webquality import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "zebra quark axolotl umbra")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_surprisal(docs).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["bits_sum"] == 4 * 1
+    assert out[2]["n_tokens"] == 4 and out[2]["bits_sum"] == 4 * 3
+    assert out[1]["millibits_per_token"] == 1000
+    assert out[2]["millibits_per_token"] == 3000
+
+
+def test_unigram_surprisal_buckets_and_empty_docs(spark):
+    from neleval_spark.functions.webquality import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a a"), (2, "b c d e f g h"), (3, "   ")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in unigram_surprisal(
+               docs, thresholds=(1500, 2500)).collect()}
+    # common-token doc scores low (head), rare-token doc high (tail)
+    assert out[1]["bucket"] == "head"
+    assert out[2]["bucket"] == "tail"
+    # token-less doc: zero counts, -1 sentinel, middle-by-default is
+    # wrong — -1 < lo puts it in head, which callers filter on
+    # n_tokens == 0 anyway
+    assert out[3]["n_tokens"] == 0 and out[3]["bits_sum"] == 0
+    assert out[3]["millibits_per_token"] == -1
