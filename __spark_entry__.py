@@ -2380,6 +2380,45 @@ FROM scored ORDER BY doc_id
 """
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """BPE training's corpus-proportional step (functions/bpe.py):
+    word-type frequency table (the only corpus pass) → in-row
+    adjacent-symbol pair expansion → corpus-weighted pair counts,
+    top 20 by (count DESC, pair ASC).  This is the aggregation every
+    merge iteration reruns on the vocab-sized table; the iterative
+    argmax/merge loop itself is differential-tested against a pure-
+    Python reference in tests/test_bpe.py (driver loops aren't
+    SQL)."""
+    from neleval_spark.functions.bpe import (pair_counts,
+                                             word_symbol_table)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pc = pair_counts(word_symbol_table(docs))
+    return (pc.select(F.col("left").alias("lhs"),
+                      F.col("right").alias("rhs"), "n")
+            .orderBy(F.desc("n"), "lhs", "rhs").limit(20))
+
+
+Q_BPE_PAIRS_SQL = """
+WITH tok AS (
+  SELECT UNNEST(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            t -> t != '')) AS token
+  FROM documents),
+wc AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+syms AS (SELECT n,
+                list_append(list_transform(range(1, length(token) + 1),
+                                           i -> token[i]),
+                            '</w>') AS s
+         FROM wc),
+pairs AS (SELECT s[i] AS lhs, s[i + 1] AS rhs, n
+          FROM syms, UNNEST(range(1, len(s))) t(i)),
+agg AS (SELECT lhs, rhs, CAST(SUM(n) AS BIGINT) AS n
+        FROM pairs GROUP BY lhs, rhs)
+SELECT lhs, rhs, n FROM agg ORDER BY n DESC, lhs, rhs LIMIT 20
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Stateful-style sessionization (30-min gap) via window + cumsum."""
     from pyspark.sql import Window
@@ -5125,6 +5164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "bloom_dedup": q_bloom_dedup,
         "surprisal": q_surprisal,
+        "bpe_pairs": q_bpe_pairs,
         # ---- round-3 green, driver-stale since
         "sessionize": q_sessionize,
         "minhash": q_minhash,
@@ -5144,7 +5184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family + queries whose code or oracle changed this round
         "ceaf_small_components": q_ceaf_small_components,
         "kg_validate": q_kg_validate,
-        "mention_ceaf": q_mention_ceaf,
         "cosine_topk": q_cosine_topk,
         # ---- long-green tail (driver-checked r4; local gate always)
         "muc": _measure_query("muc"),
@@ -5199,6 +5238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-5 late addition: after the 50-slot window by
         # design (the local gate replays it; swap forward next round)
         "ceaf_star": q_ceaf_star,
+        "mention_ceaf": q_mention_ceaf,
     }
     return qs
 
@@ -5262,6 +5302,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": Q_SEMANTIC_DEDUP_SQL,
         "bloom_dedup": Q_BLOOM_DEDUP_SQL,
         "surprisal": Q_SURPRISAL_SQL,
+        "bpe_pairs": Q_BPE_PAIRS_SQL,
         "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,
