@@ -2380,6 +2380,107 @@ FROM scored ORDER BY doc_id
 """
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ approximate nearest neighbour (similarity.ivfpq_topk;
+    Jégou et al. 2011): fixed coarse codebook (the ivf_topk_fixed
+    one) + fixed per-subspace PQ codebooks — candidates reduce to
+    (cid, cell, 8 codes) before the probe join (the raw vector never
+    reaches the scan), queries rank by asymmetric distance.  Every
+    step — coarse argmin, per-subspace encode argmin, ADC ordered-
+    fold sum — is deterministic column arithmetic; the oracle
+    replays all of it, down to WHICH candidate wins rank 1."""
+    from neleval_spark.functions.similarity import ivfpq_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = F.col("embedding").cast("array<double>")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), emb.alias("qv"))
+    c = e.select(F.col("vec_id").alias("cid"), emb.alias("cv"))
+    out = ivfpq_topk(q, c, k=3, centroids=_ivf_fixed_centroids(),
+                     n_probe=3)
+    return out.orderBy("qid", "rk")
+
+
+def _ivfpq_sql(n_probe: int = 3, k: int = 3) -> str:
+    """DuckDB replica of q_ivfpq_topk: repr()-identical codebook
+    doubles, the ivf_topk_fixed coarse assignment, per-subspace
+    argmin encoding via struct sort, ADC as the same left-fold sum
+    of left-fold subspace distances."""
+    from neleval_spark.functions.similarity import pq_codebooks
+
+    cents = _ivf_fixed_centroids()
+    books = pq_codebooks()
+    n_sub, k_sub, sub_dim = len(books), len(books[0]), \
+        len(books[0][0])
+
+    def dlit(vals):
+        return "[" + ", ".join(repr(x) for x in vals) + "]::DOUBLE[]"
+
+    def coarse_dist(j):
+        return ("list_reduce(list_transform(v, (x, i) -> "
+                f"(x - ({dlit(cents[j])})[i]) * "
+                f"(x - ({dlit(cents[j])})[i])), "
+                "(acc, x) -> acc + x)")
+
+    coarse = ", ".join(
+        f"struct_pack(d := {coarse_dist(j)}, cell := {j})"
+        for j in range(len(cents)))
+
+    def sub_dist(s, j):
+        a, b = s * sub_dim + 1, s * sub_dim + sub_dim
+        return (f"list_reduce(list_transform(v[{a}:{b}], (x, i) -> "
+                f"(x - ({dlit(books[s][j])})[i]) * "
+                f"(x - ({dlit(books[s][j])})[i])), "
+                "(acc, x) -> acc + x)")
+
+    def code_for(s):
+        structs = ", ".join(
+            f"struct_pack(d := {sub_dist(s, j)}, j := {j})"
+            for j in range(k_sub))
+        return f"(list_sort([{structs}]))[1].j"
+
+    codes = "[" + ", ".join(code_for(s) for s in range(n_sub)) + "]"
+
+    books_lit = "[" + ", ".join(
+        "[" + ", ".join(dlit(c) for c in sub) + "]"
+        for sub in books) + "]"
+
+    # ADC: left fold over subspaces of the per-subspace left fold —
+    # qv slice bounds and the codebook lookup depend on the lambda
+    # var s and the candidate's code list
+    adist = (
+        "list_reduce(list_prepend(0.0, list_transform(range(0, "
+        f"{n_sub}), s -> "
+        "list_reduce(list_transform("
+        f"qv[(s * {sub_dim} + 1):(s * {sub_dim} + {sub_dim})], "
+        f"(x, i) -> (x - (({books_lit})[s + 1][codes[s + 1] + 1])[i])"
+        f" * (x - (({books_lit})[s + 1][codes[s + 1] + 1])[i])), "
+        "(acc, x) -> acc + x))), (acc, x) -> acc + x)")
+
+    return f"""
+WITH vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+              FROM embeddings),
+ranked AS (SELECT id, v, list_sort([{coarse}]) AS cells FROM vecs),
+coded AS (SELECT id AS cid, cells[1].cell AS cell, {codes} AS codes
+          FROM ranked),
+probes AS (SELECT id AS qid, v AS qv,
+                  UNNEST(list_transform(cells[1:{n_probe}],
+                                        s -> s.cell)) AS cell
+           FROM ranked WHERE id < 5),
+pairs AS (
+  SELECT qid, cid, ROUND({adist}, 6) AS adist
+  FROM probes JOIN coded USING (cell)
+  WHERE qid != cid),
+r AS (SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY qid ORDER BY adist ASC, cid ASC) AS rk
+      FROM pairs)
+SELECT qid, cid, adist, rk FROM r WHERE rk <= {k} ORDER BY qid, rk
+"""
+
+
+Q_IVFPQ_TOPK_SQL = _ivfpq_sql()
+
+
 def q_bpe_pairs(spark, sf_dir):
     """BPE training's corpus-proportional step (functions/bpe.py):
     word-type frequency table (the only corpus pass) → in-row
@@ -5165,6 +5266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "surprisal": q_surprisal,
         "bpe_pairs": q_bpe_pairs,
+        "ivfpq_topk": q_ivfpq_topk,
         # ---- round-3 green, driver-stale since
         "sessionize": q_sessionize,
         "minhash": q_minhash,
@@ -5179,7 +5281,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "multimodal_features": q_multimodal_features,
         "media_meta": q_media_meta,
-        "pipeline_triples": q_pipeline_triples,
         # ---- re-check slate (positions 44-50): proxy-oracle CEAF
         # family + queries whose code or oracle changed this round
         "ceaf_small_components": q_ceaf_small_components,
@@ -5239,6 +5340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # design (the local gate replays it; swap forward next round)
         "ceaf_star": q_ceaf_star,
         "mention_ceaf": q_mention_ceaf,
+        "pipeline_triples": q_pipeline_triples,
     }
     return qs
 
@@ -5303,6 +5405,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_dedup": Q_BLOOM_DEDUP_SQL,
         "surprisal": Q_SURPRISAL_SQL,
         "bpe_pairs": Q_BPE_PAIRS_SQL,
+        "ivfpq_topk": Q_IVFPQ_TOPK_SQL,
         "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,

@@ -171,6 +171,71 @@ def test_cosine_topk_refuses_large_cross_join(spark):
                        max_pairs=None).count() > 0
 
 
+def test_pq_encode_matches_hand_computation(spark):
+    """Per-subspace argmin encoding must equal the pure-Python
+    computation over the same fixed codebooks, for every vector."""
+    from neleval_spark.functions.similarity import (pq_codebooks,
+                                                    pq_encode)
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb = F.col("embedding").cast("array<double>")
+    c = e.select(F.col("vec_id").alias("cid"), emb.alias("cv"))
+    books = pq_codebooks()
+    got = {r["cid"]: list(r["codes"]) for r in pq_encode(c).collect()}
+    rows = {r["vec_id"]: list(r["embedding"]) for r in e.collect()}
+    for cid, v in rows.items():
+        exp = []
+        for s in range(8):
+            sub = v[s * 8:(s + 1) * 8]
+            exp.append(min(
+                (sum((a - b) ** 2 for a, b in zip(sub, cb)), j)
+                for j, cb in enumerate(books[s]))[1])
+        assert got[cid] == exp, cid
+    assert all(len(cs) == 8 and all(0 <= x < 16 for x in cs)
+               for cs in got.values())
+
+
+def test_ivfpq_recall_on_clustered_data(spark):
+    """On data with real cluster structure (what PQ is for — the
+    sf embeddings are near-uniform, where distance concentration
+    defeats ANY 8-byte sketch), trained codebooks + true anchors
+    must put every top-5 neighbour in the query's own cluster."""
+    from neleval_spark.functions.similarity import (
+        ivfpq_topk, train_pq_codebooks)
+
+    def jit(i, d):
+        return ((((i * 1009 + d * 9176 + 7) * 2654435761)
+                 % (1 << 32)) / float(1 << 32)) * 0.2 - 0.1
+
+    anchors = [[(3.0 if (c >> b) & 1 else -3.0) for b in range(16)]
+               for c in range(8)]
+    rows = [(c * 25 + p,
+             [anchors[c][d] + jit(c * 25 + p, d) for d in range(16)])
+            for c in range(8) for p in range(25)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    q = df.where(F.col("id") % 25 == 0).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"))
+    c_ = df.select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+    books = train_pq_codebooks(c_, n_sub=4, k_sub=8)
+    got = ivfpq_topk(q, c_, k=5, centroids=anchors,
+                     codebooks=books, n_probe=2).collect()
+    assert len(got) == 8 * 5
+    assert all(r["cid"] // 25 == r["qid"] // 25 for r in got)
+
+
+def test_ivfpq_requires_fixed_centroids(spark):
+    import pytest
+    from neleval_spark.functions.similarity import ivfpq_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb = F.col("embedding").cast("array<double>")
+    q = e.limit(2).select(F.col("vec_id").alias("qid"),
+                          emb.alias("qv"))
+    c = e.select(F.col("vec_id").alias("cid"), emb.alias("cv"))
+    with pytest.raises(ValueError, match="centroids"):
+        ivfpq_topk(q, c, k=3)
+
+
 def test_semantic_dedup_flags_planted_neardups(spark):
     """SemDeDup policy: a planted near-identical vector must be
     flagged against its lower-id twin (same cell by construction); a
