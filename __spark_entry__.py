@@ -2481,6 +2481,41 @@ SELECT qid, cid, adist, rk FROM r WHERE rk <= {k} ORDER BY qid, rk
 Q_IVFPQ_TOPK_SQL = _ivfpq_sql()
 
 
+def q_chunk_text(spark, sf_dir):
+    """Overlapping token-window chunking (corpusops.chunk_text) —
+    the embedding/retrieval prep step.  Pure in-row chunk layout +
+    one narrow explode, no shuffle; chunk ids, boundaries and the
+    re-joined chunk text are deterministic, so the oracle replays
+    every row byte-for-byte."""
+    from neleval_spark.functions.corpusops import chunk_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_text(docs, max_tokens=32, overlap=8) \
+        .orderBy("doc_id", "chunk_id")
+
+
+Q_CHUNK_TEXT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     t -> t != '') AS tk
+  FROM documents),
+sized AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         1 + CAST(ceil(greatest(len(tk) - 32, 0) / 24.0) AS INTEGER)
+           AS n_chunks
+  FROM toks
+  WHERE len(tk) > 0)
+SELECT doc_id,
+       CAST(c AS INTEGER) AS chunk_id,
+       CAST(least(n - c * 24, 32) AS INTEGER) AS n_tokens,
+       array_to_string(tk[(c * 24 + 1):least(c * 24 + 32, n)], ' ')
+         AS chunk
+FROM sized, UNNEST(range(0, n_chunks)) t(c)
+ORDER BY doc_id, chunk_id
+"""
+
+
 def q_bpe_pairs(spark, sf_dir):
     """BPE training's corpus-proportional step (functions/bpe.py):
     word-type frequency table (the only corpus pass) → in-row
@@ -5267,10 +5302,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surprisal": q_surprisal,
         "bpe_pairs": q_bpe_pairs,
         "ivfpq_topk": q_ivfpq_topk,
+        "chunk_text": q_chunk_text,
         # ---- round-3 green, driver-stale since
         "sessionize": q_sessionize,
         "minhash": q_minhash,
-        "minhash_pairs": q_minhash_pairs,
         "minhash_pairs_hotguard": q_minhash_pairs_hotguard,
         "dedup_cluster": q_dedup_cluster,
         "redact_pii": q_redact_pii,
@@ -5341,6 +5376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ceaf_star": q_ceaf_star,
         "mention_ceaf": q_mention_ceaf,
         "pipeline_triples": q_pipeline_triples,
+        "minhash_pairs": q_minhash_pairs,
     }
     return qs
 
@@ -5406,6 +5442,7 @@ def oracle_sql() -> dict[str, str]:
         "surprisal": Q_SURPRISAL_SQL,
         "bpe_pairs": Q_BPE_PAIRS_SQL,
         "ivfpq_topk": Q_IVFPQ_TOPK_SQL,
+        "chunk_text": Q_CHUNK_TEXT_SQL,
         "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,

@@ -388,3 +388,55 @@ def crawl_diff(old: DataFrame, new: DataFrame, key: str = "url",
          .otherwise(F.lit("changed")))
     return j.select(key, status.alias("status"),
                     "old_content", "new_content")
+
+
+def chunk_text(docs: DataFrame, max_tokens: int = 128,
+               overlap: int = 32, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Split documents into overlapping token windows — the
+    embedding/retrieval prep step (fixed-size chunks with overlap so
+    no span is cut without context; the RAG-era complement of
+    ``pack_sequences``, which concatenates rather than splits).
+
+    Chunk starts step by ``max_tokens - overlap``; the final chunk is
+    whatever remains (never empty, never duplicated: a doc with ≤
+    max_tokens tokens yields exactly one chunk).  Tokens are
+    whitespace runs kept verbatim, re-joined with single spaces —
+    the dedup_substrings convention.
+
+    Scale shape: pure in-row computation (token array staged once,
+    chunk index sequence → per-chunk slice+join) followed by ONE
+    narrow explode to (doc_id, chunk_id, n_tokens, chunk) rows — no
+    shuffle at all; chunk ids are deterministic (doc order), so
+    re-runs and engines agree row-for-row."""
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < max_tokens "
+            f"({max_tokens}) or chunking never advances")
+    step = max_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda t: t != "")
+    staged = docs.select(
+        F.col(id_col), toks.alias("_ct_toks"),
+        F.size(toks).alias("_n"))
+    # number of chunks: 1 + ceil(max(0, n - max_tokens) / step)
+    n_chunks = (F.lit(1) +
+                F.ceil((F.greatest(F.col("_n") - max_tokens,
+                                   F.lit(0)).cast("double"))
+                       / step).cast("int"))
+    chunk = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.alias("chunk_id"),
+            F.least(F.col("_n") - c * step,
+                    F.lit(max_tokens)).alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("_ct_toks"), c * step + 1, max_tokens),
+                " ").alias("chunk")))
+    return (
+        staged.where(F.col("_n") > 0)
+        .select(id_col, F.explode(chunk).alias("_c"))
+        .select(id_col, F.col("_c.chunk_id").alias("chunk_id"),
+                F.col("_c.n_tokens").alias("n_tokens"),
+                F.col("_c.chunk").alias("chunk"))
+    )

@@ -211,3 +211,45 @@ def test_latest_snapshot_keeps_newest_and_is_deterministic(spark):
     plan = latest_snapshot(pages)._jdf.queryExecution() \
         .executedPlan().toString().split("== Initial Plan ==")[0]
     assert "Window" not in plan
+
+
+def test_chunk_text_layout_and_edges(spark):
+    """Window layout: starts step by max-overlap, last chunk is the
+    remainder, short docs give exactly one chunk, token-less docs
+    give none, overlap >= max refuses."""
+    import pytest
+    from neleval_spark.functions.corpusops import chunk_text
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),
+         (2, "a b c"),
+         (3, "   ")],
+        "doc_id long, text string")
+    rows = chunk_text(docs, max_tokens=4, overlap=1) \
+        .orderBy("doc_id", "chunk_id").collect()
+    got = [(r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk"])
+           for r in rows]
+    assert got == [
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t3 t4 t5 t6"),
+        (1, 2, 4, "t6 t7 t8 t9"),
+        (2, 0, 3, "a b c"),
+    ]
+    # every token of doc 1 appears in some chunk (coverage), and
+    # consecutive chunks share exactly `overlap` tokens
+    c0, c1 = got[0][3].split(), got[1][3].split()
+    assert c0[-1:] == c1[:1]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(docs, max_tokens=4, overlap=4)
+
+
+def test_chunk_text_no_shuffle(spark):
+    """The chunking plan must contain no exchange — in-row layout +
+    one generate only."""
+    from neleval_spark.functions.corpusops import chunk_text
+
+    docs = spark.createDataFrame([(1, "a b c d e f g h")],
+                                 "doc_id long, text string")
+    plan = chunk_text(docs, max_tokens=4, overlap=1)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
