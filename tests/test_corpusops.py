@@ -253,3 +253,35 @@ def test_chunk_text_no_shuffle(spark):
     plan = chunk_text(docs, max_tokens=4, overlap=1)._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_text_reassembly_property(spark):
+    """For any (n_tokens, max_tokens, overlap): chunks overlap by
+    exactly `overlap` (except a shorter final remainder) and
+    reassemble to the original token stream losslessly."""
+    from neleval_spark.functions.corpusops import chunk_text
+
+    cases = [(n, m, o)
+             for n in (1, 2, 5, 16, 17, 31, 32, 33, 100)
+             for (m, o) in ((16, 4), (8, 7), (32, 0), (5, 1))]
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(n)))
+         for i, (n, _, _) in enumerate(cases)],
+        "doc_id long, text string")
+    for (m, o) in {(m, o) for _, m, o in cases}:
+        rows = chunk_text(docs, max_tokens=m, overlap=o) \
+            .orderBy("doc_id", "chunk_id").collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r["doc_id"], []).append(r["chunk"].split())
+        for i, (n, _, _) in enumerate(cases):
+            toks = [f"w{i}_{j}" for j in range(n)]
+            chunks = per[i]
+            rec = chunks[0][:]
+            for c in chunks[1:]:
+                assert rec[-o:] == c[:o] if o else True
+                rec += c[o:]
+            assert rec == toks, (i, n, m, o)
+            # no chunk exceeds max, only the last may be short of it
+            assert all(len(c) <= m for c in chunks)
+            assert all(len(c) == m for c in chunks[:-1])
