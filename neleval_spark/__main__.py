@@ -823,11 +823,12 @@ def cmd_curate(args):
     """Corpus-curation funnel over a parquet documents table
     (doc_id, text, lang, source, ...): cross-document line dedup →
     duplicated-substring removal (ExactSubstr) → incremental MinHash
-    near-dup against a persistent signature
-    index → per-domain cap → token-budget mixture sampling.  Every
-    stage is optional (off unless its flag is given), distributed,
-    and deterministic; the curated table is written to --out and a
-    JSON stage funnel (doc counts after each stage) to stdout."""
+    near-dup against a persistent signature index → CCNet-style
+    surprisal tail cut → per-domain cap → token-budget mixture
+    sampling.  Every stage is optional (off unless its flag is
+    given), distributed, and deterministic; the curated table is
+    written to --out and a JSON stage funnel (doc counts after each
+    stage) to stdout."""
     from pyspark.sql import functions as F
 
     from .functions.corpusops import (budget_sample, cap_per_domain,
@@ -868,6 +869,18 @@ def cmd_curate(args):
         d = d.join(verdict.where("is_duplicate").select("doc_id"),
                    "doc_id", "left_anti")
         funnel["after_neardup"] = d.count()
+
+    if args.surprisal_tail:
+        from .functions.webquality import unigram_surprisal
+
+        scores = unigram_surprisal(d)
+        d = d.join(
+            scores.where(
+                (F.col("millibits_per_token") >= 0)
+                & (F.col("millibits_per_token")
+                   < args.surprisal_tail)).select("doc_id"),
+            "doc_id")
+        funnel["after_surprisal"] = d.count()
 
     if args.cap_per_domain:
         d = cap_per_domain(d, cap=args.cap_per_domain,
@@ -1145,6 +1158,11 @@ def main(argv=None):
                              "canonical signatures appended"),
         sp.add_argument("--run-id",
                         help="idempotence key for the index append"),
+        sp.add_argument("--surprisal-tail", type=int, default=0,
+                        dest="surprisal_tail",
+                        help="drop docs whose unigram surprisal is "
+                             ">= N millibits/token (CCNet tail cut; "
+                             "0 = stage off)"),
         sp.add_argument("--cap-per-domain", type=int, default=0,
                         dest="cap_per_domain",
                         help="keep at most N docs per domain "

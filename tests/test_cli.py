@@ -519,10 +519,15 @@ def test_cli_curate_funnel(spark, capsys, tmp_path):
                "--substring-dedup-k", "12",
                "--minhash-index", str(tmp_path / "idx"),
                "--run-id", "inc-1",
+               "--surprisal-tail", "99999999",
                "--cap-per-domain", "8",
                "--budget", "en=40", "--budget", "de=1000000")
     funnel = json.loads(out)["funnel"]
     assert funnel["in"] == 40
+    # every surviving doc has tokens, so a huge tail threshold keeps
+    # all of them (wiring check; thresholds semantics are pinned in
+    # test_webquality)
+    assert funnel["after_surprisal"] == funnel["after_neardup"]
     # the 40-doc banner line is removed; the 2-doc shared body line
     # stays (below min_docs=3), so no doc is emptied
     assert funnel["after_line_dedup"] == 40
