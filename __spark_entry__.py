@@ -2516,6 +2516,73 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def q_clean_lines(spark, sf_dir):
+    """C4-style heuristic cleaning (corpusops.clean_lines): the
+    synthetic corpus is re-lined at 5-word boundaries, lines ending
+    in 'e' get terminal punctuation, every 7th doc gets a javascript
+    notice line (line-rule target) and every 11th a lorem-ipsum
+    marker (document-rule target).  Line survival needs >= 5 words +
+    terminal punctuation + no 'javascript'; the doc survives with
+    >= 3 kept lines and no lorem-ipsum/brace.  Entirely in-row (zero
+    shuffle); the oracle replays the cleaned text byte-for-byte via
+    md5."""
+    from neleval_spark.functions.corpusops import clean_lines
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prepped = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("javascript is required to view this page.\n")
+                   ).otherwise(F.lit("")),
+            F.regexp_replace(
+                F.regexp_replace(
+                    "text", r"(\S+ \S+ \S+ \S+ \S+) ", "$1\n"),
+                r"(?m)e$", "e."),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit("\nlorem ipsum")).otherwise(F.lit("")),
+        ).alias("text"))
+    return clean_lines(prepped).select(
+        "doc_id", "n_lines", "n_kept", "keep_doc",
+        F.md5("clean_text").alias("clean_md5")).orderBy("doc_id")
+
+
+Q_CLEAN_LINES_SQL = r"""
+WITH prepped AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'javascript is required to view this page.' || chr(10)
+              ELSE '' END
+         || regexp_replace(
+              regexp_replace(text, '(\S+ \S+ \S+ \S+ \S+) ',
+                             '\1' || chr(10), 'g'),
+              '(?m)e$', 'e.', 'g')
+         || CASE WHEN doc_id % 11 = 0
+                 THEN chr(10) || 'lorem ipsum' ELSE '' END AS text
+  FROM documents),
+ls AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS arr
+  FROM prepped),
+cleaned AS (
+  SELECT doc_id, text, arr,
+         list_filter(arr, l ->
+           len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+                           w -> w != '')) >= 5
+           AND right(rtrim(l), 1) IN ('.', '!', '?', '"', '''')
+           AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM ls)
+SELECT doc_id,
+       CAST(len(arr) AS INTEGER) AS n_lines,
+       CAST(len(kept) AS INTEGER) AS n_kept,
+       (len(kept) >= 3
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{')) AS keep_doc,
+       md5(COALESCE(array_to_string(kept, chr(10)), '')) AS clean_md5
+FROM cleaned
+ORDER BY doc_id
+"""
+
+
 def q_bpe_pairs(spark, sf_dir):
     """BPE training's corpus-proportional step (functions/bpe.py):
     word-type frequency table (the only corpus pass) → in-row
@@ -5303,6 +5370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "ivfpq_topk": q_ivfpq_topk,
         "chunk_text": q_chunk_text,
+        "clean_lines": q_clean_lines,
         # ---- round-3 green, driver-stale since
         "sessionize": q_sessionize,
         "minhash": q_minhash,
@@ -5320,8 +5388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family + queries whose code or oracle changed this round
         "ceaf_small_components": q_ceaf_small_components,
         "kg_validate": q_kg_validate,
-        "cosine_topk": q_cosine_topk,
         # ---- long-green tail (driver-checked r4; local gate always)
+        "cosine_topk": q_cosine_topk,
         "muc": _measure_query("muc"),
         "b_cubed": _measure_query("b_cubed"),
         "grouped_eval": q_grouped_eval,
@@ -5443,6 +5511,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pairs": Q_BPE_PAIRS_SQL,
         "ivfpq_topk": Q_IVFPQ_TOPK_SQL,
         "chunk_text": Q_CHUNK_TEXT_SQL,
+        "clean_lines": Q_CLEAN_LINES_SQL,
         "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,

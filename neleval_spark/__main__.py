@@ -821,23 +821,32 @@ def cmd_entity_salience(args):
 
 def cmd_curate(args):
     """Corpus-curation funnel over a parquet documents table
-    (doc_id, text, lang, source, ...): cross-document line dedup →
-    duplicated-substring removal (ExactSubstr) → incremental MinHash
-    near-dup against a persistent signature index → CCNet-style
-    surprisal tail cut → per-domain cap → token-budget mixture
-    sampling.  Every stage is optional (off unless its flag is
-    given), distributed, and deterministic; the curated table is
-    written to --out and a JSON stage funnel (doc counts after each
-    stage) to stdout."""
+    (doc_id, text, lang, source, ...): C4-style heuristic line/doc
+    cleaning → cross-document line dedup → duplicated-substring
+    removal (ExactSubstr) → incremental MinHash near-dup against a
+    persistent signature index → CCNet-style surprisal tail cut →
+    per-domain cap → token-budget mixture sampling.  Every stage is
+    optional (off unless its flag is given), distributed, and
+    deterministic; the curated table is written to --out and a JSON
+    stage funnel (doc counts after each stage) to stdout."""
     from pyspark.sql import functions as F
 
     from .functions.corpusops import (budget_sample, cap_per_domain,
-                                      dedup_corpus_lines,
+                                      clean_lines, dedup_corpus_lines,
                                       dedup_substrings)
 
     spark = _spark()
     d = spark.read.parquet(args.docs)
     funnel = {"in": d.count()}
+
+    if args.c4_clean:
+        verdicts = clean_lines(d, min_words=args.c4_min_words)
+        d = (d.drop("text")
+             .join(verdicts.where("keep_doc")
+                   .select("doc_id",
+                           F.col("clean_text").alias("text")),
+                   "doc_id"))
+        funnel["after_clean"] = d.count()
 
     if args.line_dedup_min_docs:
         clean = dedup_corpus_lines(
@@ -1145,6 +1154,14 @@ def main(argv=None):
                         help="parquet documents table "
                              "(doc_id, text, lang, source, ...)"),
         sp.add_argument("-o", "--out", required=True),
+        sp.add_argument("--c4-clean", action="store_true",
+                        dest="c4_clean",
+                        help="C4 heuristic cleaning: keep lines with "
+                             "terminal punctuation and enough words; "
+                             "drop lorem-ipsum/brace/thin docs"),
+        sp.add_argument("--c4-min-words", type=int, default=5,
+                        dest="c4_min_words",
+                        help="minimum words per kept line"),
         sp.add_argument("--line-dedup-min-docs", type=int, default=0,
                         help="remove lines appearing in >= N docs "
                              "(0 = stage off)"),

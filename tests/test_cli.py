@@ -543,6 +543,22 @@ def test_cli_curate_funnel(spark, capsys, tmp_path):
     assert not cur.filter(cur.text.contains("promotional")).count()
 
 
+def test_cli_curate_c4_clean(spark, capsys, tmp_path):
+    docs = str(tmp_path / "docs")
+    good = "\n".join(
+        ["A perfectly fine sentence with enough words here."] * 3)
+    rows = [(0, good, "en", "a.com"),
+            (1, "short.\nno punct line here at all", "en", "a.com"),
+            (2, good + "\nlorem ipsum", "en", "b.com")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(docs)
+    out = _run(capsys, "curate", docs, "-o", str(tmp_path / "cur"),
+               "--c4-clean")
+    funnel = json.loads(out)["funnel"]
+    assert funnel == {"in": 3, "after_clean": 1, "out": 1}
+
+
 def test_cli_frontier(spark, capsys, tmp_path):
     """frontier: sitemap expansion -> robots filter -> schedule."""
     seeds = spark.createDataFrame(

@@ -285,3 +285,51 @@ def test_chunk_text_reassembly_property(spark):
             # no chunk exceeds max, only the last may be short of it
             assert all(len(c) <= m for c in chunks)
             assert all(len(c) == m for c in chunks[:-1])
+
+
+def test_clean_lines_c4_rules(spark):
+    from neleval_spark.functions.corpusops import clean_lines
+
+    d = _docs(spark, [
+        # 6 lines: 4 survive (short/javascript dropped), doc kept
+        (0, "This line has enough words to keep it.\nshort one.\n"
+            "Another good line with plenty of words here!\n"
+            "Please enable JavaScript to view the comments.\n"
+            "A third fine line that also ends with a mark?\n"
+            'A "quoted" ending line with enough words here."'),
+        # only 1 survivor (< min_lines=3) -> doc dropped
+        (1, "Only one good line that ends with a period here.\n"
+            "no punct line with many words but no mark\nshort."),
+        # lorem-ipsum page -> doc dropped even with 4 good lines
+        (2, "Lorem Ipsum dolor sit amet something else here today.\n"
+            "Second acceptable line with enough words right here.\n"
+            "Third acceptable line with enough words right here.\n"
+            "Fourth acceptable line with enough words right here."),
+        # curly brace (code page) -> doc dropped
+        (3, "function f() { return 1; } with enough words here.\n"
+            "Second acceptable line with enough words right here.\n"
+            "Third acceptable line with enough words right here.\n"
+            "Fourth acceptable line with enough words right here."),
+        (4, ""),
+    ])
+    out = {r["doc_id"]: r for r in clean_lines(d).collect()}
+    assert (out[0]["n_lines"], out[0]["n_kept"]) == (6, 4)
+    assert out[0]["keep_doc"]
+    assert out[0]["clean_text"].startswith("This line has")
+    assert "JavaScript" not in out[0]["clean_text"]
+    assert "short one" not in out[0]["clean_text"]
+    assert out[1]["n_kept"] == 1 and not out[1]["keep_doc"]
+    # doc-level token rules fire on the RAW text, case-insensitive
+    assert out[2]["n_kept"] == 4 and not out[2]["keep_doc"]
+    assert out[3]["n_kept"] == 4 and not out[3]["keep_doc"]
+    assert (out[4]["n_kept"], out[4]["keep_doc"]) == (0, False)
+
+
+def test_clean_lines_is_shuffle_free(spark):
+    from neleval_spark.functions.corpusops import clean_lines
+
+    d = _docs(spark, [(i, "A good enough line with words here.")
+                      for i in range(4)])
+    plan = (clean_lines(d)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
