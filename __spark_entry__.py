@@ -2380,6 +2380,70 @@ FROM scored ORDER BY doc_id
 """
 
 
+def q_dsir(spark, sf_dir):
+    """DSIR importance resampling in exact integers
+    (webquality.dsir_weights; Xie et al. 2023): hashed uni+bigram
+    features (shared polynomial hash mod 512 buckets), per-bucket
+    integer log-ratio lambda = bitlen(t+1) − bitlen(r+1) between the
+    TARGET slice (lang='en' documents) and the full RAW corpus, plus
+    the per-gram totals normalizer — score_bits ≈ log₂ p_target −
+    log₂ p_raw per doc.  The lambda table is bucket-bounded and
+    broadcast; one doc-keyed shuffle; all-integer, so the oracle
+    replays every score exactly."""
+    from neleval_spark.functions.webquality import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("lang") == "en")
+    return dsir_weights(docs, target, n_buckets=512, ngram=2) \
+        .orderBy("doc_id")
+
+
+Q_DSIR_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t != '') AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id, lang,
+         UNNEST(list_concat(
+           tk,
+           list_transform(range(1, len(tk)),
+                          i -> tk[i] || ' ' || tk[i + 1]))) AS gram
+  FROM tk),
+feats AS (
+  SELECT doc_id, lang,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(gram) + 1),
+               i -> CAST(ascii(substring(gram, i, 1)) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 2147483647) % 512 AS bucket
+  FROM grams),
+t_cnt AS (SELECT bucket, COUNT(*) AS t FROM feats
+          WHERE lang = 'en' GROUP BY bucket),
+r_cnt AS (SELECT bucket, COUNT(*) AS r FROM feats GROUP BY bucket),
+lam AS (
+  SELECT bucket,
+         length(bin(COALESCE(t, 0) + 1))
+         - length(bin(COALESCE(r, 0) + 1)) AS lam
+  FROM t_cnt FULL OUTER JOIN r_cnt USING (bucket)),
+tot AS (
+  SELECT length(bin(COALESCE((SELECT SUM(r) FROM r_cnt), 0) + 512))
+         - length(bin(COALESCE((SELECT SUM(t) FROM t_cnt), 0) + 512))
+           AS cst),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_grams, SUM(lam) AS lam_sum
+  FROM feats JOIN lam USING (bucket)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       CAST(COALESCE(p.lam_sum, 0)
+            + COALESCE(p.n_grams, 0) * tot.cst AS BIGINT) AS score_bits
+FROM documents d LEFT JOIN per p USING (doc_id) CROSS JOIN tot
+ORDER BY d.doc_id
+"""
+
+
 def q_ivfpq_topk(spark, sf_dir):
     """IVF-PQ approximate nearest neighbour (similarity.ivfpq_topk;
     Jégou et al. 2011): fixed coarse codebook (the ivf_topk_fixed
@@ -5371,6 +5435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "chunk_text": q_chunk_text,
         "clean_lines": q_clean_lines,
+        "dsir": q_dsir,
         # ---- round-3 green, driver-stale since
         "sessionize": q_sessionize,
         "minhash": q_minhash,
@@ -5386,9 +5451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         # ---- re-check slate (positions 44-50): proxy-oracle CEAF
         # family + queries whose code or oracle changed this round
-        "ceaf_small_components": q_ceaf_small_components,
         "kg_validate": q_kg_validate,
         # ---- long-green tail (driver-checked r4; local gate always)
+        "ceaf_small_components": q_ceaf_small_components,
         "cosine_topk": q_cosine_topk,
         "muc": _measure_query("muc"),
         "b_cubed": _measure_query("b_cubed"),
@@ -5512,6 +5577,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_topk": Q_IVFPQ_TOPK_SQL,
         "chunk_text": Q_CHUNK_TEXT_SQL,
         "clean_lines": Q_CLEAN_LINES_SQL,
+        "dsir": Q_DSIR_SQL,
         "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,

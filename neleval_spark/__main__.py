@@ -825,7 +825,8 @@ def cmd_curate(args):
     cleaning → cross-document line dedup → duplicated-substring
     removal (ExactSubstr) → incremental MinHash near-dup against a
     persistent signature index → CCNet-style surprisal tail cut →
-    per-domain cap → token-budget mixture sampling.  Every stage is
+    DSIR importance resampling toward a target corpus → per-domain
+    cap → token-budget mixture sampling.  Every stage is
     optional (off unless its flag is given), distributed, and
     deterministic; the curated table is written to --out and a JSON
     stage funnel (doc counts after each stage) to stdout."""
@@ -890,6 +891,15 @@ def cmd_curate(args):
                    < args.surprisal_tail)).select("doc_id"),
             "doc_id")
         funnel["after_surprisal"] = d.count()
+
+    if args.dsir_target:
+        from .functions.webquality import dsir_weights
+
+        target = spark.read.parquet(args.dsir_target)
+        picked = dsir_weights(d, target, keep=args.dsir_keep) \
+            .select("doc_id")
+        d = d.join(picked, "doc_id")
+        funnel["after_dsir"] = d.count()
 
     if args.cap_per_domain:
         d = cap_per_domain(d, cap=args.cap_per_domain,
@@ -1175,6 +1185,13 @@ def main(argv=None):
                              "canonical signatures appended"),
         sp.add_argument("--run-id",
                         help="idempotence key for the index append"),
+        sp.add_argument("--dsir-target",
+                        dest="dsir_target",
+                        help="parquet table of target-domain docs; "
+                             "keeps the --dsir-keep most target-like "
+                             "docs by hashed-n-gram importance weight"),
+        sp.add_argument("--dsir-keep", type=int, default=1000,
+                        dest="dsir_keep"),
         sp.add_argument("--surprisal-tail", type=int, default=0,
                         dest="surprisal_tail",
                         help="drop docs whose unigram surprisal is "

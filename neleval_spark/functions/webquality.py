@@ -318,3 +318,94 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text",
             .when(F.col("millibits_per_token") >= hi, F.lit("tail"))
             .otherwise(F.lit("middle")))
     return out
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = 8192, ngram: int = 2,
+                 keep: int | None = None) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every RAW document by how much more likely its hashed n-gram
+    features are under the TARGET corpus' bag-of-n-grams model than
+    under the raw corpus' own, then keep the highest-weight docs.
+
+    Features are word n-grams (1..``ngram``) hashed into
+    ``n_buckets`` buckets with the engine-agnostic polynomial token
+    hash.  The log-likelihood ratio is reduced to EXACT integer
+    arithmetic the same way ``unigram_surprisal`` does: per bucket
+    ``lambda_b = bitlen(t_b + 1) - bitlen(r_b + 1)`` (Laplace-
+    smoothed target/raw bucket counts, ``bitlen`` = 1 + floor(log2),
+    a within-1-bit integer log2), plus the per-gram normalizer
+    ``bitlen(R + B) - bitlen(T + B)`` folded in once per gram — so
+    ``score_bits ~ log2 p_target(doc) - log2 p_raw(doc)`` and
+    cross-engine verifies bit-for-bit.  Buckets unseen in both
+    corpora contribute 0, which is exactly the outer-join-missing
+    convention.
+
+    Returns one row per raw document: ``(doc_id, n_grams,
+    score_bits)`` — higher = more target-like.  With ``keep`` set,
+    returns only the top-``keep`` rows by (score_bits DESC, doc_id)
+    — deterministic under ties.  (The paper samples with Gumbel
+    noise; top-k is its deterministic limit and keeps the oracle
+    exact.  For diversity, callers can salt score_bits with a
+    doc-hash perturbation before ranking.)
+
+    Scale shape (10^12 raw docs, small curated target): the target
+    pass aggregates to <= n_buckets rows; the lambda table is
+    explicitly BROADCAST (bounded by n_buckets, never corpus-sized);
+    raw grams explode narrowly and re-aggregate keyed by doc id with
+    map-side combine — ONE data-sized shuffle total; the two corpus
+    totals ride in as single broadcast rows (no driver collect).
+    ``keep`` is a TakeOrdered top-k (per-partition heads, no global
+    sort); for corpus-sized k, filter on a score threshold instead.
+    """
+    def _grams(d):
+        staged = d.select(F.col(id_col).alias("_doc"),
+                          _tokens(text_col).alias("_tok"))
+        cols = [F.col("_tok")]
+        cols += [_ngrams(F.col("_tok"), n) for n in range(2, ngram + 1)]
+        g = F.concat(*cols) if len(cols) > 1 else cols[0]
+        from .textops import token_hash
+        return staged.select(
+            "_doc",
+            F.explode(g).alias("_gram"),
+        ).select("_doc", (token_hash(F.col("_gram")) % n_buckets)
+                 .alias("bucket"))
+
+    t_feats = _grams(target)
+    r_feats = _grams(raw)
+
+    t_cnt = t_feats.groupBy("bucket").agg(F.count("*").alias("_t"))
+    r_cnt = r_feats.groupBy("bucket").agg(F.count("*").alias("_r"))
+
+    bitlen = lambda c: F.length(F.bin(c))  # noqa: E731
+    lam = (t_cnt.join(r_cnt, "bucket", "full_outer")
+           .select("bucket",
+                   (bitlen(F.coalesce("_t", F.lit(0)) + 1)
+                    - bitlen(F.coalesce("_r", F.lit(0)) + 1))
+                   .alias("_lam")))
+
+    totals = (t_cnt.agg(F.sum("_t").alias("_tt"))
+              .crossJoin(r_cnt.agg(F.sum("_r").alias("_rt")))
+              .select((bitlen(F.coalesce("_rt", F.lit(0)) + n_buckets)
+                       - bitlen(F.coalesce("_tt", F.lit(0)) + n_buckets))
+                      .alias("_const")))
+
+    per_doc = (r_feats.join(F.broadcast(lam), "bucket")
+               .groupBy("_doc")
+               .agg(F.count("*").alias("n_grams"),
+                    F.sum("_lam").alias("_lam_sum")))
+    out = (raw.select(F.col(id_col).alias("_doc"))
+           .join(per_doc, "_doc", "left")
+           .crossJoin(F.broadcast(totals))
+           .select(
+               F.col("_doc").alias(id_col),
+               F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+               (F.coalesce("_lam_sum", F.lit(0))
+                + F.coalesce("n_grams", F.lit(0)) * F.col("_const"))
+               .cast("long").alias("score_bits")))
+    if keep is not None:
+        out = out.orderBy(F.col("score_bits").desc(), id_col) \
+                 .limit(keep)
+    return out

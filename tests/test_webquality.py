@@ -168,3 +168,41 @@ def test_unigram_surprisal_buckets_and_empty_docs(spark):
     # n_tokens == 0 anyway
     assert out[3]["n_tokens"] == 0 and out[3]["bits_sum"] == 0
     assert out[3]["millibits_per_token"] == -1
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    from neleval_spark.functions.webquality import dsir_weights
+
+    target = spark.createDataFrame(
+        [(i, "spark shuffle partition broadcast join catalyst plan")
+         for i in range(5)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(0, "spark shuffle partition broadcast join runs fast"),
+         (1, "cooking recipes with garlic butter and fresh basil"),
+         (2, "catalyst plan broadcast join shuffle partition spark"),
+         (3, "football match results and league standings today"),
+         (4, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dsir_weights(raw, target, n_buckets=512).collect()}
+    assert len(out) == 5
+    # on-target docs outscore off-target ones
+    assert min(out[0]["score_bits"], out[2]["score_bits"]) \
+        > max(out[1]["score_bits"], out[3]["score_bits"])
+    # token-less docs get the zero score, not a NULL
+    assert (out[4]["n_grams"], out[4]["score_bits"]) == (0, 0)
+    # keep = deterministic top-k by (score DESC, doc_id)
+    top = dsir_weights(raw, target, n_buckets=512, keep=2).collect()
+    assert sorted(r["doc_id"] for r in top) == [0, 2]
+
+
+def test_dsir_lambda_table_is_broadcast(spark):
+    from neleval_spark.functions.webquality import dsir_weights
+
+    d = spark.createDataFrame(
+        [(i, f"some words {i}") for i in range(8)],
+        "doc_id long, text string")
+    plan = (dsir_weights(d, d.limit(3), n_buckets=64)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
