@@ -2686,6 +2686,79 @@ SELECT lhs, rhs, n FROM agg ORDER BY n DESC, lhs, rhs LIMIT 20
 """
 
 
+_BPE_ENC_MERGES = [("e", "r"), ("er", "</w>"), ("t", "h"), ("th", "e")]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE ENCODING with a pinned merge table (bpe.bpe_encode): the
+    corpus projects to DISTINCT word types, the iterative min-rank
+    merge loop runs once per type inside an Arrow-batched pandas
+    UDF, and pieces rejoin the (doc, pos, word) stream.  With the
+    merges FIXED, the oracle replays each merge as one greedy
+    left-to-right fold over a separator-delimited string accumulator
+    (list_reduce), sequentially in training order — so the driver
+    row also re-proves the min-rank ≡ sequential-replay equivalence
+    on every corpus word, and the piece stream is pinned by md5."""
+    from neleval_spark.functions.bpe import bpe_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bpe_encode(docs, _BPE_ENC_MERGES)
+    return out.select(
+        "doc_id", "n_pieces",
+        F.md5(F.array_join("pieces", "\x1f")).alias("pieces_md5")
+    ).orderBy("doc_id")
+
+
+def _bpe_merge_pass_sql(src: str, dst: str, left: str,
+                        right: str) -> str:
+    """One greedy left-to-right merge pass (left, right) → left+right
+    over the ``syms`` list column, as a string-accumulator fold: the
+    accumulator is chr(31)-delimited (chr(31) cannot occur inside
+    [a-z0-9</w>]+ symbols), so ``ends_with(acc, sep || left)`` is an
+    exact last-ELEMENT test, and consuming it implements the
+    non-overlapping greedy semantics (``aaa`` → [aa, a])."""
+    cut = 1 + len(left)
+    return f"""
+{dst} AS (
+  SELECT doc_id, pos, string_split(
+    list_reduce(list_prepend('', syms), (acc, x) ->
+      CASE WHEN ends_with(acc, chr(31) || '{left}') AND x = '{right}'
+           THEN substring(acc, 1, length(acc) - {cut})
+                || chr(31) || '{left}{right}'
+           ELSE acc || chr(31) || x END), chr(31))[2:] AS syms
+  FROM {src})"""
+
+
+Q_BPE_ENCODE_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t != '') AS tk
+  FROM documents),
+tok AS (
+  SELECT doc_id, UNNEST(tk) AS word,
+         UNNEST(range(1, len(tk) + 1)) AS pos
+  FROM tk),
+s0 AS (
+  SELECT doc_id, pos,
+         list_concat(string_split(word, ''), ['</w>']) AS syms
+  FROM tok),""" + ",".join(
+    _bpe_merge_pass_sql(f"s{i}", f"s{i + 1}", l, r)
+    for i, (l, r) in enumerate(_BPE_ENC_MERGES)) + f""",
+per AS (
+  SELECT doc_id,
+         CAST(SUM(len(syms)) AS INTEGER) AS n_pieces,
+         string_agg(array_to_string(syms, chr(31)), chr(31)
+                    ORDER BY pos) AS joined
+  FROM s{len(_BPE_ENC_MERGES)} GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_pieces, 0) AS n_pieces,
+       md5(COALESCE(p.joined, '')) AS pieces_md5
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Stateful-style sessionization (30-min gap) via window + cumsum."""
     from pyspark.sql import Window
@@ -5436,6 +5509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "clean_lines": q_clean_lines,
         "dsir": q_dsir,
+        "bpe_encode": q_bpe_encode,
         # ---- round-3 green, driver-stale since
         "sessionize": q_sessionize,
         "minhash": q_minhash,
@@ -5448,11 +5522,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "multimodal_features": q_multimodal_features,
-        "media_meta": q_media_meta,
         # ---- re-check slate (positions 44-50): proxy-oracle CEAF
         # family + queries whose code or oracle changed this round
         "kg_validate": q_kg_validate,
-        # ---- long-green tail (driver-checked r4; local gate always)
+        # ---- long-green tail (driver-checked r4; local gate always;
+        # media_meta's family stays inside via multimodal_features)
+        "media_meta": q_media_meta,
         "ceaf_small_components": q_ceaf_small_components,
         "cosine_topk": q_cosine_topk,
         "muc": _measure_query("muc"),
@@ -5578,6 +5653,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_text": Q_CHUNK_TEXT_SQL,
         "clean_lines": Q_CLEAN_LINES_SQL,
         "dsir": Q_DSIR_SQL,
+        "bpe_encode": Q_BPE_ENCODE_SQL,
         "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,

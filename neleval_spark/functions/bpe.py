@@ -124,3 +124,98 @@ def bpe_train(docs: DataFrame, n_merges: int = 100,
     finally:
         words.unpersist()
     return merges, words
+
+
+def encode_word(word: str,
+                ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Pure function: one word → its BPE pieces under ``ranks``
+    (merge pair → training rank).  Iteratively merges the lowest-rank
+    pair present, all occurrences greedy left-to-right — the standard
+    subword-nmt ``apply_bpe`` algorithm, O(len²) per word and
+    independent of the merge-table size.
+
+    Equivalent to replaying the merges sequentially in training
+    order (``apply_merge``'s fold): before rule k applies, every
+    lower-rank pair is already gone, and merging can only create
+    pairs that contain the NEW symbol — which only later-learned
+    rules can reference.  ``test_bpe.py`` checks the equivalence
+    differentially on fuzzed words and via the train-table
+    invariant."""
+    syms = list(word) + [END]
+    while len(syms) >= 2:
+        best_rank, best_pair = None, None
+        for i in range(len(syms) - 1):
+            pair = (syms[i], syms[i + 1])
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, pair
+        if best_pair is None:
+            break
+        left, right = best_pair
+        out, i = [], 0
+        while i < len(syms):
+            if (i < len(syms) - 1 and syms[i] == left
+                    and syms[i + 1] == right):
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Tokenize a corpus with a trained BPE merge list: one row per
+    document, ``(doc_id, n_pieces, pieces array<string>)``, pieces in
+    document order (word-internal symbols end with the ``</w>``
+    marker on the final piece of each word).
+
+    Scale shape (10^12 docs, ~10^4-10^5 merges, ~10^7 word types):
+    the Python-side merge loop runs once per word TYPE, not per
+    occurrence — the corpus is first projected to ``DISTINCT word``
+    (vocab-sized), encoded there with an Arrow-batched pandas UDF
+    (the iterative min-rank loop is genuinely not expressible as
+    column algebra — the designated slow-path exception), and joined
+    back onto the (doc, pos, word) stream; AQE picks broadcast vs
+    shuffle for that join (a web-scale vocab can exceed broadcast
+    range, the ``unigram_surprisal`` precedent), and Zipf-hot words
+    are one ROW on the vocab side — skew lands on the stream side
+    where AQE splits it.  The per-doc rebuild is one doc-keyed
+    aggregate of (pos, pieces) structs.  The merge-rank dict ships
+    inside the UDF closure (merge tables are KB-to-MB —
+    tokenizer-sized, not corpus-sized)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf(returnType=ArrayType(StringType()))
+    def _enc(words):
+        return words.map(lambda w: encode_word(w, ranks))
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != "")).alias("pos", "word"))
+    vocab = toks.select("word").distinct() \
+                .withColumn("_syms", _enc(F.col("word")))
+    rebuilt = (toks.join(vocab, "word")
+               .groupBy("doc_id")
+               .agg(F.flatten(
+                   F.transform(
+                       F.array_sort(
+                           F.collect_list(F.struct("pos", "_syms"))),
+                       lambda s: s["_syms"])).alias("pieces")))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(rebuilt, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.size("pieces"), F.lit(0))
+                .alias("n_pieces"),
+                F.coalesce("pieces", F.array().cast("array<string>"))
+                .alias("pieces")))

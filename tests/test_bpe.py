@@ -92,3 +92,70 @@ def test_bpe_leaves_no_cache_entries(spark):
     bpe_train(docs, n_merges=3)
     assert spark._jsparkSession.sharedState().cacheManager() \
         .isEmpty()
+
+
+def _seq_apply(word, merges):
+    """Sequential in-training-order application (apply_merge's fold
+    semantics) — the equivalence target for encode_word."""
+    syms = list(word) + ["</w>"]
+    for a, b in merges:
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_encode_word_equals_sequential_replay_fuzzed():
+    """min-rank iterative encode == sequential rule replay, on every
+    word over a tiny alphabet against merges trained on a skewed
+    corpus (the classic subword-nmt equivalence)."""
+    import itertools
+
+    from neleval_spark.functions.bpe import encode_word
+
+    wc = {"abab": 9, "abc": 7, "bca": 5, "aab": 4, "cc": 3, "babb": 2}
+    merges, _ = _py_bpe(wc, 10, min_count=1)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for n in range(1, 6):
+        for tup in itertools.product("abc", repeat=n):
+            w = "".join(tup)
+            assert encode_word(w, ranks) == _seq_apply(w, merges), w
+
+
+def test_bpe_encode_reproduces_training_table(spark):
+    """Encoding the training corpus must reproduce bpe_train's own
+    final word-symbol table, word for word."""
+    from neleval_spark.functions.bpe import bpe_encode, bpe_train
+
+    corpus = ("low " * 5 + "lower " * 2 + "newest " * 6
+              + "widest " * 3 + "newer " * 2)
+    docs = spark.createDataFrame([(1, corpus)],
+                                 "doc_id long, text string")
+    merges, words = bpe_train(docs, n_merges=12)
+    final = {r["word"]: list(r["syms"]) for r in words.collect()}
+
+    one_per_word = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(sorted(final))],
+        "doc_id long, text string")
+    enc = {r["doc_id"]: list(r["pieces"])
+           for r in bpe_encode(one_per_word, merges).collect()}
+    for i, w in enumerate(sorted(final)):
+        assert enc[i] == final[w], w
+
+
+def test_bpe_encode_document_order_and_empty_docs(spark):
+    from neleval_spark.functions.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "ab ba ab"), (2, ""), (3, "xyz")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           bpe_encode(docs, [("a", "b"), ("ab", "</w>")]).collect()}
+    assert out[1]["pieces"] == ["ab</w>", "b", "a", "</w>", "ab</w>"]
+    assert out[1]["n_pieces"] == 5
+    assert (out[2]["n_pieces"], list(out[2]["pieces"])) == (0, [])
+    assert out[3]["pieces"] == ["x", "y", "z", "</w>"]
