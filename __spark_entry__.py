@@ -2759,6 +2759,92 @@ ORDER BY d.doc_id
 """
 
 
+def q_kg_negatives(spark, sf_dir):
+    """Filtered TransE-style negative sampling
+    (graph/negatives.negative_samples): over the deterministic
+    synthetic KG (the graph_pattern ring + type + residence
+    triples, distinct), corrupt each triple's object twice with the
+    hash-picked entity (polynomial hash of (s,p,o,j) mod E over the
+    dense two-phase entity ids) and drop corruptions that are true
+    triples.  The oracle replays the id permutation, the picks and
+    the filter exactly — every surviving (triple, j, neg) row
+    matches."""
+    from neleval_spark.graph.negatives import negative_samples
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+
+    def ent(e):
+        return F.concat(F.lit("E"), (e % 50).cast("string"))
+
+    triples = (
+        docs.select(ent(i).alias("subj"),
+                    F.lit("cooccurs_with").alias("pred"),
+                    ent(i + 1).alias("obj"))
+        .unionByName(docs.select(
+            ent(i).alias("subj"), F.lit("type").alias("pred"),
+            F.concat(F.lit("T"), (i % 3).cast("string")).alias("obj")))
+        .unionByName(docs.select(
+            ent(i).alias("subj"), F.lit("lives_in").alias("pred"),
+            F.concat(F.lit("C"), (i % 7).cast("string")).alias("obj")))
+    ).distinct()
+    out = negative_samples(triples, n_neg=2, n_parts=8)
+    return out.orderBy("subj", "pred", "obj", "j")
+
+
+_NEG_HASH_SQL = """list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length({v}) + 1),
+               i -> CAST(ascii(substring({v}, i, 1)) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 2147483647)"""
+
+Q_KG_NEGATIVES_SQL = ("""
+WITH t AS (
+  SELECT DISTINCT 'E' || CAST(doc_id % 50 AS VARCHAR) AS subj,
+         'cooccurs_with' AS pred,
+         'E' || CAST((doc_id + 1) % 50 AS VARCHAR) AS obj
+  FROM documents
+  UNION
+  SELECT DISTINCT 'E' || CAST(doc_id % 50 AS VARCHAR),
+         'type', 'T' || CAST(doc_id % 3 AS VARCHAR)
+  FROM documents
+  UNION
+  SELECT DISTINCT 'E' || CAST(doc_id % 50 AS VARCHAR),
+         'lives_in', 'C' || CAST(doc_id % 7 AS VARCHAR)
+  FROM documents),
+ents AS (
+  SELECT DISTINCT entity FROM (
+    SELECT subj AS entity FROM t
+    UNION ALL SELECT obj FROM t)),
+hashed AS (
+  SELECT entity, """
+                   + _NEG_HASH_SQL.format(v="entity") + """ AS h
+  FROM ents),
+ids AS (
+  SELECT entity,
+         row_number() OVER (ORDER BY h % 8, h, entity) - 1
+           AS entity_id
+  FROM hashed),
+etot AS (SELECT COUNT(*) AS e FROM ids),
+cand AS (
+  SELECT subj, pred, obj, CAST(j AS INTEGER) AS j,
+         subj || chr(31) || pred || chr(31) || obj || chr(31)
+           || CAST(j AS VARCHAR) AS hk
+  FROM t, UNNEST([0, 1]) u(j)),
+picked AS (
+  SELECT c.subj, c.pred, c.obj, c.j, i.entity AS neg
+  FROM cand c CROSS JOIN etot
+  JOIN ids i
+    ON i.entity_id = ("""
+                   + _NEG_HASH_SQL.format(v="c.hk") + """) % etot.e)
+SELECT p.subj, p.pred, p.obj, p.j, p.neg
+FROM picked p
+ANTI JOIN t ON p.subj = t.subj AND p.pred = t.pred
+           AND p.neg = t.obj
+ORDER BY p.subj, p.pred, p.obj, p.j
+""")
+
+
 def q_sessionize(spark, sf_dir):
     """Stateful-style sessionization (30-min gap) via window + cumsum."""
     from pyspark.sql import Window
@@ -5510,9 +5596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_lines": q_clean_lines,
         "dsir": q_dsir,
         "bpe_encode": q_bpe_encode,
+        "kg_negatives": q_kg_negatives,
         # ---- round-3 green, driver-stale since
         "sessionize": q_sessionize,
-        "minhash": q_minhash,
         "minhash_pairs_hotguard": q_minhash_pairs_hotguard,
         "dedup_cluster": q_dedup_cluster,
         "redact_pii": q_redact_pii,
@@ -5526,8 +5612,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family + queries whose code or oracle changed this round
         "kg_validate": q_kg_validate,
         # ---- long-green tail (driver-checked r4; local gate always;
-        # media_meta's family stays inside via multimodal_features)
+        # media_meta's/minhash's families stay inside via
+        # multimodal_features/minhash_pairs_hotguard)
         "media_meta": q_media_meta,
+        "minhash": q_minhash,
         "ceaf_small_components": q_ceaf_small_components,
         "cosine_topk": q_cosine_topk,
         "muc": _measure_query("muc"),
@@ -5654,6 +5742,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_lines": Q_CLEAN_LINES_SQL,
         "dsir": Q_DSIR_SQL,
         "bpe_encode": Q_BPE_ENCODE_SQL,
+        "kg_negatives": Q_KG_NEGATIVES_SQL,
         "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,

@@ -1,0 +1,73 @@
+"""KG-embedding negative sampling (graph/negatives.py): dense
+deterministic entity ids, filtered corruption semantics, and
+partitioning-invariance."""
+import pytest
+from pyspark.sql import functions as F
+
+
+def _kg(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string")
+
+
+def test_entity_ids_dense_and_partitioning_invariant(spark):
+    from neleval_spark.graph.negatives import entity_ids
+
+    kg = _kg(spark, [(f"e{i}", "p", f"e{(i + 1) % 30}")
+                     for i in range(30)])
+    ids = {r["entity"]: r["entity_id"]
+           for r in entity_ids(kg, n_parts=4).collect()}
+    assert sorted(ids.values()) == list(range(30))
+    ids2 = {r["entity"]: r["entity_id"]
+            for r in entity_ids(kg.repartition(7), n_parts=4).collect()}
+    assert ids == ids2
+
+
+def test_negative_samples_filtered_and_deterministic(spark):
+    from neleval_spark.graph.negatives import negative_samples
+
+    # dense KG: a 'likes' b for many pairs -> corruptions often
+    # collide with true triples and must be dropped
+    rows = [(f"e{i}", "likes", f"e{j}")
+            for i in range(6) for j in range(6) if i != j]
+    kg = _kg(spark, rows)
+    out = negative_samples(kg, n_neg=3, n_parts=4).collect()
+    truths = {(r[0], r[1], r[2]) for r in rows}
+    assert out, "some corruption must survive"
+    for r in out:
+        assert (r["subj"], r["pred"], r["neg"]) not in truths
+        assert 0 <= r["j"] < 3
+    # per-triple survivors can be fewer than n_neg (documented)
+    from collections import Counter
+    per = Counter((r["subj"], r["obj"]) for r in out)
+    assert max(per.values()) <= 3
+    # deterministic under re-partitioning
+    out2 = negative_samples(kg.repartition(5), n_neg=3,
+                            n_parts=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_negative_samples_corrupt_subject(spark):
+    from neleval_spark.graph.negatives import negative_samples
+
+    kg = _kg(spark, [("a", "p", "b"), ("c", "p", "d")])
+    out = negative_samples(kg, n_neg=4, corrupt="subj",
+                           n_parts=2).collect()
+    truths = {("a", "p", "b"), ("c", "p", "d")}
+    assert out
+    for r in out:
+        assert (r["neg"], r["pred"], r["obj"]) not in truths
+
+    with pytest.raises(ValueError):
+        negative_samples(kg, corrupt="pred")
+
+
+def test_negative_samples_never_emits_self_corruption(spark):
+    from neleval_spark.graph.negatives import negative_samples
+
+    # 2-entity KG: picking the original obj is a true triple and
+    # must be filtered, so every surviving neg differs from obj
+    kg = _kg(spark, [("a", "p", "b"), ("b", "p", "a")])
+    out = negative_samples(kg, n_neg=8, n_parts=2).collect()
+    for r in out:
+        assert r["neg"] != r["obj"]
