@@ -2845,6 +2845,86 @@ ORDER BY p.subj, p.pred, p.obj, p.j
 """)
 
 
+def q_random_walks(spark, sf_dir):
+    """DeepWalk corpus generation (graph/walks.random_walks) over
+    the synthetic ring+residence KG (each Ei has out-degree 2: the
+    ring edge and its lives_in city; cities are SINKS, so walks
+    truncate early — both path shapes appear).  Hops are
+    hash-picked over the two-phase per-node edge index; the oracle
+    replays the index permutation and every hop, pinning each full
+    path string."""
+    from neleval_spark.graph.walks import random_walks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+
+    def ent(e):
+        return F.concat(F.lit("E"), (e % 50).cast("string"))
+
+    edges = (
+        docs.select(ent(i).alias("src"), ent(i + 1).alias("dst"))
+        .unionByName(docs.select(
+            ent(i).alias("src"),
+            F.concat(F.lit("C"), (i % 7).cast("string")).alias("dst")))
+    ).distinct()
+    out = random_walks(edges, walk_len=3, n_walks=2, n_sub=8)
+    return out.select(
+        "node", "walk_id",
+        F.array_join("path", " ").alias("path_str"),
+        F.col("n_steps").cast("int").alias("n_steps"),
+    ).orderBy("node", "walk_id")
+
+
+def _walk_step_sql(s: int) -> str:
+    """One walk hop: LEFT JOIN the frontier against the indexed
+    edges on (src = cur, idx = hash(cur, walk, step) mod degree);
+    NULL dst = sink, walker keeps its path (truncated-walk
+    semantics)."""
+    hk = (f"w.cur || chr(31) || CAST(w.walk_id AS VARCHAR) "
+          f"|| chr(31) || '{s}'")
+    return f"""
+w{s} AS (
+  SELECT w.node, w.walk_id,
+         COALESCE(e.dst, w.cur) AS cur,
+         CASE WHEN e.dst IS NOT NULL THEN w.path || ' ' || e.dst
+              ELSE w.path END AS path
+  FROM w{s - 1} w LEFT JOIN eidx e
+    ON e.src = w.cur
+   AND e.idx = ({_NEG_HASH_SQL.format(v=hk)}) % e.degree)"""
+
+
+Q_RANDOM_WALKS_SQL = ("""
+WITH edges AS (
+  SELECT DISTINCT 'E' || CAST(doc_id % 50 AS VARCHAR) AS src,
+         'E' || CAST((doc_id + 1) % 50 AS VARCHAR) AS dst
+  FROM documents
+  UNION
+  SELECT DISTINCT 'E' || CAST(doc_id % 50 AS VARCHAR),
+         'C' || CAST(doc_id % 7 AS VARCHAR)
+  FROM documents),
+hashed AS (
+  SELECT src, dst, """
+                      + _NEG_HASH_SQL.format(
+                          v="src || chr(31) || dst") + """ AS h
+  FROM edges),
+eidx AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY h % 8, h, dst) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY src) AS degree
+  FROM hashed),
+w0 AS (
+  SELECT src AS node, CAST(j AS INTEGER) AS walk_id, src AS cur,
+         src AS path
+  FROM (SELECT DISTINCT src FROM edges), UNNEST([0, 1]) u(j)),"""
+                      + ",".join(_walk_step_sql(s)
+                                 for s in (1, 2, 3)) + """
+SELECT node, walk_id, path AS path_str,
+       CAST(len(string_split(path, ' ')) - 1 AS INTEGER) AS n_steps
+FROM w3 ORDER BY node, walk_id
+""")
+
+
 def q_sessionize(spark, sf_dir):
     """Stateful-style sessionization (30-min gap) via window + cumsum."""
     from pyspark.sql import Window
@@ -5597,13 +5677,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "bpe_encode": q_bpe_encode,
         "kg_negatives": q_kg_negatives,
+        "random_walks": q_random_walks,
         # ---- round-3 green, driver-stale since
         "sessionize": q_sessionize,
         "minhash_pairs_hotguard": q_minhash_pairs_hotguard,
         "dedup_cluster": q_dedup_cluster,
         "redact_pii": q_redact_pii,
         "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -5612,10 +5692,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family + queries whose code or oracle changed this round
         "kg_validate": q_kg_validate,
         # ---- long-green tail (driver-checked r4; local gate always;
-        # media_meta's/minhash's families stay inside via
-        # multimodal_features/minhash_pairs_hotguard)
+        # media_meta/minhash/ngram_jaccard families stay inside via
+        # multimodal_features/minhash_pairs_hotguard/containment)
         "media_meta": q_media_meta,
         "minhash": q_minhash,
+        "ngram_jaccard": q_ngram_jaccard,
         "ceaf_small_components": q_ceaf_small_components,
         "cosine_topk": q_cosine_topk,
         "muc": _measure_query("muc"),
@@ -5743,6 +5824,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir": Q_DSIR_SQL,
         "bpe_encode": Q_BPE_ENCODE_SQL,
         "kg_negatives": Q_KG_NEGATIVES_SQL,
+        "random_walks": Q_RANDOM_WALKS_SQL,
         "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,

@@ -1,0 +1,72 @@
+"""Deterministic DeepWalk-style random walks (graph/walks.py):
+dense per-node edge indexing (two-phase), valid hop sequences,
+sink truncation, partitioning-invariance."""
+from pyspark.sql import functions as F
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_indexed_edges_dense_per_source(spark):
+    from neleval_spark.graph.walks import indexed_edges
+
+    e = _edges(spark, [("a", f"n{i}") for i in range(10)]
+               + [("b", "a"), ("b", "c")])
+    out = indexed_edges(e, n_sub=4).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r["idx"])
+        assert r["degree"] == (10 if r["src"] == "a" else 2)
+    assert sorted(by_src["a"]) == list(range(10))
+    assert sorted(by_src["b"]) == [0, 1]
+
+
+def test_random_walks_follow_real_edges_and_truncate(spark):
+    from neleval_spark.graph.walks import random_walks
+
+    rows = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+            ("b", "sink")]
+    e = _edges(spark, rows)
+    adj = {}
+    for s, d in rows:
+        adj.setdefault(s, set()).add(d)
+    out = random_walks(e, walk_len=4, n_walks=3, n_sub=4).collect()
+    # one walk per (source node, walk_id)
+    assert len(out) == 3 * 3
+    for r in out:
+        path = list(r["path"])
+        assert path[0] == r["node"]
+        assert r["n_steps"] == len(path) - 1 <= 4
+        for u, v in zip(path, path[1:]):
+            assert v in adj[u], (u, v)
+        # truncation is only legal at a sink
+        if r["n_steps"] < 4:
+            assert path[-1] not in adj
+
+
+def test_random_walks_partitioning_invariant(spark):
+    from neleval_spark.graph.walks import random_walks
+
+    e = _edges(spark, [(f"n{i}", f"n{(i * 3 + 1) % 20}")
+                       for i in range(20)]
+               + [(f"n{i}", f"n{(i * 5 + 2) % 20}") for i in range(20)])
+    key = lambda r: (r["node"], r["walk_id"], tuple(r["path"]))  # noqa
+    w1 = sorted(map(key, random_walks(e, walk_len=5, n_walks=2,
+                                      n_sub=4).collect()))
+    w2 = sorted(map(key, random_walks(e.repartition(7), walk_len=5,
+                                      n_walks=2, n_sub=4).collect()))
+    assert w1 == w2
+
+
+def test_indexed_edges_window_is_subbucketed(spark):
+    """The indexing window must partition by (src, sub-bucket) —
+    never by src alone (the round-4 hot-bucket lesson)."""
+    from neleval_spark.graph.walks import indexed_edges
+
+    e = _edges(spark, [("hub", f"n{i}") for i in range(50)])
+    plan = (indexed_edges(e, n_sub=8)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    # every row_number window spec must carry the _sub key
+    rn = [line for line in plan.split("\n") if "row_number" in line]
+    assert rn and all("_sub" in line for line in rn), rn
