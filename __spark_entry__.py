@@ -2925,6 +2925,39 @@ FROM w3 ORDER BY node, walk_id
 """)
 
 
+def q_skipgram_pairs(spark, sf_dir):
+    """word2vec/SGNS training pairs (textops.skipgram_pairs): in-row
+    window expansion (bounded 2w per token), one map-side-combined
+    pair aggregate.  Top 25 by (n DESC, center, context); the oracle
+    is the positional self-join formulation — the two must agree
+    pair-for-pair."""
+    from neleval_spark.functions.textops import skipgram_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (skipgram_pairs(docs, window=2)
+            .orderBy(F.desc("n"), "center", "context").limit(25))
+
+
+Q_SKIPGRAM_PAIRS_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t != '') AS tk
+  FROM documents),
+tok AS (
+  SELECT doc_id, UNNEST(tk) AS token,
+         UNNEST(range(1, len(tk) + 1)) AS pos
+  FROM tk)
+SELECT a.token AS center, b.token AS context,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM tok a JOIN tok b
+  ON a.doc_id = b.doc_id AND a.pos != b.pos
+ AND abs(a.pos - b.pos) <= 2
+GROUP BY a.token, b.token
+ORDER BY n DESC, center, context LIMIT 25
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Stateful-style sessionization (30-min gap) via window + cumsum."""
     from pyspark.sql import Window
@@ -5678,13 +5711,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "kg_negatives": q_kg_negatives,
         "random_walks": q_random_walks,
+        "skipgram_pairs": q_skipgram_pairs,
         # ---- round-3 green, driver-stale since
         "sessionize": q_sessionize,
         "minhash_pairs_hotguard": q_minhash_pairs_hotguard,
         "dedup_cluster": q_dedup_cluster,
         "redact_pii": q_redact_pii,
         "simhash": q_simhash,
-        "doc_fingerprint": q_doc_fingerprint,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "multimodal_features": q_multimodal_features,
@@ -5697,6 +5730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "minhash": q_minhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "doc_fingerprint": q_doc_fingerprint,
         "ceaf_small_components": q_ceaf_small_components,
         "cosine_topk": q_cosine_topk,
         "muc": _measure_query("muc"),
@@ -5825,6 +5859,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": Q_BPE_ENCODE_SQL,
         "kg_negatives": Q_KG_NEGATIVES_SQL,
         "random_walks": Q_RANDOM_WALKS_SQL,
+        "skipgram_pairs": Q_SKIPGRAM_PAIRS_SQL,
         "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,

@@ -790,3 +790,50 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id",
         )
     return out.select(
         "doc_id", "redacted", *[f"n_{k}" for k, _, _ in PII_PATTERNS])
+
+
+def skipgram_pairs(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   window: int = 2) -> DataFrame:
+    """Skip-gram (center, context) pair counts — the word2vec/SGNS
+    training-pair table (Mikolov et al. 2013): for every token, each
+    token at distance 1..``window`` on either side is one context
+    observation.  Returns ``(center, context, n)`` aggregated over
+    the corpus.
+
+    Works on any whitespace-joinable sequence corpus: documents
+    directly, or DeepWalk paths via
+    ``walks.select("node", F.array_join("path", " ").alias("text"))``
+    — which together with ``graph/negatives.py`` completes the
+    graph-embedding training-data path (walk → skip-gram pairs →
+    negatives).
+
+    Scale shape (10^12 docs): pair expansion is IN-ROW (transform
+    over an index sequence on the staged token array — bounded by
+    2·window per token), then one map-side-combined aggregate keyed
+    by the pair; Zipf-hot pairs are absorbed by partial aggregation
+    (the vocab_stats argument).  ONE exchange total.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda t: t != "")
+    staged = docs.select(F.col(id_col).alias("_doc"),
+                         toks.alias("_tok"))
+    n = F.size("_tok")
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.filter(
+            F.transform(
+                F.sequence(F.lit(-window), F.lit(window)),
+                lambda d: F.when(
+                    (d != 0) & (i + d >= 1) & (i + d <= n),
+                    F.struct(
+                        F.get(F.col("_tok"), i - 1).alias("center"),
+                        F.get(F.col("_tok"), i + d - 1)
+                        .alias("context")))),
+            lambda s: s.isNotNull())))
+    return (staged.where(n > 0)
+            .select(F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.center").alias("center"),
+                     F.col("p.context").alias("context"))
+            .agg(F.count("*").alias("n")))
