@@ -2925,6 +2925,55 @@ FROM w3 ORDER BY node, walk_id
 """)
 
 
+def q_sample_neighbors(spark, sf_dir):
+    """GraphSAGE fan-out sampling (walks.sample_neighbors) over the
+    ring+residence KG with fanout=1: each Ei keeps exactly one of
+    its two out-edges, hash-chosen; the oracle replays the index
+    permutation and the cut."""
+    from neleval_spark.graph.walks import sample_neighbors
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+
+    def ent(e):
+        return F.concat(F.lit("E"), (e % 50).cast("string"))
+
+    edges = (
+        docs.select(ent(i).alias("src"), ent(i + 1).alias("dst"))
+        .unionByName(docs.select(
+            ent(i).alias("src"),
+            F.concat(F.lit("C"), (i % 7).cast("string")).alias("dst")))
+    ).distinct()
+    return sample_neighbors(edges, fanout=1, n_sub=8) \
+        .orderBy("src", "dst")
+
+
+Q_SAMPLE_NEIGHBORS_SQL = ("""
+WITH edges AS (
+  SELECT DISTINCT 'E' || CAST(doc_id % 50 AS VARCHAR) AS src,
+         'E' || CAST((doc_id + 1) % 50 AS VARCHAR) AS dst
+  FROM documents
+  UNION
+  SELECT DISTINCT 'E' || CAST(doc_id % 50 AS VARCHAR),
+         'C' || CAST(doc_id % 7 AS VARCHAR)
+  FROM documents),
+hashed AS (
+  SELECT src, dst, """
+                          + _NEG_HASH_SQL.format(
+                              v="src || chr(31) || dst") + """ AS h
+  FROM edges),
+eidx AS (
+  SELECT src, dst,
+         CAST(row_number() OVER (PARTITION BY src
+                                 ORDER BY h % 8, h, dst) - 1
+              AS BIGINT) AS idx,
+         CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS degree
+  FROM hashed)
+SELECT src, dst, idx, degree FROM eidx
+WHERE idx < 1 ORDER BY src, dst
+""")
+
+
 def q_skipgram_pairs(spark, sf_dir):
     """word2vec/SGNS training pairs (textops.skipgram_pairs): in-row
     window expansion (bounded 2w per token), one map-side-combined
@@ -5731,6 +5780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": q_minhash,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_fingerprint": q_doc_fingerprint,
+        "sample_neighbors": q_sample_neighbors,
         "ceaf_small_components": q_ceaf_small_components,
         "cosine_topk": q_cosine_topk,
         "muc": _measure_query("muc"),
@@ -5860,6 +5910,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_negatives": Q_KG_NEGATIVES_SQL,
         "random_walks": Q_RANDOM_WALKS_SQL,
         "skipgram_pairs": Q_SKIPGRAM_PAIRS_SQL,
+        "sample_neighbors": Q_SAMPLE_NEIGHBORS_SQL,
         "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,

@@ -112,3 +112,23 @@ def random_walks(edges: DataFrame, walk_len: int = 4,
     return state.select(
         "node", "walk_id", "path",
         (F.size("path") - 1).alias("n_steps"))
+
+
+def sample_neighbors(edges: DataFrame, fanout: int,
+                     n_sub: int = 64) -> DataFrame:
+    """GraphSAGE-style deterministic neighbor sampling (Hamilton et
+    al. 2017): keep at most ``fanout`` out-edges per node —
+    ``(src, dst, idx, degree)`` with idx < fanout.
+
+    Because :func:`indexed_edges` already assigns each node's edges
+    a dense hash-permuted index, a uniform-without-replacement
+    sample is just ``idx < fanout`` — no extra shuffle, no
+    per-node sort beyond the two-phase rank, hub nodes cut to
+    ``fanout`` rows exactly.  Layered k-hop sampling is ``k``
+    self-composes of this against the frontier (each an equi-join on
+    src), which is how GraphSAGE minibatch fan-out is built at
+    scale.  Deterministic: the same (edge list, fanout, n_sub)
+    always keeps the same neighbors, across partitionings and
+    engines."""
+    return indexed_edges(edges, n_sub=n_sub) \
+        .where(F.col("idx") < fanout)

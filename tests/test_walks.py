@@ -70,3 +70,22 @@ def test_indexed_edges_window_is_subbucketed(spark):
     # every row_number window spec must carry the _sub key
     rn = [line for line in plan.split("\n") if "row_number" in line]
     assert rn and all("_sub" in line for line in rn), rn
+
+
+def test_sample_neighbors_fanout_cut(spark):
+    from neleval_spark.graph.walks import sample_neighbors
+
+    e = _edges(spark, [("hub", f"n{i}") for i in range(40)]
+               + [("a", "b")])
+    out = sample_neighbors(e, fanout=5, n_sub=4).collect()
+    hub = [r for r in out if r["src"] == "hub"]
+    assert len(hub) == 5
+    assert sorted(r["idx"] for r in hub) == list(range(5))
+    assert all(r["degree"] == 40 for r in hub)
+    a = [r for r in out if r["src"] == "a"]
+    assert len(a) == 1 and a[0]["degree"] == 1
+    # deterministic across partitionings
+    out2 = sample_neighbors(e.repartition(3), fanout=5,
+                            n_sub=4).collect()
+    assert sorted((r["src"], r["dst"]) for r in out) \
+        == sorted((r["src"], r["dst"]) for r in out2)
