@@ -1679,6 +1679,45 @@ ORDER BY alias, dst
 Q_ANCHOR_PRIORS_SQL = _anchor_priors_sql()
 
 
+def q_el_hard_negatives(spark, sf_dir):
+    """BLINK-style hard negatives for entity-link scorer training
+    (pipeline/candidates.hard_negatives): the anchor-prior table is
+    the candidate set (alias → targets with INTEGER counts — the
+    repo's cross-engine argmax convention), the pseudo-gold is each
+    alias's lexicographically-first target, and the top-2 non-gold
+    candidates per alias survive with their rank.  One mention-keyed
+    join + one fan-out-bounded window; the oracle replays the
+    ranking exactly."""
+    from neleval_spark.functions.linkgraph import (anchor_priors,
+                                                   extract_anchors)
+    from neleval_spark.pipeline.candidates import hard_negatives
+
+    pri = anchor_priors(extract_anchors(
+        _synth_anchor_pages(spark, sf_dir)))
+    cands = pri.select("alias", "dst", "n")
+    gold = cands.groupBy("alias").agg(F.min("dst").alias("gold_dst"))
+    out = hard_negatives(cands, gold, keys=["alias"],
+                         cand_col="dst", gold_col="gold_dst", k=2,
+                         order=[F.col("n").desc(), F.col("dst")])
+    return out.select("alias", "dst", "n", "neg_rank") \
+              .orderBy("alias", "neg_rank")
+
+
+Q_EL_HARD_NEGATIVES_SQL = f"""
+WITH pri AS ({_anchor_priors_sql()}),
+gold AS (SELECT alias, MIN(dst) AS gold_dst FROM pri GROUP BY alias),
+ranked AS (
+  SELECT p.alias, p.dst, p.n,
+         CAST(row_number() OVER (PARTITION BY p.alias
+                                 ORDER BY p.n DESC, p.dst)
+              AS INTEGER) AS neg_rank
+  FROM pri p JOIN gold g USING (alias)
+  WHERE p.dst <> g.gold_dst)
+SELECT alias, dst, n, neg_rank FROM ranked
+WHERE neg_rank <= 2 ORDER BY alias, neg_rank
+"""
+
+
 def q_salience_weighted(spark, sf_dir):
     """Weighted PageRank (graph/pagerank.py `weight=`): purchase-
     volume-weighted salience over the undirected customer↔supplier
@@ -5761,6 +5800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": q_kg_negatives,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
+        "el_hard_negatives": q_el_hard_negatives,
         # ---- round-3 green, driver-stale since
         "sessionize": q_sessionize,
         "minhash_pairs_hotguard": q_minhash_pairs_hotguard,
@@ -5768,7 +5808,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
-        "quality": q_quality,
         "multimodal_features": q_multimodal_features,
         # ---- re-check slate (positions 44-50): proxy-oracle CEAF
         # family + queries whose code or oracle changed this round
@@ -5780,6 +5819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": q_minhash,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_fingerprint": q_doc_fingerprint,
+        "quality": q_quality,
         "sample_neighbors": q_sample_neighbors,
         "ceaf_small_components": q_ceaf_small_components,
         "cosine_topk": q_cosine_topk,
@@ -5911,6 +5951,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": Q_RANDOM_WALKS_SQL,
         "skipgram_pairs": Q_SKIPGRAM_PAIRS_SQL,
         "sample_neighbors": Q_SAMPLE_NEIGHBORS_SQL,
+        "el_hard_negatives": Q_EL_HARD_NEGATIVES_SQL,
         "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,

@@ -93,3 +93,49 @@ def score_and_select(cands: DataFrame) -> DataFrame:
                 F.lit(None).cast("map<string,string>").alias("attrs")),
         ).alias("candidates"),
     )
+
+
+def hard_negatives(scored: DataFrame, gold: DataFrame,
+                   keys: list[str], cand_col: str = "eid",
+                   gold_col: str | None = None,
+                   order: list | None = None,
+                   k: int = 4) -> DataFrame:
+    """Hard-negative mining for entity-link scorer training (the
+    BLINK recipe, Wu et al. 2020 §3: train the cross-encoder on the
+    bi-encoder's top-ranked NON-gold candidates): per mention key,
+    keep the ``k`` highest-ranked candidates that are not the gold
+    entity, with their rank.
+
+    ``scored``: one row per (mention, candidate) — the
+    ``generate_candidates`` output shape, before the argmax collapse.
+    ``gold``: one row per labeled mention key carrying ``gold_col``
+    (defaults to ``cand_col``).  Only labeled mentions survive (inner
+    join — training needs positives); the gold candidate itself is
+    excluded; remaining candidates rank by ``order`` (default:
+    score DESC, candidate ASC — pass integer ranking columns when a
+    cross-engine-exact ordering matters, per the repo's
+    integer-weights convention).
+
+    Scale shape: ONE equi-join on the mention key (gold is
+    mention-sized) and one window partitioned by the mention key —
+    the partition is each mention's CANDIDATE fan-out (bounded by
+    alias-dictionary hits, ~10s of rows by construction, not
+    corpus-sized), so no two-phase rank is needed; hot surface forms
+    ("Washington") spread across their mentions, not into one
+    partition.  Output adds ``neg_rank`` (1..k).
+    """
+    from pyspark.sql import Window
+
+    gold_col = gold_col or cand_col
+    g = gold.select(*keys, F.col(gold_col).alias("_gold"))
+    ranked = (
+        scored.join(g, keys)
+        .where(F.col(cand_col) != F.col("_gold"))
+        .withColumn(
+            "neg_rank",
+            F.row_number().over(
+                Window.partitionBy(*keys).orderBy(
+                    *(order if order is not None
+                      else [F.col("score").desc(),
+                            F.col(cand_col)])))))
+    return ranked.where(F.col("neg_rank") <= k).drop("_gold")

@@ -71,3 +71,26 @@ def test_negative_samples_never_emits_self_corruption(spark):
     out = negative_samples(kg, n_neg=8, n_parts=2).collect()
     for r in out:
         assert r["neg"] != r["obj"]
+
+
+def test_el_hard_negatives_semantics(spark):
+    """BLINK-style hard negatives: gold excluded, unlabeled mentions
+    dropped, rank deterministic by (score DESC, candidate)."""
+    from pyspark.sql import functions as F
+
+    from neleval_spark.pipeline.candidates import hard_negatives
+
+    scored = spark.createDataFrame(
+        [("m1", "A", 9), ("m1", "B", 7), ("m1", "C", 5),
+         ("m1", "D", 3),
+         ("m2", "A", 4), ("m2", "B", 2),
+         ("m3", "X", 1)],  # unlabeled mention
+        "mention string, eid string, score long")
+    gold = spark.createDataFrame([("m1", "B"), ("m2", "A")],
+                                 "mention string, eid string")
+    out = hard_negatives(
+        scored, gold, keys=["mention"], k=2,
+        order=[F.col("score").desc(), F.col("eid")]).collect()
+    rows = sorted((r["mention"], r["eid"], r["neg_rank"])
+                  for r in out)
+    assert rows == [("m1", "A", 1), ("m1", "C", 2), ("m2", "B", 1)]
