@@ -3013,6 +3013,125 @@ WHERE idx < 1 ORDER BY src, dst
 """)
 
 
+def q_node2vec(spark, sf_dir):
+    """node2vec biased second-order walks (walks.node2vec_walks)
+    over a ring+skip+residence KG (out-degree 3 per Ei: E(i+1),
+    E(i+2), C(i%7)) with weights (w_return, w_near, w_far) =
+    (1, 4, 2) — the skip edges make the distance-1 "near" class
+    fire (E(i+2) is adjacent FROM prev=Ei when cur=E(i+1)).  The
+    oracle replays the edge-index permutation, every per-candidate
+    weight classification (EXISTS against the edge set), the
+    cumulative-weight intervals and the hash landing — pinning each
+    full path."""
+    from neleval_spark.graph.walks import node2vec_walks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+
+    def ent(e):
+        return F.concat(F.lit("E"), (e % 50).cast("string"))
+
+    edges = (
+        docs.select(ent(i).alias("src"), ent(i + 1).alias("dst"))
+        .unionByName(docs.select(ent(i).alias("src"),
+                                 ent(i + 2).alias("dst")))
+        .unionByName(docs.select(
+            ent(i).alias("src"),
+            F.concat(F.lit("C"), (i % 7).cast("string")).alias("dst")))
+    ).distinct()
+    out = node2vec_walks(edges, walk_len=3, n_walks=2,
+                         w_return=1, w_near=4, w_far=2, n_sub=8)
+    return out.select(
+        "node", "walk_id",
+        F.array_join("path", " ").alias("path_str"),
+        F.col("n_steps").cast("int").alias("n_steps"),
+    ).orderBy("node", "walk_id")
+
+
+def _n2v_step_sql(s: int) -> str:
+    """One biased hop: expand the frontier to all candidate edges,
+    classify each candidate's weight (return=1 / near=4 via EXISTS /
+    far=2), and keep the candidate whose cumulative-weight interval
+    contains hash(prev, cur, walk, step) mod total."""
+    hk = (f"prev || chr(31) || cur || chr(31) "
+          f"|| CAST(walk_id AS VARCHAR) || chr(31) || '{s}'")
+    return f"""
+c{s} AS (
+  SELECT w.node, w.walk_id, w.prev, w.cur, w.path, e.dst, e.idx,
+         CASE WHEN e.dst IS NULL THEN NULL
+              WHEN e.dst = w.prev THEN 1
+              WHEN EXISTS (SELECT 1 FROM edges t
+                           WHERE t.src = w.prev AND t.dst = e.dst)
+                   THEN 4
+              ELSE 2 END AS wgt
+  FROM w{s - 1} w LEFT JOIN eidx e ON e.src = w.cur),
+x{s} AS (
+  SELECT *,
+         SUM(wgt) OVER (PARTITION BY node, walk_id) AS total,
+         SUM(wgt) OVER (PARTITION BY node, walk_id
+                        ORDER BY idx) AS cum
+  FROM c{s}),
+w{s} AS (
+  SELECT node, walk_id,
+         CASE WHEN dst IS NOT NULL THEN cur ELSE prev END AS prev,
+         COALESCE(dst, cur) AS cur,
+         CASE WHEN dst IS NOT NULL THEN path || ' ' || dst
+              ELSE path END AS path
+  FROM x{s}
+  WHERE dst IS NULL
+     OR (cum - wgt <= ({_NEG_HASH_SQL.format(v=hk)}) % total
+         AND ({_NEG_HASH_SQL.format(v=hk)}) % total < cum))"""
+
+
+Q_NODE2VEC_SQL = ("""
+WITH edges AS (
+  SELECT DISTINCT 'E' || CAST(doc_id % 50 AS VARCHAR) AS src,
+         'E' || CAST((doc_id + 1) % 50 AS VARCHAR) AS dst
+  FROM documents
+  UNION
+  SELECT DISTINCT 'E' || CAST(doc_id % 50 AS VARCHAR),
+         'E' || CAST((doc_id + 2) % 50 AS VARCHAR)
+  FROM documents
+  UNION
+  SELECT DISTINCT 'E' || CAST(doc_id % 50 AS VARCHAR),
+         'C' || CAST(doc_id % 7 AS VARCHAR)
+  FROM documents),
+hashed AS (
+  SELECT src, dst, """
+                  + _NEG_HASH_SQL.format(
+                      v="src || chr(31) || dst") + """ AS h
+  FROM edges),
+eidx AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY h % 8, h, dst) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY src) AS degree
+  FROM hashed),
+w0 AS (
+  SELECT src AS node, CAST(j AS INTEGER) AS walk_id,
+         CAST(NULL AS VARCHAR) AS prev, src AS cur, src AS path
+  FROM (SELECT DISTINCT src FROM edges), UNNEST([0, 1]) u(j)),
+w1 AS (
+  SELECT w.node, w.walk_id,
+         CASE WHEN e.dst IS NOT NULL THEN w.cur ELSE w.prev END
+           AS prev,
+         COALESCE(e.dst, w.cur) AS cur,
+         CASE WHEN e.dst IS NOT NULL THEN w.path || ' ' || e.dst
+              ELSE w.path END AS path
+  FROM w0 w LEFT JOIN eidx e
+    ON e.src = w.cur
+   AND e.idx = ("""
+                  + _NEG_HASH_SQL.format(
+                      v="w.cur || chr(31) || "
+                        "CAST(w.walk_id AS VARCHAR) || chr(31) "
+                        "|| '1'") + """) % e.degree),"""
+                  + ",".join(_n2v_step_sql(s) for s in (2, 3)) + """
+SELECT node, walk_id, path AS path_str,
+       CAST(len(string_split(path, ' ')) - 1 AS INTEGER) AS n_steps
+FROM w3 ORDER BY node, walk_id
+""")
+
+
 def q_skipgram_pairs(spark, sf_dir):
     """word2vec/SGNS training pairs (textops.skipgram_pairs): in-row
     window expansion (bounded 2w per token), one map-side-combined
@@ -5799,6 +5918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "kg_negatives": q_kg_negatives,
         "random_walks": q_random_walks,
+        "node2vec": q_node2vec,
         "skipgram_pairs": q_skipgram_pairs,
         "el_hard_negatives": q_el_hard_negatives,
         # ---- round-3 green, driver-stale since
@@ -5806,7 +5926,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_hotguard": q_minhash_pairs_hotguard,
         "dedup_cluster": q_dedup_cluster,
         "redact_pii": q_redact_pii,
-        "simhash": q_simhash,
         "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         # ---- re-check slate (positions 44-50): proxy-oracle CEAF
@@ -5820,6 +5939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "doc_fingerprint": q_doc_fingerprint,
         "quality": q_quality,
+        "simhash": q_simhash,
         "sample_neighbors": q_sample_neighbors,
         "ceaf_small_components": q_ceaf_small_components,
         "cosine_topk": q_cosine_topk,
@@ -5952,6 +6072,7 @@ def oracle_sql() -> dict[str, str]:
         "skipgram_pairs": Q_SKIPGRAM_PAIRS_SQL,
         "sample_neighbors": Q_SAMPLE_NEIGHBORS_SQL,
         "el_hard_negatives": Q_EL_HARD_NEGATIVES_SQL,
+        "node2vec": Q_NODE2VEC_SQL,
         "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,

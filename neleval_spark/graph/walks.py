@@ -132,3 +132,109 @@ def sample_neighbors(edges: DataFrame, fanout: int,
     engines."""
     return indexed_edges(edges, n_sub=n_sub) \
         .where(F.col("idx") < fanout)
+
+
+def node2vec_walks(edges: DataFrame, walk_len: int = 4,
+                   n_walks: int = 2,
+                   w_return: int = 1, w_near: int = 4,
+                   w_far: int = 1,
+                   n_sub: int = 64,
+                   max_degree: int | None = None) -> DataFrame:
+    """node2vec second-order biased walks (Grover & Leskovec 2016):
+    like :func:`random_walks`, but from step 2 on the hop
+    distribution over ``cur``'s out-edges is biased by the distance
+    of the candidate from the PREVIOUS node — candidates equal to
+    ``prev`` weigh ``w_return`` (the paper's 1/p), candidates
+    adjacent FROM ``prev`` weigh ``w_near`` (the paper's 1), all
+    others ``w_far`` (the paper's 1/q).  Weights are INTEGERS (the
+    repo's cross-engine convention — express p=2, q=0.5 as
+    (w_return, w_near, w_far) = (1, 2, 4)); the pick is
+    ``hash(prev, cur, walk, step) mod total_weight`` landing in the
+    candidate's cumulative-weight interval, so the corpus is exactly
+    reproducible anywhere.
+
+    ``max_degree`` caps each node's candidate set to its first
+    ``max_degree`` hash-permuted out-edges (the
+    :func:`sample_neighbors` cut) BEFORE weighting — the standard
+    practical bound for hub nodes, since second-order walking is
+    inherently frontier×degree work.
+
+    Scale shape: step 1 is the DeepWalk hop (one equi-join on
+    (src, idx)).  Each later step is (a) one equi-join expanding the
+    frontier to its capped candidate edges, (b) one LEFT equi-join
+    against the edge set on (prev, candidate) for the
+    distance-1 test, and (c) one window pair (total + running sum)
+    partitioned per WALKER — bounded by the capped degree, never
+    corpus-sized.  Sinks keep their truncated path via the left
+    join, as in :func:`random_walks`.
+
+    Returns ``(node, walk_id, path array<string>, n_steps)``.
+    """
+    idx = indexed_edges(edges, n_sub=n_sub)
+    if max_degree is not None:
+        idx = idx.where(F.col("idx") < max_degree) \
+                 .withColumn("degree",
+                             F.least("degree", F.lit(max_degree)))
+    eset = edges.select(F.col("src").alias("_es"),
+                        F.col("dst").alias("_ed")).distinct()
+
+    starts = edges.select("src").distinct()
+    state = starts.select(
+        F.col("src").alias("node"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1)))
+        .alias("walk_id"),
+        F.lit(None).cast("string").alias("_prev"),
+        F.col("src").alias("_cur"),
+        F.array(F.col("src")).alias("path"))
+
+    # step 1: uniform over the (capped) candidate set
+    pick1 = token_hash(
+        F.concat_ws(_SEP, "_cur", F.col("walk_id").cast("string"),
+                    F.lit("1"))) % F.col("degree")
+    hop = (state.join(idx, state["_cur"] == idx["src"], "left")
+           .where(F.col("idx").isNull() | (F.col("idx") == pick1)))
+    state = hop.select(
+        "node", "walk_id",
+        F.when(F.col("dst").isNotNull(), F.col("_cur"))
+        .otherwise(F.col("_prev")).alias("_prev"),
+        F.coalesce("dst", "_cur").alias("_cur"),
+        F.when(F.col("dst").isNotNull(),
+               F.concat("path", F.array(F.col("dst"))))
+        .otherwise(F.col("path")).alias("path"))
+
+    wkey = ["node", "walk_id"]
+    for step in range(2, walk_len + 1):
+        cands = state.join(idx, state["_cur"] == idx["src"], "left")
+        cands = cands.join(
+            eset, (cands["_prev"] == eset["_es"])
+            & (cands["dst"] == eset["_ed"]), "left")
+        w = (F.when(F.col("dst").isNull(), F.lit(None))
+             .when(F.col("dst") == F.col("_prev"), F.lit(w_return))
+             .when(F.col("_ed").isNotNull(), F.lit(w_near))
+             .otherwise(F.lit(w_far)).cast("long"))
+        cands = cands.withColumn("_w", w)
+        total = F.sum("_w").over(Window.partitionBy(*wkey))
+        cum = F.sum("_w").over(
+            Window.partitionBy(*wkey).orderBy("idx")
+            .rowsBetween(Window.unboundedPreceding, 0))
+        r = token_hash(F.concat_ws(
+            _SEP, "_prev", "_cur", F.col("walk_id").cast("string"),
+            F.lit(str(step)))) % total
+        picked = (cands
+                  .withColumn("_cum", cum).withColumn("_r", r)
+                  .where(F.col("dst").isNull()
+                         | ((F.col("_cum") - F.col("_w"))
+                            <= F.col("_r"))
+                         & (F.col("_r") < F.col("_cum"))))
+        state = picked.select(
+            "node", "walk_id",
+            F.when(F.col("dst").isNotNull(), F.col("_cur"))
+            .otherwise(F.col("_prev")).alias("_prev"),
+            F.coalesce("dst", "_cur").alias("_cur"),
+            F.when(F.col("dst").isNotNull(),
+                   F.concat("path", F.array(F.col("dst"))))
+            .otherwise(F.col("path")).alias("path"))
+
+    return state.select(
+        "node", "walk_id", "path",
+        (F.size("path") - 1).alias("n_steps"))

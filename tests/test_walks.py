@@ -89,3 +89,64 @@ def test_sample_neighbors_fanout_cut(spark):
                             n_sub=4).collect()
     assert sorted((r["src"], r["dst"]) for r in out) \
         == sorted((r["src"], r["dst"]) for r in out2)
+
+
+def test_node2vec_return_and_far_bias(spark):
+    from neleval_spark.graph.walks import node2vec_walks
+
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("b", "c"),
+                       ("c", "a")])
+    key = lambda r: (r["node"], r["walk_id"])  # noqa: E731
+    ret = {key(r): list(r["path"]) for r in
+           node2vec_walks(e, walk_len=4, n_walks=1,
+                          w_return=10**6, w_near=1, w_far=1,
+                          n_sub=4).collect()}
+    # from a the only edge is a->b; with extreme return bias the
+    # walk must ping-pong
+    assert ret[("a", 0)] == ["a", "b", "a", "b", "a"]
+    far = {key(r): list(r["path"]) for r in
+           node2vec_walks(e, walk_len=4, n_walks=1,
+                          w_return=1, w_near=1, w_far=10**6,
+                          n_sub=4).collect()}
+    assert far[("a", 0)] == ["a", "b", "c", "a", "b"]
+
+
+def test_node2vec_near_bias_closes_triangles(spark):
+    from neleval_spark.graph.walks import node2vec_walks
+
+    # a -> b; from b: candidates c (a->c exists: distance 1) and
+    # d (distance 2).  Extreme w_near must pick c; extreme w_far d.
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"),
+                       ("b", "d")])
+    near = {r["node"]: list(r["path"]) for r in
+            node2vec_walks(e, walk_len=2, n_walks=1,
+                           w_return=1, w_near=10**6, w_far=1,
+                           n_sub=4).collect()}
+    assert near["a"][2] == "c", near["a"]
+    far = {r["node"]: list(r["path"]) for r in
+           node2vec_walks(e, walk_len=2, n_walks=1,
+                          w_return=1, w_near=1, w_far=10**6,
+                          n_sub=4).collect()}
+    assert far["a"][2] == "d", far["a"]
+
+
+def test_node2vec_max_degree_and_partitioning_invariance(spark):
+    from neleval_spark.graph.walks import node2vec_walks
+
+    e = _edges(spark, [("hub", f"n{i}") for i in range(30)]
+               + [(f"n{i}", "hub") for i in range(30)])
+    key = lambda r: (r["node"], r["walk_id"], tuple(r["path"]))  # noqa
+    w1 = sorted(map(key, node2vec_walks(
+        e, walk_len=3, n_walks=2, max_degree=5, n_sub=4).collect()))
+    w2 = sorted(map(key, node2vec_walks(
+        e.repartition(7), walk_len=3, n_walks=2, max_degree=5,
+        n_sub=4).collect()))
+    assert w1 == w2
+    # the hub's first hop must land inside its 5-edge capped set
+    from neleval_spark.graph.walks import sample_neighbors
+    kept = {r["dst"] for r in
+            sample_neighbors(e, fanout=5, n_sub=4).collect()
+            if r["src"] == "hub"}
+    for node, _wid, path in w1:
+        if node == "hub":
+            assert path[1] in kept, (path, kept)
