@@ -3165,6 +3165,48 @@ ORDER BY n DESC, center, context LIMIT 25
 """
 
 
+def q_contrastive_pairs(spark, sf_dir):
+    """Contrastive positive pairs from near-dup clusters
+    (corpusops.contrastive_pairs): deterministic synthetic clusters
+    (doc_id mod 40), ring pairing in hash-permuted order — n directed
+    pairs per n-cluster, linear not quadratic.  The oracle replays
+    the two-phase permutation and the ring join exactly."""
+    from neleval_spark.functions.corpusops import contrastive_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cl = docs.select(
+        "doc_id",
+        F.concat(F.lit("K"), (F.col("doc_id") % 40).cast("string"))
+        .alias("cluster"))
+    return contrastive_pairs(cl, n_sub=8) \
+        .orderBy("cluster", "pair_idx")
+
+
+Q_CONTRASTIVE_PAIRS_SQL = ("""
+WITH base AS (
+  SELECT 'K' || CAST(doc_id % 40 AS VARCHAR) AS cluster,
+         CAST(doc_id AS VARCHAR) AS doc
+  FROM documents),
+hashed AS (
+  SELECT cluster, doc, """
+                           + _NEG_HASH_SQL.format(v="doc") + """ AS h
+  FROM base),
+idx AS (
+  SELECT cluster, doc,
+         CAST(row_number() OVER (PARTITION BY cluster
+                                 ORDER BY h % 8, h, doc) - 1
+              AS BIGINT) AS idx,
+         CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS n
+  FROM hashed)
+SELECT a.cluster AS cluster, a.doc AS doc_a, b.doc AS doc_b,
+       a.idx AS pair_idx
+FROM idx a JOIN idx b
+  ON a.cluster = b.cluster AND b.idx = (a.idx + 1) % a.n
+WHERE a.n >= 2
+ORDER BY a.cluster, pair_idx
+""")
+
+
 def q_sessionize(spark, sf_dir):
     """Stateful-style sessionization (30-min gap) via window + cumsum."""
     from pyspark.sql import Window
@@ -5921,8 +5963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec": q_node2vec,
         "skipgram_pairs": q_skipgram_pairs,
         "el_hard_negatives": q_el_hard_negatives,
+        "contrastive_pairs": q_contrastive_pairs,
         # ---- round-3 green, driver-stale since
-        "sessionize": q_sessionize,
         "minhash_pairs_hotguard": q_minhash_pairs_hotguard,
         "dedup_cluster": q_dedup_cluster,
         "redact_pii": q_redact_pii,
@@ -5940,6 +5982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "quality": q_quality,
         "simhash": q_simhash,
+        "sessionize": q_sessionize,
         "sample_neighbors": q_sample_neighbors,
         "ceaf_small_components": q_ceaf_small_components,
         "cosine_topk": q_cosine_topk,
@@ -6073,6 +6116,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_neighbors": Q_SAMPLE_NEIGHBORS_SQL,
         "el_hard_negatives": Q_EL_HARD_NEGATIVES_SQL,
         "node2vec": Q_NODE2VEC_SQL,
+        "contrastive_pairs": Q_CONTRASTIVE_PAIRS_SQL,
         "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,

@@ -521,3 +521,45 @@ def clean_lines(docs: DataFrame, id_col: str = "doc_id",
             kept, join_sep if join_sep is not None else line_sep
         ).alias("clean_text"),
     )
+
+
+def contrastive_pairs(clusters: DataFrame, id_col: str = "doc_id",
+                      cluster_col: str = "cluster",
+                      n_sub: int = 64) -> DataFrame:
+    """Positive pairs for contrastive embedding training from
+    near-duplicate clusters (the SimCSE/retrieval-pretraining
+    recipe: near-dups of one document are semantically-equivalent
+    views of it): within every cluster of size n >= 2, pair each
+    member with its RING successor in hash-permuted order — exactly
+    n directed pairs per cluster, LINEAR in cluster size, never the
+    O(n²) all-pairs blowup a boilerplate mega-cluster would cause.
+
+    Returns ``(cluster, doc_a, doc_b, pair_idx)`` where doc_b is
+    doc_a's ring successor and ``pair_idx`` = doc_a's position.  A
+    2-cluster yields both directions of its single pair; singletons
+    yield nothing.
+
+    Scale shape: the within-cluster order comes from
+    :func:`~neleval_spark.functions.ranks.dense_index` (two-phase —
+    a 10^6-member boilerplate cluster never sorts in one task); the
+    ring join is one equi-join on (cluster, successor index).
+    Deterministic across partitionings/engines (shared polynomial
+    hash)."""
+    from .ranks import dense_index
+
+    base = clusters.select(
+        F.col(cluster_col).alias("cluster"),
+        F.col(id_col).cast("string").alias("doc"))
+    idx = dense_index(base, ["cluster"], "doc", n_sub=n_sub) \
+        .where(F.col("group_size") >= 2)
+    succ = idx.select(
+        F.col("cluster").alias("_c"),
+        F.col("doc").alias("doc_b"),
+        F.col("idx").alias("_succ_idx"))
+    return (idx.join(
+        succ,
+        (idx["cluster"] == succ["_c"])
+        & (succ["_succ_idx"]
+           == (idx["idx"] + 1) % idx["group_size"]))
+        .select("cluster", F.col("doc").alias("doc_a"), "doc_b",
+                F.col("idx").alias("pair_idx")))

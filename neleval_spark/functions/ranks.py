@@ -1,0 +1,56 @@
+"""Two-phase dense ranking — the repo's standard answer to "assign
+0..n-1 within a group without sorting the whole group in one task"
+(used inline by graph/negatives.entity_ids and graph/walks.
+indexed_edges; extracted here for new consumers).
+
+``dense_index`` hash-splits each group into ``n_sub`` sub-buckets,
+ranks within (group, sub) — a window partition bounded by
+group_size/n_sub — then adds per-(group, sub) cumulative offsets
+(a window over <= n_sub rows per group).  The resulting permutation
+is (sub, hash, tiebreak)-ordered: pseudo-random, deterministic
+across partitionings and engines (the hash is the shared
+polynomial), and equal to DuckDB's
+``row_number() OVER (PARTITION BY group ORDER BY h % n_sub, h, tb)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import token_hash
+
+
+def dense_index(df: DataFrame, group_cols: list[str],
+                hash_input: str, n_sub: int = 64,
+                idx_col: str = "idx",
+                size_col: str = "group_size") -> DataFrame:
+    """Add ``idx_col`` (0..group_size-1, hash-permuted order) and
+    ``size_col`` to every row.  ``hash_input`` is the column whose
+    polynomial hash orders rows within the group (also the
+    tiebreak)."""
+    h = token_hash(F.col(hash_input))
+    e = df.withColumn("_dr_h", h) \
+          .withColumn("_dr_sub", h % n_sub)
+    within = F.row_number().over(
+        Window.partitionBy(*group_cols, "_dr_sub")
+        .orderBy("_dr_h", hash_input))
+    ranked = e.withColumn("_dr_rank", within)
+
+    counts = ranked.groupBy(*group_cols, "_dr_sub") \
+                   .agg(F.count("*").alias("_dr_n"))
+    off = counts.select(
+        *group_cols, "_dr_sub",
+        F.coalesce(
+            F.sum("_dr_n").over(
+                Window.partitionBy(*group_cols).orderBy("_dr_sub")
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("_dr_off"),
+        F.sum("_dr_n").over(Window.partitionBy(*group_cols))
+        .alias(size_col))
+    return (ranked.join(off, [*group_cols, "_dr_sub"])
+            .withColumn(idx_col,
+                        (F.col("_dr_off") + F.col("_dr_rank") - 1)
+                        .cast("long"))
+            .withColumn(size_col, F.col(size_col).cast("long"))
+            .drop("_dr_h", "_dr_sub", "_dr_rank", "_dr_off"))

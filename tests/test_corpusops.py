@@ -333,3 +333,43 @@ def test_clean_lines_is_shuffle_free(spark):
     plan = (clean_lines(d)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_contrastive_pairs_ring_semantics(spark):
+    from neleval_spark.functions.corpusops import contrastive_pairs
+
+    cl = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B"), (6, "C")],
+        "doc_id long, cluster string")
+    out = contrastive_pairs(cl, n_sub=4).collect()
+    byc = {}
+    for r in out:
+        byc.setdefault(r["cluster"], []).append((r["doc_a"],
+                                                 r["doc_b"]))
+    # n pairs per n-cluster (linear), singletons dropped
+    assert len(byc["A"]) == 3 and len(byc["B"]) == 2
+    assert "C" not in byc
+    # ring: each member once as doc_a, once as doc_b; never self
+    a_side = sorted(p[0] for p in byc["A"])
+    b_side = sorted(p[1] for p in byc["A"])
+    assert a_side == b_side == ["1", "2", "3"]
+    assert all(a != b for ps in byc.values() for a, b in ps)
+    # deterministic across partitionings
+    out2 = contrastive_pairs(cl.repartition(3), n_sub=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_dense_index_two_phase_window(spark):
+    """ranks.dense_index must never rank a whole group in one window
+    partition — every row_number spec carries the sub-bucket key."""
+    from neleval_spark.functions.ranks import dense_index
+
+    df = spark.createDataFrame([(i, "g") for i in range(50)],
+                               "doc_id long, cluster string")
+    base = df.selectExpr("cluster", "CAST(doc_id AS STRING) AS doc")
+    out = dense_index(base, ["cluster"], "doc", n_sub=8)
+    ids = sorted(r["idx"] for r in out.collect())
+    assert ids == list(range(50))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    rn = [line for line in plan.split("\n") if "row_number" in line]
+    assert rn and all("_dr_sub" in line for line in rn), rn
