@@ -921,6 +921,55 @@ def cmd_curate(args):
     print(json.dumps({"funnel": funnel, "out_path": args.out}))
 
 
+def cmd_graph_corpus(args):
+    """Graph-embedding training data from an edge list parquet
+    (src, dst): deterministic walks (DeepWalk, or node2vec when any
+    bias weight differs from 1) → skip-gram (center, context) pairs
+    → filtered TransE negatives.  Writes three parquet tables under
+    --out (walks/, pairs/, negatives/) and a JSON row-count summary
+    to stdout.  Everything is a pure function of the edge list —
+    re-runs rebuild identical corpora."""
+    from pyspark.sql import functions as F
+
+    from .functions.textops import skipgram_pairs
+    from .graph.negatives import negative_samples
+    from .graph.walks import node2vec_walks, random_walks
+
+    spark = _spark()
+    edges = spark.read.parquet(args.edges).select("src", "dst")
+
+    biased = not (args.w_return == args.w_near == args.w_far == 1)
+    if biased:
+        walks = node2vec_walks(
+            edges, walk_len=args.walk_len, n_walks=args.n_walks,
+            w_return=args.w_return, w_near=args.w_near,
+            w_far=args.w_far, max_degree=args.max_degree or None)
+    else:
+        walks = random_walks(edges, walk_len=args.walk_len,
+                             n_walks=args.n_walks)
+    walks.write.mode("overwrite").parquet(f"{args.out}/walks")
+    walks = spark.read.parquet(f"{args.out}/walks")
+
+    corpus = walks.select(
+        "node", F.array_join("path", " ").alias("text"))
+    pairs = skipgram_pairs(corpus, id_col="node",
+                           window=args.window)
+    pairs.write.mode("overwrite").parquet(f"{args.out}/pairs")
+
+    triples = edges.select(F.col("src").alias("subj"),
+                           F.lit("edge").alias("pred"),
+                           F.col("dst").alias("obj")).distinct()
+    neg = negative_samples(triples, n_neg=args.n_neg)
+    neg.write.mode("overwrite").parquet(f"{args.out}/negatives")
+
+    print(json.dumps({
+        "walks": spark.read.parquet(f"{args.out}/walks").count(),
+        "pairs": spark.read.parquet(f"{args.out}/pairs").count(),
+        "negatives":
+            spark.read.parquet(f"{args.out}/negatives").count(),
+        "biased": biased, "out_path": args.out}))
+
+
 def cmd_frontier(args):
     """Crawl dispatch: seed urls (+ optional fetched sitemaps) →
     robots.txt compliance filter → politeness schedule → fetch-plan
@@ -1207,6 +1256,30 @@ def main(argv=None):
                         help="token budget per stratum (repeat); "
                              "absent strata are dropped"),
         sp.add_argument("--stratum-col", default="lang")))
+    add("graph-corpus", cmd_graph_corpus, lambda sp: (
+        sp.add_argument("edges",
+                        help="parquet edge list (src, dst)"),
+        sp.add_argument("-o", "--out", required=True),
+        sp.add_argument("--walk-len", type=int, default=5,
+                        dest="walk_len"),
+        sp.add_argument("--n-walks", type=int, default=4,
+                        dest="n_walks"),
+        sp.add_argument("--window", type=int, default=2,
+                        help="skip-gram context window"),
+        sp.add_argument("--n-neg", type=int, default=4,
+                        dest="n_neg"),
+        sp.add_argument("--w-return", type=int, default=1,
+                        dest="w_return",
+                        help="node2vec 1/p as an integer weight"),
+        sp.add_argument("--w-near", type=int, default=1,
+                        dest="w_near"),
+        sp.add_argument("--w-far", type=int, default=1,
+                        dest="w_far",
+                        help="node2vec 1/q as an integer weight"),
+        sp.add_argument("--max-degree", type=int, default=0,
+                        dest="max_degree",
+                        help="cap biased-walk candidates per node "
+                             "(0 = uncapped)")))
     add("frontier", cmd_frontier, lambda sp: (
         sp.add_argument("urls",
                         help="parquet seed frontier with a url column"),

@@ -593,3 +593,24 @@ def test_cli_frontier(spark, capsys, tmp_path):
     } | {"http://a.example/s0"}
     assert sorted(r["slot"] for r in rows) == [0, 1, 2, 3, 4]
     assert all(r["fetch_ts"] == 50 + r["slot"] * 10 for r in rows)
+
+
+def test_cli_graph_corpus(spark, capsys, tmp_path):
+    edges = str(tmp_path / "edges")
+    spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 3 + 1) % 12}") for i in range(12)]
+        + [(f"n{i}", f"n{(i * 5 + 2) % 12}") for i in range(12)],
+        "src string, dst string"
+    ).write.mode("overwrite").parquet(edges)
+    out = _run(capsys, "graph-corpus", edges,
+               "-o", str(tmp_path / "gc"),
+               "--walk-len", "4", "--n-walks", "2", "--n-neg", "2",
+               "--w-return", "1", "--w-near", "4", "--w-far", "2",
+               "--max-degree", "2")
+    res = json.loads(out)
+    assert res["biased"] is True
+    assert res["walks"] == 12 * 2
+    assert res["pairs"] > 0 and res["negatives"] > 0
+    walks = spark.read.parquet(str(tmp_path / "gc") + "/walks")
+    assert set(walks.columns) == {"node", "walk_id", "path",
+                                  "n_steps"}
