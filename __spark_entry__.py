@@ -2919,8 +2919,8 @@ def _walk_step_sql(s: int) -> str:
     edges on (src = cur, idx = hash(cur, walk, step) mod degree);
     NULL dst = sink, walker keeps its path (truncated-walk
     semantics)."""
-    hk = (f"w.cur || chr(31) || CAST(w.walk_id AS VARCHAR) "
-          f"|| chr(31) || '{s}'")
+    hk = (f"w.node || chr(31) || w.cur || chr(31) "
+          f"|| CAST(w.walk_id AS VARCHAR) || chr(31) || '{s}'")
     return f"""
 w{s} AS (
   SELECT w.node, w.walk_id,
@@ -3053,8 +3053,9 @@ def _n2v_step_sql(s: int) -> str:
     classify each candidate's weight (return=1 / near=4 via EXISTS /
     far=2), and keep the candidate whose cumulative-weight interval
     contains hash(prev, cur, walk, step) mod total."""
-    hk = (f"prev || chr(31) || cur || chr(31) "
-          f"|| CAST(walk_id AS VARCHAR) || chr(31) || '{s}'")
+    hk = (f"node || chr(31) || prev || chr(31) || cur "
+          f"|| chr(31) || CAST(walk_id AS VARCHAR) "
+          f"|| chr(31) || '{s}'")
     return f"""
 c{s} AS (
   SELECT w.node, w.walk_id, w.prev, w.cur, w.path, e.dst, e.idx,
@@ -3122,7 +3123,7 @@ w1 AS (
     ON e.src = w.cur
    AND e.idx = ("""
                   + _NEG_HASH_SQL.format(
-                      v="w.cur || chr(31) || "
+                      v="w.node || chr(31) || w.cur || chr(31) || "
                         "CAST(w.walk_id AS VARCHAR) || chr(31) "
                         "|| '1'") + """) % e.degree),"""
                   + ",".join(_n2v_step_sql(s) for s in (2, 3)) + """

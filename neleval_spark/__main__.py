@@ -884,11 +884,12 @@ def cmd_curate(args):
         from .functions.webquality import unigram_surprisal
 
         scores = unigram_surprisal(d)
+        # the -1 sentinel (no [a-z0-9] tokens, e.g. CJK-only text)
+        # carries no signal and passes through — the tail cut only
+        # drops docs the model actually scored
         d = d.join(
-            scores.where(
-                (F.col("millibits_per_token") >= 0)
-                & (F.col("millibits_per_token")
-                   < args.surprisal_tail)).select("doc_id"),
+            scores.where(F.col("millibits_per_token")
+                         < args.surprisal_tail).select("doc_id"),
             "doc_id")
         funnel["after_surprisal"] = d.count()
 
@@ -952,8 +953,11 @@ def cmd_graph_corpus(args):
 
     corpus = walks.select(
         "node", F.array_join("path", " ").alias("text"))
+    # whitespace tokenizer: node ids must survive verbatim (the text
+    # tokenizer would lowercase and split ids like Barack_Obama)
     pairs = skipgram_pairs(corpus, id_col="node",
-                           window=args.window)
+                           window=args.window,
+                           tokenizer="whitespace")
     pairs.write.mode("overwrite").parquet(f"{args.out}/pairs")
 
     triples = edges.select(F.col("src").alias("subj"),

@@ -506,8 +506,14 @@ def clean_lines(docs: DataFrame, id_col: str = "doc_id",
             ok = ok & ~low.contains(tok.lower())
         return ok
 
-    kept = F.filter("_lines", _line_ok)
-    keep_doc = F.size(kept) >= min_lines
+    # stage the filtered array ONCE: three consumers reference it,
+    # and interpreted higher-order filters are excluded from
+    # subexpression elimination (CollapseProject keeps non-cheap
+    # multi-referenced projections — the PLANS.md staging rule)
+    staged = staged.select(
+        "doc_id", "_text", "_lines",
+        F.filter("_lines", _line_ok).alias("_kept"))
+    keep_doc = F.size("_kept") >= min_lines
     low_text = F.lower(F.col("_text"))
     for tok in drop_doc_tokens:
         keep_doc = keep_doc & ~low_text.contains(tok.lower())
@@ -515,10 +521,10 @@ def clean_lines(docs: DataFrame, id_col: str = "doc_id",
     return staged.select(
         "doc_id",
         F.size("_lines").alias("n_lines"),
-        F.size(kept).alias("n_kept"),
+        F.size("_kept").alias("n_kept"),
         keep_doc.alias("keep_doc"),
         F.array_join(
-            kept, join_sep if join_sep is not None else line_sep
+            "_kept", join_sep if join_sep is not None else line_sep
         ).alias("clean_text"),
     )
 

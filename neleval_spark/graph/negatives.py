@@ -51,32 +51,18 @@ def entity_ids(kg: DataFrame, n_parts: int = 1024) -> DataFrame:
     Ordering is (hash-bucket, entity-hash, entity) — a fixed
     pseudo-random permutation, NOT lexicographic (neighbours in id
     space are unrelated entities, which is what sampling wants).
+    The two-phase rank itself is :func:`~neleval_spark.functions.
+    ranks.dense_index` (ungrouped: the whole vocabulary is one
+    group, its n_parts-row offsets table broadcast).
     """
+    from ..functions.ranks import dense_index
+
     ents = (kg.select(F.col("subj").alias("entity"))
             .union(kg.select(F.col("obj").alias("entity")))
             .distinct())
-    h = token_hash(F.col("entity"))
-    ents = ents.select("entity", h.alias("_h"),
-                       (h % n_parts).alias("_part"))
-
-    from pyspark.sql import Window
-    within = F.row_number().over(
-        Window.partitionBy("_part").orderBy("_h", "entity"))
-    ranked = ents.select("entity", "_part", within.alias("_rank"))
-
-    counts = ranked.groupBy("_part").agg(F.count("*").alias("_n"))
-    # n_parts rows only — the unpartitioned window is bounded
-    offsets = counts.select(
-        "_part",
-        (F.sum("_n").over(
-            Window.orderBy("_part")
-            .rowsBetween(Window.unboundedPreceding, -1))
-         ).alias("_off")).fillna(0, ["_off"])
-
-    return (ranked.join(F.broadcast(offsets), "_part")
-            .select("entity",
-                    (F.col("_off") + F.col("_rank") - 1)
-                    .cast("long").alias("entity_id")))
+    return dense_index(ents, [], "entity", n_sub=n_parts,
+                       idx_col="entity_id") \
+        .select("entity", "entity_id")
 
 
 def negative_samples(kg: DataFrame, n_neg: int = 4,
@@ -98,6 +84,9 @@ def negative_samples(kg: DataFrame, n_neg: int = 4,
     """
     if corrupt not in ("subj", "obj"):
         raise ValueError(f"corrupt must be 'subj' or 'obj': {corrupt}")
+    if n_neg < 1:
+        # ANSI sequence(0, -1) yields [0, -1], not [] — refuse
+        raise ValueError(f"n_neg must be >= 1: {n_neg}")
 
     ids = entity_ids(kg, n_parts=n_parts)
     e_total = ids.agg(F.count("*").alias("_e"))

@@ -46,30 +46,13 @@ def indexed_edges(edges: DataFrame, n_sub: int = 64) -> DataFrame:
     with idx in 0..degree-1, ordered by (edge-hash, dst) — a fixed
     pseudo-random permutation of each node's out-edges.  Two-phase:
     see module docstring."""
-    h = token_hash(F.concat_ws(_SEP, "src", "dst"))
-    e = edges.select("src", "dst", h.alias("_h"),
-                     (h % n_sub).alias("_sub"))
-    within = F.row_number().over(
-        Window.partitionBy("src", "_sub").orderBy("_h", "dst"))
-    ranked = e.select("src", "dst", "_sub", within.alias("_rank"))
+    from ..functions.ranks import dense_index
 
-    counts = ranked.groupBy("src", "_sub") \
-                   .agg(F.count("*").alias("_n"))
-    # per-source cumulative offsets: window over <= n_sub rows
-    off = counts.select(
-        "src", "_sub",
-        F.coalesce(
-            F.sum("_n").over(
-                Window.partitionBy("src").orderBy("_sub")
-                .rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0)).alias("_off"),
-        F.sum("_n").over(Window.partitionBy("src"))
-        .alias("degree"))
-    return (ranked.join(off, ["src", "_sub"])
-            .select("src", "dst",
-                    (F.col("_off") + F.col("_rank") - 1)
-                    .cast("long").alias("idx"),
-                    F.col("degree").cast("long").alias("degree")))
+    h = token_hash(F.concat_ws(_SEP, "src", "dst"))
+    return dense_index(edges.select("src", "dst"), ["src"], h,
+                       n_sub=n_sub, idx_col="idx",
+                       size_col="degree", tiebreak="dst") \
+        .select("src", "dst", "idx", "degree")
 
 
 def random_walks(edges: DataFrame, walk_len: int = 4,
@@ -79,10 +62,16 @@ def random_walks(edges: DataFrame, walk_len: int = 4,
     is the start node and ``n_steps = size(path) - 1 <= walk_len``
     (walks truncate early at sinks).
 
-    The hop from ``cur`` at ``step`` for walk ``w`` is the edge with
-    ``idx = hash(cur‹US›w‹US›step) mod degree(cur)`` — uniform over
-    the out-edges, deterministic everywhere.
+    The hop from ``cur`` at ``step`` for walk ``w`` starting at
+    ``n`` is the edge with ``idx = hash(n‹US›cur‹US›w‹US›step) mod
+    degree(cur)`` — uniform over the out-edges, deterministic
+    everywhere; keying on the START node as well keeps walks that
+    meet at the same node decorrelated (they would otherwise share
+    their entire suffix).
     """
+    if n_walks < 1:
+        # ANSI sequence(0, -1) yields [0, -1], not [] — refuse
+        raise ValueError(f"n_walks must be >= 1: {n_walks}")
     idx = indexed_edges(edges, n_sub=n_sub)
 
     starts = edges.select("src").distinct()
@@ -97,7 +86,8 @@ def random_walks(edges: DataFrame, walk_len: int = 4,
 
     for step in range(1, walk_len + 1):
         pick = token_hash(
-            F.concat_ws(_SEP, "_cur", F.col("walk_id").cast("string"),
+            F.concat_ws(_SEP, "node", "_cur",
+                        F.col("walk_id").cast("string"),
                         F.lit(str(step)))) % F.col("degree")
         hop = (state.join(idx, state["_cur"] == idx["src"], "left")
                .where(F.col("idx").isNull()  # keep sink walkers out
@@ -170,6 +160,9 @@ def node2vec_walks(edges: DataFrame, walk_len: int = 4,
 
     Returns ``(node, walk_id, path array<string>, n_steps)``.
     """
+    if n_walks < 1:
+        # ANSI sequence(0, -1) yields [0, -1], not [] — refuse
+        raise ValueError(f"n_walks must be >= 1: {n_walks}")
     idx = indexed_edges(edges, n_sub=n_sub)
     if max_degree is not None:
         idx = idx.where(F.col("idx") < max_degree) \
@@ -187,9 +180,11 @@ def node2vec_walks(edges: DataFrame, walk_len: int = 4,
         F.col("src").alias("_cur"),
         F.array(F.col("src")).alias("path"))
 
-    # step 1: uniform over the (capped) candidate set
+    # step 1: uniform over the (capped) candidate set; the START
+    # node keys the hash so co-located walks stay decorrelated
     pick1 = token_hash(
-        F.concat_ws(_SEP, "_cur", F.col("walk_id").cast("string"),
+        F.concat_ws(_SEP, "node", "_cur",
+                    F.col("walk_id").cast("string"),
                     F.lit("1"))) % F.col("degree")
     hop = (state.join(idx, state["_cur"] == idx["src"], "left")
            .where(F.col("idx").isNull() | (F.col("idx") == pick1)))
@@ -218,7 +213,8 @@ def node2vec_walks(edges: DataFrame, walk_len: int = 4,
             Window.partitionBy(*wkey).orderBy("idx")
             .rowsBetween(Window.unboundedPreceding, 0))
         r = token_hash(F.concat_ws(
-            _SEP, "_prev", "_cur", F.col("walk_id").cast("string"),
+            _SEP, "node", "_prev", "_cur",
+            F.col("walk_id").cast("string"),
             F.lit(str(step)))) % total
         picked = (cands
                   .withColumn("_cum", cum).withColumn("_r", r)

@@ -20,7 +20,10 @@ n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
 if os.path.isdir("/dev/shm"):
     os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR",
                           "/dev/shm/spark_local")
-os.environ.setdefault("PYTHONPATH", REPO)   # executors import bpe
+# executor python workers must import neleval_spark (bpe_encode UDF);
+# APPEND — setdefault would lose when PYTHONPATH is already set
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in (os.environ.get("PYTHONPATH"), REPO) if p)
 from pyspark.sql import functions as F
 
 from neleval_spark import get_spark

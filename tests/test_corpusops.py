@@ -333,6 +333,9 @@ def test_clean_lines_is_shuffle_free(spark):
     plan = (clean_lines(d)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+    # the interpreted line-filter is staged ONCE (three consumers);
+    # its predicate must not be duplicated by the optimizer
+    assert plan.count("javascript") == 1
 
 
 def test_contrastive_pairs_ring_semantics(spark):
