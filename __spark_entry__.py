@@ -3133,6 +3133,62 @@ FROM w3 ORDER BY node, walk_id
 """)
 
 
+def q_subsample(spark, sf_dir):
+    """Mikolov frequent-word subsampling
+    (textops.subsample_frequent): per-occurrence survival
+    u < sqrt(tT/c) decided by the exact integer product comparison
+    h²·c·t_den < P²·t_num·T (DECIMAL(38) / HUGEINT — no division,
+    no floats).  The oracle replays every coin flip and md5-pins the
+    subsampled text; rare words (c·t_den ≤ t_num·T) must survive
+    untouched."""
+    from neleval_spark.functions.textops import subsample_frequent
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = subsample_frequent(docs, t_num=1, t_den=10_000)
+    return out.select(
+        "doc_id", "n_tokens", "n_kept",
+        F.md5("subsampled_text").alias("text_md5")).orderBy("doc_id")
+
+
+Q_SUBSAMPLE_SQL = ("""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t != '') AS tk
+  FROM documents),
+tok AS (
+  SELECT doc_id, UNNEST(tk) AS token,
+         UNNEST(range(0, len(tk))) AS pos
+  FROM tk),
+cf AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(c) AS HUGEINT) AS t FROM cf),
+hashed AS (
+  SELECT doc_id, pos, token,
+         """ + _NEG_HASH_SQL.format(
+    v="CAST(doc_id AS VARCHAR) || chr(31) || "
+      "CAST(pos AS VARCHAR) || chr(31) || token") + """ AS h
+  FROM tok),
+kept AS (
+  SELECT x.doc_id, x.pos, x.token
+  FROM hashed x JOIN cf USING (token) CROSS JOIN tot
+  WHERE CAST(x.h * x.h AS HUGEINT) * (CAST(cf.c AS HUGEINT) * 10000)
+        < CAST(2147483647 AS HUGEINT) * 2147483647 * 1 * tot.t),
+reb AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(token, ' ' ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id),
+nt AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(nt.n_tokens, 0) AS n_tokens,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       md5(COALESCE(r.txt, '')) AS text_md5
+FROM documents d
+LEFT JOIN nt USING (doc_id)
+LEFT JOIN reb r USING (doc_id)
+ORDER BY d.doc_id
+""")
+
+
 def q_skipgram_pairs(spark, sf_dir):
     """word2vec/SGNS training pairs (textops.skipgram_pairs): in-row
     window expansion (bounded 2w per token), one map-side-combined
@@ -5965,11 +6021,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": q_skipgram_pairs,
         "el_hard_negatives": q_el_hard_negatives,
         "contrastive_pairs": q_contrastive_pairs,
+        "subsample": q_subsample,
         # ---- round-3 green, driver-stale since
         "minhash_pairs_hotguard": q_minhash_pairs_hotguard,
         "dedup_cluster": q_dedup_cluster,
         "redact_pii": q_redact_pii,
-        "lang_id": q_lang_id,
         "multimodal_features": q_multimodal_features,
         # ---- re-check slate (positions 44-50): proxy-oracle CEAF
         # family + queries whose code or oracle changed this round
@@ -5984,6 +6040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "simhash": q_simhash,
         "sessionize": q_sessionize,
+        "lang_id": q_lang_id,
         "sample_neighbors": q_sample_neighbors,
         "ceaf_small_components": q_ceaf_small_components,
         "cosine_topk": q_cosine_topk,
@@ -6118,6 +6175,7 @@ def oracle_sql() -> dict[str, str]:
         "el_hard_negatives": Q_EL_HARD_NEGATIVES_SQL,
         "node2vec": Q_NODE2VEC_SQL,
         "contrastive_pairs": Q_CONTRASTIVE_PAIRS_SQL,
+        "subsample": Q_SUBSAMPLE_SQL,
         "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
         "sessionize": Q_SESSIONIZE_SQL,
         "minhash": Q_MINHASH_SQL,

@@ -852,3 +852,83 @@ def skipgram_pairs(docs: DataFrame, text_col: str = "text",
             .groupBy(F.col("p.center").alias("center"),
                      F.col("p.context").alias("context"))
             .agg(F.count("*").alias("n")))
+
+
+def subsample_frequent(docs: DataFrame, t_num: int = 1,
+                       t_den: int = 10_000,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Frequent-word subsampling (Mikolov et al. 2013 §2.3): each
+    OCCURRENCE of word w survives with probability
+    ``sqrt(t / f(w))`` (f = corpus-relative frequency, t =
+    ``t_num/t_den``), aggressively thinning "the"-class tokens
+    before skip-gram extraction while leaving rare words intact.
+
+    The coin flip is exact integer arithmetic: with u = h/P (the
+    per-occurrence polynomial hash of (doc, pos, token) over
+    P = 2^31-1), ``u < sqrt(tT/c)  ⟺  h²·c·t_den < P²·t_num·T`` —
+    a pure product comparison in DECIMAL(38,0) (h² ≤ 19 digits,
+    c·t_den ≤ 19 more: exact up to corpus totals T·t_den ~ 1e19, far
+    past 10^12 tokens), so the decision replays bit-for-bit in
+    DuckDB (HUGEINT).  No division anywhere — divisions would need
+    a floor that rounds differently between engines (and Spark's
+    ``div`` wraps silently past 2^63).  Words with
+    c·t_den ≤ t_num·T always survive (their rhs dominates h²·c·t_den
+    for every h < P), exactly like the paper.
+
+    Returns one row per document:
+    ``(doc_id, n_tokens, n_kept, subsampled_text)`` (surviving
+    tokens in order, single-space-joined).
+
+    Scale shape (10^12 docs): the vocab pass is the two-phase
+    ``vocab_stats`` aggregate; the corpus total rides in as ONE
+    broadcast scalar row (BM25 pattern); the occurrence→threshold
+    join is token-keyed (vocab-sized right side — AQE broadcasts
+    when it fits, splits the Zipf-hot stream side otherwise, the
+    ``unigram_surprisal`` precedent); the rebuild is one doc-keyed
+    aggregate bounded by document size.
+    """
+    prime2 = MINHASH_PRIME * MINHASH_PRIME
+
+    toks = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != "")).alias("pos", "token"))
+
+    cf = toks.groupBy("token").agg(F.count("*").alias("_cf"))
+    total = cf.agg(F.sum("_cf").alias("_t"))
+    # per-vocab-row sides of the product comparison (never computed
+    # per occurrence): lhs_f = c·t_den, rhs = P²·t_num·T
+    lam = (cf.crossJoin(F.broadcast(total))
+           .select(
+               "token",
+               F.expr(f"CAST(_cf AS DECIMAL(38,0)) * {t_den}")
+               .alias("_lhs_f"),
+               F.expr(f"CAST({prime2} AS DECIMAL(38,0))"
+                      f" * {t_num} * _t").alias("_rhs")))
+
+    h = token_hash(F.concat_ws(
+        "\x1f", F.col("_doc").cast("string"),
+        F.col("pos").cast("string"), "token"))
+    occ = toks.join(lam, "token") \
+              .withColumn("_h2", (h * h).cast("decimal(38,0)"))
+    kept = occ.where(F.col("_h2") * F.col("_lhs_f") < F.col("_rhs"))
+
+    rebuilt = kept.groupBy("_doc").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"]), " ").alias("subsampled_text"))
+    totals = toks.groupBy("_doc").agg(F.count("*").alias("n_tokens"))
+    return (docs.select(F.col(id_col).alias("_doc"))
+            .join(totals, "_doc", "left")
+            .join(rebuilt, "_doc", "left")
+            .select(
+                F.col("_doc").alias(id_col),
+                F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                F.coalesce("subsampled_text", F.lit(""))
+                .alias("subsampled_text")))

@@ -27,3 +27,30 @@ def test_skipgram_pairs_single_exchange(spark):
     plan = (skipgram_pairs(d)
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") == 1
+
+
+def test_subsample_frequent_semantics(spark):
+    """Mikolov subsampling: rare words always survive, the dominant
+    token thins to ~sqrt(t/f), empty docs pass through,
+    deterministic across partitionings."""
+    from neleval_spark.functions.textops import subsample_frequent
+
+    rows = [(i, f"the alpha{i} the beta{i} the") for i in range(100)]
+    rows.append((1000, ""))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = subsample_frequent(d, t_num=1, t_den=100).collect()
+    by = {r["doc_id"]: r for r in out}
+    the_kept = sum(r["subsampled_text"].split().count("the")
+                   for r in out)
+    rare_kept = sum(1 for r in out
+                    for t in r["subsampled_text"].split()
+                    if t != "the")
+    # rare words: c*t_den = 100 <= t_num*T = 500 -> always kept
+    assert rare_kept == 200
+    # 'the': c=300, T=500 -> p_keep = sqrt(5/300) ~ 0.129
+    assert 10 <= the_kept <= 80, the_kept
+    assert by[1000]["n_tokens"] == 0
+    assert by[1000]["subsampled_text"] == ""
+    out2 = subsample_frequent(d.repartition(7), t_num=1,
+                              t_den=100).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
