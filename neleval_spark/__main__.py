@@ -825,8 +825,9 @@ def cmd_curate(args):
     cleaning → cross-document line dedup → duplicated-substring
     removal (ExactSubstr) → incremental MinHash near-dup against a
     persistent signature index → CCNet-style surprisal tail cut →
-    DSIR importance resampling toward a target corpus → per-domain
-    cap → token-budget mixture sampling.  Every stage is
+    DSIR importance resampling toward a target corpus → Mikolov
+    frequent-word subsampling → per-domain cap → token-budget
+    mixture sampling.  Every stage is
     optional (off unless its flag is given), distributed, and
     deterministic; the curated table is written to --out and a JSON
     stage funnel (doc counts after each stage) to stdout."""
@@ -901,6 +902,18 @@ def cmd_curate(args):
             .select("doc_id")
         d = d.join(picked, "doc_id")
         funnel["after_dsir"] = d.count()
+
+    if args.subsample_den:
+        from .functions.textops import subsample_frequent
+
+        sub = subsample_frequent(d, t_num=1,
+                                 t_den=args.subsample_den)
+        d = (d.drop("text")
+             .join(sub.where(F.col("n_kept") > 0)
+                   .select("doc_id",
+                           F.col("subsampled_text").alias("text")),
+                   "doc_id"))
+        funnel["after_subsample"] = d.count()
 
     if args.cap_per_domain:
         d = cap_per_domain(d, cap=args.cap_per_domain,
@@ -1250,6 +1263,11 @@ def main(argv=None):
                         help="drop docs whose unigram surprisal is "
                              ">= N millibits/token (CCNet tail cut; "
                              "0 = stage off)"),
+        sp.add_argument("--subsample-den", type=int, default=0,
+                        dest="subsample_den",
+                        help="Mikolov frequent-word thinning with "
+                             "t = 1/N (word2vec prep; docs emptied "
+                             "by thinning drop; 0 = stage off)"),
         sp.add_argument("--cap-per-domain", type=int, default=0,
                         dest="cap_per_domain",
                         help="keep at most N docs per domain "

@@ -614,3 +614,22 @@ def test_cli_graph_corpus(spark, capsys, tmp_path):
     walks = spark.read.parquet(str(tmp_path / "gc") + "/walks")
     assert set(walks.columns) == {"node", "walk_id", "path",
                                   "n_steps"}
+
+
+def test_cli_curate_subsample(spark, capsys, tmp_path):
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"the alpha{i} the beta{i} the", "en", "a.com")
+         for i in range(100)],
+        "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(docs)
+    out = _run(capsys, "curate", docs, "-o", str(tmp_path / "cur"),
+               "--subsample-den", "100")
+    funnel = json.loads(out)["funnel"]
+    # every doc keeps its two rare words -> no doc emptied
+    assert funnel == {"in": 100, "after_subsample": 100, "out": 100}
+    cur = spark.read.parquet(str(tmp_path / "cur")).collect()
+    the_kept = sum(r["text"].split().count("the") for r in cur)
+    rare = sum(1 for r in cur for t in r["text"].split()
+               if t != "the")
+    assert rare == 200 and 10 <= the_kept <= 80
