@@ -93,6 +93,13 @@ try:
     n_walkrows = random_walks(edges, walk_len=5, n_walks=4).count()
     t_rw = time.perf_counter() - t0
 
+    from neleval_spark.graph.walks import node2vec_walks
+    t0 = time.perf_counter()
+    n_n2v = node2vec_walks(edges, walk_len=5, n_walks=4,
+                           w_return=1, w_near=4, w_far=2,
+                           max_degree=32).count()
+    t_n2v = time.perf_counter() - t0
+
     triples = edges.select("src", F.lit("linked_to").alias("pred"),
                            F.col("dst").alias("obj")) \
                    .withColumnRenamed("src", "subj")
@@ -110,6 +117,7 @@ try:
           f"skipgram={t_sg:.1f}s ({n_docs / t_sg:.0f} docs/s, "
           f"pairs={n_pairs}) "
           f"walks[60k-edge]={t_rw:.1f}s (rows={n_walkrows}) "
+          f"node2vec[60k-edge]={t_n2v:.1f}s (rows={n_n2v}) "
           f"negatives[60k-triple]={t_ng:.1f}s (rows={n_neg})",
           flush=True)
 finally:
