@@ -3861,6 +3861,55 @@ FROM h WHERE sample_hash < threshold ORDER BY doc_id
 """
 
 
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-based language rebalancing
+    (corpusops.temperature_sample, alpha=0.5): per-lang budgets
+    derived in-plan as total_budget * isqrt(n_l) / Σ isqrt — the
+    XLM/mC4 multilingual-mixture step.  Integer-ppm shares and the
+    correctly-rounded IEEE sqrt make the kept set engine-exact; the
+    oracle rederives weights, shares, budgets, thresholds and the
+    hash filter."""
+    from neleval_spark.functions.corpusops import temperature_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = temperature_sample(d, total_budget=3000, alpha=0.5)
+    return out.select(
+        "doc_id", "lang", "sample_weight", "stratum_budget",
+        "sample_hash", "threshold",
+    ).orderBy("doc_id")
+
+
+Q_TEMPERATURE_SAMPLE_SQL = """
+WITH w AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+                                                    '[^a-z0-9]+'),
+                              t -> t != '')) AS BIGINT)
+           AS sample_weight,
+         CAST(doc_id AS VARCHAR) || '#temp' AS token
+  FROM documents),
+tot AS (SELECT lang, SUM(sample_weight) AS t,
+               CAST(FLOOR(SQRT(SUM(sample_weight))) AS BIGINT) AS wt
+        FROM w GROUP BY lang),
+shr AS (
+  SELECT lang, t,
+         CAST(3000 AS BIGINT)
+           * ((wt * 1000000) // GREATEST((SELECT SUM(wt) FROM tot), 1))
+           // 1000000 AS stratum_budget
+  FROM tot),
+h AS (
+  SELECT w.doc_id, w.lang, w.sample_weight, shr.stratum_budget,
+         LEAST(CAST(1000000 AS BIGINT),
+               (shr.stratum_budget * 1000000) // GREATEST(shr.t, 1))
+           AS threshold,
+         """ + _TOKEN_HASH_SQL + """ % 1000000 AS sample_hash
+  FROM w JOIN shr USING (lang))
+SELECT doc_id, lang, sample_weight, stratum_budget, sample_hash,
+       threshold
+FROM h WHERE sample_hash < threshold ORDER BY doc_id
+"""
+
+
 def q_triangles(spark, sf_dir):
     """Triangle count of the entity co-occurrence graph
     (graph.triangles.triangle_count over the REAL triple sink — the
@@ -6022,10 +6071,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_hard_negatives": q_el_hard_negatives,
         "contrastive_pairs": q_contrastive_pairs,
         "subsample": q_subsample,
+        "temperature_sample": q_temperature_sample,
         # ---- round-3 green, driver-stale since
         "minhash_pairs_hotguard": q_minhash_pairs_hotguard,
         "dedup_cluster": q_dedup_cluster,
-        "redact_pii": q_redact_pii,
         "multimodal_features": q_multimodal_features,
         # ---- re-check slate (positions 44-50): proxy-oracle CEAF
         # family + queries whose code or oracle changed this round
@@ -6099,6 +6148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_ceaf": q_mention_ceaf,
         "pipeline_triples": q_pipeline_triples,
         "minhash_pairs": q_minhash_pairs,
+        "redact_pii": q_redact_pii,
     }
     return qs
 
@@ -6187,6 +6237,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substrings": Q_DEDUP_SUBSTRINGS_SQL,
         "cap_domain": Q_CAP_DOMAIN_SQL,
         "budget_sample": Q_BUDGET_SAMPLE_SQL,
+        "temperature_sample": Q_TEMPERATURE_SAMPLE_SQL,
         "triangles": Q_TRIANGLES_SQL,
         "communities": Q_COMMUNITIES_SQL,
         "redact_pii": Q_REDACT_PII_SQL,

@@ -278,6 +278,87 @@ def budget_sample(docs: DataFrame, budgets: dict[str, int],
             .drop("_bud", "_tot"))
 
 
+def temperature_sample(docs: DataFrame, total_budget: int,
+                       alpha: float = 0.5,
+                       stratum_col: str = "lang",
+                       key_col: str = "doc_id",
+                       text_col: str = "text",
+                       weight_col: str | None = None,
+                       denom: int = 1_000_000,
+                       salt: str = "#temp") -> DataFrame:
+    """Temperature-based stratum rebalancing: derive each stratum's
+    token budget from its own size, ``budget_l ∝ n_l**alpha``, then
+    hash-sample to that budget — the multilingual-corpus step of
+    XLM / mC4-style recipes (sampling languages at ``p ∝ n**alpha``
+    upweights low-resource strata without fixing budgets by hand).
+    :func:`budget_sample` is the static-budgets primitive this
+    composes; the only new machinery is the in-plan budget
+    derivation.
+
+    ``alpha`` is restricted to the EXACT lattice {0.0, 0.5, 1.0}:
+    1.0 keeps every stratum's share (uniform downsampling), 0.5 is
+    XLM's square-root rebalance, 0.0 gives equal budgets per stratum.
+    These are the settings an integer/correctly-rounded-IEEE pipeline
+    can reproduce bit-exactly on any engine — ``n**0.5`` is
+    ``floor(sqrt(n))`` (IEEE sqrt is correctly rounded, exact for
+    n < 2^52), whereas arbitrary ``pow(n, 0.3)`` differs in the last
+    ulp across libm implementations and would flip floor boundaries.
+
+    Shares are integer ppm: ``share_l = w_l * denom div Σw``, then
+    ``budget_l = total_budget * share_l div denom`` — so
+    ``total_budget`` must stay under 2^63/denom (~9e12 tokens at the
+    default denom), the same bound :func:`budget_sample` documents.
+    The kept set is the salted consistent hash under the per-stratum
+    threshold, reproducible across runs, engines and partitionings.
+
+    Scale shape: TWO tiny aggregates (per-stratum token totals, then
+    their one-row weight sum — both map-side combined) joined back
+    BROADCAST; no driver collect, no window; the filter is a narrow
+    projection.  Keeps ``sample_weight``, ``sample_hash``,
+    ``threshold`` and ``stratum_budget`` for audit."""
+    if alpha not in (0.0, 0.5, 1.0):
+        raise ValueError(
+            "temperature_sample supports the exact lattice "
+            "alpha in {0.0, 0.5, 1.0} (integer / correctly-rounded "
+            f"IEEE arithmetic only); got {alpha!r}")
+    weight = (F.col(weight_col) if weight_col else
+              F.size(F.filter(
+                  F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                  lambda t: t != ""))).cast("long")
+    with_w = docs.withColumn("sample_weight", weight)
+    totals = with_w.groupBy(stratum_col).agg(
+        F.sum("sample_weight").alias("_tot"))
+    if alpha == 0.0:
+        wexpr = F.lit(1).cast("long")
+    elif alpha == 0.5:
+        wexpr = F.floor(F.sqrt(F.col("_tot"))).cast("long")
+    else:
+        wexpr = F.col("_tot")
+    weights = totals.withColumn("_w", wexpr)
+    wsum = weights.agg(F.sum("_w").alias("_wsum"))
+    weights = (weights.crossJoin(F.broadcast(wsum))
+               .withColumn("_share",
+                           F.expr(f"_w * CAST({int(denom)} AS BIGINT) "
+                                  "div greatest(_wsum, 1)"))
+               .withColumn(
+                   "stratum_budget",
+                   F.expr(f"CAST({int(total_budget)} AS BIGINT) "
+                          f"* _share div {int(denom)}")))
+    h = F.pmod(token_hash(F.concat(F.col(key_col).cast("string"),
+                                   F.lit(salt))),
+               F.lit(denom))
+    return (with_w.join(F.broadcast(weights), stratum_col)
+            .withColumn(
+                "threshold",
+                F.least(F.lit(denom).cast("long"),
+                        F.expr(f"stratum_budget "
+                               f"* CAST({int(denom)} AS BIGINT) "
+                               f"div greatest(_tot, 1)")))
+            .withColumn("sample_hash", h)
+            .where(F.col("sample_hash") < F.col("threshold"))
+            .drop("_w", "_wsum", "_share", "_tot"))
+
+
 def cap_per_domain(docs: DataFrame, cap: int,
                    domain_col: str = "source",
                    id_col: str = "doc_id",

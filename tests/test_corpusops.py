@@ -4,6 +4,7 @@ emptied, within-doc repeats counted once) and per-domain caps
 (two-phase partial top-k ≡ the one-window reference, deterministic
 across n_partial, no unpartitioned window)."""
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -109,6 +110,43 @@ def test_budget_sample_semantics(spark):
     again = sorted(r["doc_id"] for r in
                    budget_sample(d, {"en": 100, "de": 10_000})
                    .collect())
+    assert again == sorted(r["doc_id"] for r in out.collect())
+
+
+def test_temperature_sample_semantics(spark):
+    from neleval_spark.functions.corpusops import temperature_sample
+    # en: 80 docs x 10 tokens = 800; de: 20 x 10 = 200 (4:1 skew)
+    rows = ([(i, "w " * 10, "en", "s", 1) for i in range(80)] +
+            [(100 + i, "w " * 10, "de", "s", 1) for i in range(20)])
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    # alpha=0.5: weights isqrt(800)=28, isqrt(200)=14 -> shares 2:1,
+    # so de gets 2x the per-token keep rate of en (rebalanced up)
+    out = temperature_sample(d, total_budget=300, alpha=0.5)
+    bud = {r["lang"]: r["stratum_budget"] for r in
+           out.select("lang", "stratum_budget").distinct().collect()}
+    assert bud == {"en": 199, "de": 99}  # ppm share 666666/333333
+    thr = {r["lang"]: r["threshold"] for r in
+           out.select("lang", "threshold").distinct().collect()}
+    # en: 199*1e6 div 800 = 248750; de: 99*1e6 div 200 = 495000
+    assert (thr["en"], thr["de"]) == (248750, 495000)
+    # alpha=1.0 degenerates to a uniform keep rate across strata
+    out1 = temperature_sample(d, total_budget=300, alpha=1.0)
+    thr1 = {r["lang"]: r["threshold"] for r in
+            out1.select("lang", "threshold").distinct().collect()}
+    assert thr1["en"] == thr1["de"]
+    # alpha=0.0 gives equal budgets regardless of supply
+    bud0 = {r["lang"]: r["stratum_budget"] for r in
+            temperature_sample(d, total_budget=300, alpha=0.0)
+            .select("lang", "stratum_budget").distinct().collect()}
+    assert bud0["en"] == bud0["de"]
+    # off-lattice alpha refused (cross-engine pow is not exact)
+    with pytest.raises(ValueError, match="lattice"):
+        temperature_sample(d, total_budget=300, alpha=0.3)
+    # deterministic: same kept set on re-run
+    again = sorted(r["doc_id"] for r in
+                   temperature_sample(d, total_budget=300).collect())
     assert again == sorted(r["doc_id"] for r in out.collect())
 
 
