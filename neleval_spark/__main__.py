@@ -827,7 +827,7 @@ def cmd_curate(args):
     persistent signature index → CCNet-style surprisal tail cut →
     DSIR importance resampling toward a target corpus → Mikolov
     frequent-word subsampling → per-domain cap → token-budget
-    mixture sampling.  Every stage is
+    mixture sampling → temperature language rebalancing.  Every stage is
     optional (off unless its flag is given), distributed, and
     deterministic; the curated table is written to --out and a JSON
     stage funnel (doc counts after each stage) to stdout."""
@@ -929,6 +929,17 @@ def cmd_curate(args):
         d = budget_sample(d, budgets, stratum_col=args.stratum_col) \
             .drop("sample_weight", "sample_hash", "threshold")
         funnel["after_budget"] = d.count()
+
+    if args.temperature_budget:
+        from .functions.corpusops import temperature_sample
+
+        d = temperature_sample(
+            d, total_budget=args.temperature_budget,
+            alpha=args.temperature_alpha,
+            stratum_col=args.stratum_col,
+        ).drop("sample_weight", "sample_hash", "threshold",
+               "stratum_budget")
+        funnel["after_temperature"] = d.count()
 
     d.write.mode("overwrite").parquet(args.out)
     funnel["out"] = spark.read.parquet(args.out).count()
@@ -1277,6 +1288,15 @@ def main(argv=None):
                         metavar="STRATUM=TOKENS",
                         help="token budget per stratum (repeat); "
                              "absent strata are dropped"),
+        sp.add_argument("--temperature-budget", type=int, default=0,
+                        dest="temperature_budget",
+                        help="TOTAL token budget split across strata "
+                             "at p ∝ n^alpha (XLM/mC4 rebalance; "
+                             "0 = stage off)"),
+        sp.add_argument("--temperature-alpha", type=float, default=0.5,
+                        dest="temperature_alpha",
+                        help="rebalance exponent; exact lattice "
+                             "0 / 0.5 / 1 only"),
         sp.add_argument("--stratum-col", default="lang")))
     add("graph-corpus", cmd_graph_corpus, lambda sp: (
         sp.add_argument("edges",

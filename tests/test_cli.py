@@ -616,6 +616,27 @@ def test_cli_graph_corpus(spark, capsys, tmp_path):
                                   "n_steps"}
 
 
+def test_cli_curate_temperature(spark, capsys, tmp_path):
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "w " * 10, "en" if i < 80 else "de", "a.com")
+         for i in range(100)],
+        "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(docs)
+    out = _run(capsys, "curate", docs, "-o", str(tmp_path / "cur"),
+               "--temperature-budget", "300")
+    funnel = json.loads(out)["funnel"]
+    assert funnel["in"] == 100
+    assert 0 < funnel["after_temperature"] < 100
+    assert funnel["out"] == funnel["after_temperature"]
+    # rebalance: de (20% of docs) keeps a HIGHER fraction than en
+    cur = spark.read.parquet(str(tmp_path / "cur")).collect()
+    kept = {"en": 0, "de": 0}
+    for r in cur:
+        kept[r["lang"]] += 1
+    assert kept["de"] / 20 > kept["en"] / 80
+
+
 def test_cli_curate_subsample(spark, capsys, tmp_path):
     docs = str(tmp_path / "docs")
     spark.createDataFrame(
