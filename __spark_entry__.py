@@ -3486,11 +3486,14 @@ def q_dedup_cluster(spark, sf_dir):
     )
 
 
-def _dedup_cluster_sql() -> str:
+def _dedup_cluster_sql(final_select: str | None = None) -> str:
     """DuckDB oracle for q_dedup_cluster: identical shingle hashing
     (5-token polynomial shingles over the same char-polynomial token
     hash), identical MinHash params, banded buckets, then connected
-    components via a recursive min-label reachability CTE."""
+    components via a recursive min-label reachability CTE.
+    ``final_select`` replaces the default projection over the ``cc``
+    CTE (doc_id, cluster) — q_leakage_split reuses the whole cluster
+    derivation with a split-assignment tail."""
     P = 2147483647
     mh = [(1299721, 104729), (1299743, 104743), (1299763, 104759),
           (1299791, 104773), (1299811, 104779), (1299817, 104789),
@@ -3546,14 +3549,68 @@ reach AS (
   FROM reach r JOIN edges e ON r.id = e.src
   WHERE r.lbl < e.dst),
 cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id)
+""" + (final_select or """
 SELECT doc_id, cluster,
        COUNT(*) OVER (PARTITION BY cluster) AS cluster_size,
        doc_id = cluster AS is_canonical
 FROM cc ORDER BY doc_id
-"""
+""")
 
 
 Q_DEDUP_CLUSTER_SQL = _dedup_cluster_sql()
+
+
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe splits (corpusops.split_by_cluster over the full
+    LSH→CC near-dup clustering): the split hash is taken on the
+    CLUSTER id, so near-duplicates never straddle train/valid/test.
+    Drives the same cluster code path as dedup_cluster end-to-end;
+    the oracle reuses the recursive-CTE cluster derivation with the
+    same polynomial split hash and cumulative ppm intervals."""
+    from neleval_spark.functions.corpusops import split_by_cluster
+    from neleval_spark.functions.textops import minhash_lsh_pairs
+    from neleval_spark.graph import connected_components
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(d, n_hashes=8, band_size=4, shingle=5)
+    edges = pairs.select(
+        F.col("doc_a").cast("string").alias("src"),
+        F.col("doc_b").cast("string").alias("dst"))
+    member = connected_components(edges).select(
+        F.col("vertex").cast("long").alias("doc_id"), "component")
+    reps = member.groupBy("component").agg(
+        F.min("doc_id").alias("cluster"))
+    clustered = member.join(reps, "component").select("doc_id",
+                                                      "cluster")
+    singles = (d.select("doc_id")
+               .join(member.select("doc_id"), "doc_id", "left_anti")
+               .select("doc_id", F.col("doc_id").alias("cluster")))
+    out = split_by_cluster(
+        clustered.unionByName(singles),
+        {"train": 800_000, "valid": 100_000, "test": 100_000})
+    return out.select("doc_id", "cluster", "split_hash",
+                      "split").orderBy("doc_id")
+
+
+Q_LEAKAGE_SPLIT_SQL = _dedup_cluster_sql(final_select="""
+, hashed AS (
+  SELECT doc_id, cluster,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(CAST(cluster AS VARCHAR)
+                                             || '#split') + 1),
+               i -> CAST(ascii(substring(CAST(cluster AS VARCHAR)
+                                         || '#split', i, 1))
+                         AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 2147483647) % 1000000
+           AS split_hash
+  FROM cc)
+SELECT doc_id, cluster, split_hash,
+       CASE WHEN split_hash < 100000 THEN 'test'
+            WHEN split_hash < 900000 THEN 'train'
+            ELSE 'valid' END AS split
+FROM hashed ORDER BY doc_id
+""")
 
 
 def q_dedup_increment(spark, sf_dir):
@@ -6072,9 +6129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": q_contrastive_pairs,
         "subsample": q_subsample,
         "temperature_sample": q_temperature_sample,
+        "leakage_split": q_leakage_split,
         # ---- round-3 green, driver-stale since
         "minhash_pairs_hotguard": q_minhash_pairs_hotguard,
-        "dedup_cluster": q_dedup_cluster,
         "multimodal_features": q_multimodal_features,
         # ---- re-check slate (positions 44-50): proxy-oracle CEAF
         # family + queries whose code or oracle changed this round
@@ -6149,6 +6206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_triples": q_pipeline_triples,
         "minhash_pairs": q_minhash_pairs,
         "redact_pii": q_redact_pii,
+        "dedup_cluster": q_dedup_cluster,
     }
     return qs
 
@@ -6232,6 +6290,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": Q_MINHASH_PAIRS_SQL,
         "minhash_pairs_hotguard": Q_MINHASH_PAIRS_HOTGUARD_SQL,
         "dedup_cluster": Q_DEDUP_CLUSTER_SQL,
+        "leakage_split": Q_LEAKAGE_SPLIT_SQL,
         "dedup_increment": Q_DEDUP_INCREMENT_SQL,
         "dedup_lines": Q_DEDUP_LINES_SQL,
         "dedup_substrings": Q_DEDUP_SUBSTRINGS_SQL,

@@ -359,6 +359,47 @@ def temperature_sample(docs: DataFrame, total_budget: int,
             .drop("_w", "_wsum", "_share", "_tot"))
 
 
+def split_by_cluster(docs: DataFrame, splits: dict[str, int],
+                     cluster_col: str = "cluster",
+                     denom: int = 1_000_000,
+                     salt: str = "#split") -> DataFrame:
+    """Leakage-safe train/valid/test assignment: hash the near-dup
+    CLUSTER id, not the document id, so every member of a cluster
+    lands in the SAME split and no eval document has a near-duplicate
+    in train (the contamination channel document-level splitting
+    leaves open; n-gram decontamination only catches the overlaps it
+    can see).  Compose with the LSH→connected-components cluster
+    assignment (``dedup_cluster``): singleton docs are their own
+    cluster, so un-clustered corpora degrade to plain hash splitting.
+
+    ``splits`` maps split name → ppm share and must sum to ``denom``
+    (a full partition — silent drop of unassigned rows would be a
+    silent cap).  Assignment is the salted consistent hash against
+    cumulative interval bounds in SORTED split-name order, so the
+    layout is deterministic and independent of dict ordering;
+    changing ``salt`` redraws the assignment.
+
+    Scale shape: a pure column expression — zero exchanges, zero
+    aggregates, no collect; the cost is the upstream clustering.
+    Keeps ``split_hash`` for audit."""
+    if sum(splits.values()) != denom:
+        raise ValueError(
+            f"splits must sum to denom={denom} (a full partition); "
+            f"got {sum(splits.values())}")
+    h = F.pmod(token_hash(F.concat(F.col(cluster_col).cast("string"),
+                                   F.lit(salt))),
+               F.lit(denom))
+    out = docs.withColumn("split_hash", h)
+    expr = None
+    cum = 0
+    for name, share in sorted(splits.items()):
+        cum += share
+        cond = F.col("split_hash") < F.lit(cum)
+        expr = (F.when(cond, name) if expr is None
+                else expr.when(cond, name))
+    return out.withColumn("split", expr)
+
+
 def cap_per_domain(docs: DataFrame, cap: int,
                    domain_col: str = "source",
                    id_col: str = "doc_id",

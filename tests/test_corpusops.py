@@ -150,6 +150,31 @@ def test_temperature_sample_semantics(spark):
     assert again == sorted(r["doc_id"] for r in out.collect())
 
 
+def test_split_by_cluster_semantics(spark):
+    from neleval_spark.functions.corpusops import split_by_cluster
+    # 200 docs in 50 clusters of 4 members each
+    rows = [(i, i % 50) for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, cluster long")
+    out = split_by_cluster(
+        d, {"train": 800_000, "valid": 100_000, "test": 100_000})
+    res = out.collect()
+    assert all(r["split"] in ("train", "valid", "test") for r in res)
+    # leakage safety: every member of a cluster gets the SAME split
+    by_cluster = {}
+    for r in res:
+        by_cluster.setdefault(r["cluster"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # train dominates at an 80/10/10 layout over 50 clusters
+    n_train = sum(1 for r in res if r["split"] == "train")
+    assert 100 < n_train < 200
+    # partial partitions refused (silent drop would be a silent cap)
+    with pytest.raises(ValueError, match="sum to denom"):
+        split_by_cluster(d, {"train": 500_000})
+    # deterministic across recomputation
+    again = {(r["doc_id"], r["split"]) for r in out.collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in res}
+
+
 def test_dedup_substrings_semantics(spark):
     shared = " ".join(f"tok{i}" for i in range(10))
     d = _docs(spark, [
