@@ -3613,6 +3613,38 @@ FROM hashed ORDER BY doc_id
 """)
 
 
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle + equal-size sharding
+    (corpusops.shuffle_shards): the salted hash-permutation of the
+    whole corpus via the two-phase dense rank (n_sub=64 hash
+    sub-buckets + broadcast offsets), shard = idx % 8 round-robin so
+    shard sizes differ by at most one row.  The oracle ranks with ONE
+    window over (hh % 64, hh, doc_id) — the documented single-node
+    equivalent of the distributed two-phase rank."""
+    from neleval_spark.functions.corpusops import shuffle_shards
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shuffle_shards(d, n_shards=8)
+    return out.select("doc_id", "shuffle_idx", "shard",
+                      "shard_pos").orderBy("doc_id")
+
+
+Q_SHUFFLE_SHARDS_SQL = """
+WITH t AS (SELECT doc_id,
+                  CAST(doc_id AS VARCHAR) || '#shard' AS token
+           FROM documents),
+h AS (SELECT doc_id, """ + _TOKEN_HASH_SQL + """ AS hh FROM t),
+r AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY hh % 64, hh, doc_id) - 1
+               AS shuffle_idx
+      FROM h)
+SELECT doc_id, CAST(shuffle_idx AS BIGINT) AS shuffle_idx,
+       CAST(shuffle_idx % 8 AS BIGINT) AS shard,
+       CAST(shuffle_idx // 8 AS BIGINT) AS shard_pos
+FROM r ORDER BY doc_id
+"""
+
+
 def q_dedup_increment(spark, sf_dir):
     """Incremental index dedup: split documents deterministically into
     an 'index' (doc_id % 4 != 0) and an 'increment' (doc_id % 4 == 0),
@@ -6130,8 +6162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subsample": q_subsample,
         "temperature_sample": q_temperature_sample,
         "leakage_split": q_leakage_split,
+        "shuffle_shards": q_shuffle_shards,
         # ---- round-3 green, driver-stale since
-        "minhash_pairs_hotguard": q_minhash_pairs_hotguard,
         "multimodal_features": q_multimodal_features,
         # ---- re-check slate (positions 44-50): proxy-oracle CEAF
         # family + queries whose code or oracle changed this round
@@ -6207,6 +6239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "redact_pii": q_redact_pii,
         "dedup_cluster": q_dedup_cluster,
+        "minhash_pairs_hotguard": q_minhash_pairs_hotguard,
     }
     return qs
 
@@ -6291,6 +6324,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_hotguard": Q_MINHASH_PAIRS_HOTGUARD_SQL,
         "dedup_cluster": Q_DEDUP_CLUSTER_SQL,
         "leakage_split": Q_LEAKAGE_SPLIT_SQL,
+        "shuffle_shards": Q_SHUFFLE_SHARDS_SQL,
         "dedup_increment": Q_DEDUP_INCREMENT_SQL,
         "dedup_lines": Q_DEDUP_LINES_SQL,
         "dedup_substrings": Q_DEDUP_SUBSTRINGS_SQL,

@@ -400,6 +400,66 @@ def split_by_cluster(docs: DataFrame, splits: dict[str, int],
     return out.withColumn("split", expr)
 
 
+def shuffle_shards(docs: DataFrame, n_shards: int,
+                   id_col: str = "doc_id",
+                   salt: str = "#shard",
+                   n_sub: int = 64) -> DataFrame:
+    """Deterministic global shuffle + equal-size shard assignment —
+    the last curation step before training: examples must reach the
+    trainer in an order uncorrelated with crawl/source/time order,
+    cut into same-size shards for data-parallel readers.
+
+    Every row gets ``shuffle_idx`` (its position 0..N-1 in the salted
+    hash-permutation of the WHOLE corpus), ``shard`` (=
+    ``shuffle_idx % n_shards`` — round-robin over the permuted order,
+    so shard sizes differ by AT MOST ONE ROW regardless of how ids
+    are distributed; hashing ids directly into shards would leave
+    binomial imbalance) and ``shard_pos`` (= ``shuffle_idx div
+    n_shards``, the deterministic within-shard read order).
+    Re-running on the same corpus reproduces the identical layout;
+    changing ``salt`` redraws it.
+
+    Scale shape: the permutation is
+    :func:`~neleval_spark.functions.ranks.dense_index`'s two-phase
+    rank — ``n_sub`` hash sub-buckets ranked independently, then a
+    broadcast ``n_sub``-row offsets table — so no single task ever
+    sorts the corpus; everything else is column expressions."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from .ranks import dense_index
+
+    h = token_hash(F.concat(F.col(id_col).cast("string"),
+                            F.lit(salt)))
+    out = dense_index(docs, [], h, n_sub=n_sub,
+                      idx_col="shuffle_idx", size_col="_ss_n",
+                      tiebreak=id_col)
+    return (out
+            .withColumn("shard",
+                        (F.col("shuffle_idx") % n_shards).cast("long"))
+            .withColumn("shard_pos",
+                        F.expr(f"shuffle_idx div {int(n_shards)}")
+                        .cast("long"))
+            .drop("_ss_n"))
+
+
+def write_shards(docs: DataFrame, out_dir: str, n_shards: int,
+                 shard_col: str = "shard",
+                 pos_col: str = "shard_pos") -> None:
+    """Write ``shuffle_shards`` output as one parquet file per
+    ``shard=<k>/`` directory, rows stored in ``shard_pos`` order so a
+    trainer streaming the file reads the shuffled order directly.
+
+    Repartitions on the shard column FIRST (PLANS.md merge probe:
+    without it every upstream task opens a file per shard it touches
+    — 2,752 files and 6.1× slower for one 5.5M-row generation);
+    ``repartition(n_shards, shard)`` hashes like ``bucketBy`` →
+    exactly one task, hence one file, per shard."""
+    (docs.repartition(n_shards, F.col(shard_col))
+         .sortWithinPartitions(shard_col, pos_col)
+         .write.partitionBy(shard_col).mode("overwrite")
+         .parquet(out_dir))
+
+
 def cap_per_domain(docs: DataFrame, cap: int,
                    domain_col: str = "source",
                    id_col: str = "doc_id",

@@ -175,6 +175,47 @@ def test_split_by_cluster_semantics(spark):
     assert again == {(r["doc_id"], r["split"]) for r in res}
 
 
+def test_shuffle_shards_semantics(spark, tmp_path):
+    from neleval_spark.functions.corpusops import (shuffle_shards,
+                                                   write_shards)
+    d = spark.createDataFrame([(i,) for i in range(100)],
+                              "doc_id long")
+    out = shuffle_shards(d, n_shards=8)
+    res = out.collect()
+    # shuffle_idx is a permutation of 0..N-1
+    assert sorted(r["shuffle_idx"] for r in res) == list(range(100))
+    # round-robin: shard sizes differ by at most one row
+    sizes = {}
+    for r in res:
+        assert r["shard"] == r["shuffle_idx"] % 8
+        assert r["shard_pos"] == r["shuffle_idx"] // 8
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sum(sizes.values()) == 100 and len(sizes) == 8
+    # the permutation actually shuffles (not identity order)
+    assert [r["shuffle_idx"] for r in
+            sorted(res, key=lambda r: r["doc_id"])] != list(range(100))
+    # deterministic across recomputation; salt redraws
+    again = {(r["doc_id"], r["shuffle_idx"]) for r in out.collect()}
+    assert again == {(r["doc_id"], r["shuffle_idx"]) for r in res}
+    redrawn = shuffle_shards(d, n_shards=8, salt="#other").collect()
+    assert {(r["doc_id"], r["shuffle_idx"]) for r in redrawn} != again
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffle_shards(d, n_shards=0)
+    # writer: one file per shard directory, rows in shard_pos order
+    out_dir = str(tmp_path / "shards")
+    write_shards(out, out_dir, n_shards=8)
+    import glob
+    for k in range(8):
+        parts = glob.glob(f"{out_dir}/shard={k}/*.parquet")
+        assert len(parts) == 1, (k, parts)
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 100
+    one = spark.read.parquet(f"{out_dir}/shard=3/*.parquet").collect()
+    assert [r["shard_pos"] for r in one] == sorted(
+        r["shard_pos"] for r in one)
+
+
 def test_dedup_substrings_semantics(spark):
     shared = " ".join(f"tok{i}" for i in range(10))
     d = _docs(spark, [
