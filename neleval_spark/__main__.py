@@ -827,10 +827,14 @@ def cmd_curate(args):
     persistent signature index → CCNet-style surprisal tail cut →
     DSIR importance resampling toward a target corpus → Mikolov
     frequent-word subsampling → per-domain cap → token-budget
-    mixture sampling → temperature language rebalancing.  Every stage is
-    optional (off unless its flag is given), distributed, and
-    deterministic; the curated table is written to --out and a JSON
-    stage funnel (doc counts after each stage) to stdout."""
+    mixture sampling → temperature language rebalancing →
+    leakage-safe train/valid/test split (hashes the near-dup CLUSTER
+    id) → deterministic global shuffle into exactly-balanced shards.
+    Every stage is optional (off unless its flag is given),
+    distributed, and deterministic; the curated table is written to
+    --out (one file per shard, in read order, when --shards is given)
+    and a JSON stage funnel (doc counts after each stage) to
+    stdout."""
     from pyspark.sql import functions as F
 
     from .functions.corpusops import (budget_sample, cap_per_domain,
@@ -941,7 +945,42 @@ def cmd_curate(args):
                "stratum_budget")
         funnel["after_temperature"] = d.count()
 
-    d.write.mode("overwrite").parquet(args.out)
+    if args.split:
+        from .functions.corpusops import split_by_cluster
+
+        shares = {}
+        for s in args.split:
+            name, _, ppm = s.partition("=")
+            shares[name] = int(ppm)
+        if args.split_clusters:
+            cl = spark.read.parquet(args.split_clusters) \
+                .select("doc_id", "cluster")
+            dd = (d.join(cl, "doc_id", "left")
+                  .withColumn("cluster",
+                              F.coalesce("cluster", F.col("doc_id"))))
+        else:
+            # no cluster table: every doc its own cluster (plain
+            # deterministic hash split)
+            dd = d.withColumn("cluster", F.col("doc_id"))
+        d = split_by_cluster(dd, shares).drop("cluster", "split_hash")
+        funnel["split"] = {
+            r["split"]: r["n"]
+            for r in d.groupBy("split")
+                      .agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    if args.shards:
+        from .functions.corpusops import shuffle_shards
+
+        groups = ["split"] if args.split else []
+        d = shuffle_shards(d, n_shards=args.shards,
+                           group_cols=groups)
+        part_cols = groups + ["shard"]
+        (d.repartition(args.shards, F.col("shard"))
+          .sortWithinPartitions(*part_cols, "shard_pos")
+          .write.partitionBy(*part_cols).mode("overwrite")
+          .parquet(args.out))
+    else:
+        d.write.mode("overwrite").parquet(args.out)
     funnel["out"] = spark.read.parquet(args.out).count()
     print(json.dumps({"funnel": funnel, "out_path": args.out}))
 
@@ -1297,7 +1336,23 @@ def main(argv=None):
                         dest="temperature_alpha",
                         help="rebalance exponent; exact lattice "
                              "0 / 0.5 / 1 only"),
-        sp.add_argument("--stratum-col", default="lang")))
+        sp.add_argument("--stratum-col", default="lang"),
+        sp.add_argument("--split", action="append",
+                        metavar="NAME=PPM",
+                        help="leakage-safe split shares in ppm "
+                             "(repeat; must sum to 1000000); "
+                             "assignment hashes the near-dup "
+                             "cluster id from --split-clusters"),
+        sp.add_argument("--split-clusters", dest="split_clusters",
+                        help="parquet (doc_id, cluster) table, e.g. "
+                             "dedup_cluster output; absent docs / "
+                             "absent table fall back to doc_id "
+                             "(plain hash split)"),
+        sp.add_argument("--shards", type=int, default=0,
+                        help="deterministic global shuffle into N "
+                             "exactly-balanced shards per split, one "
+                             "parquet file per shard in read order "
+                             "(0 = stage off)")))
     add("graph-corpus", cmd_graph_corpus, lambda sp: (
         sp.add_argument("edges",
                         help="parquet edge list (src, dst)"),

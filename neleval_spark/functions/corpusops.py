@@ -403,7 +403,8 @@ def split_by_cluster(docs: DataFrame, splits: dict[str, int],
 def shuffle_shards(docs: DataFrame, n_shards: int,
                    id_col: str = "doc_id",
                    salt: str = "#shard",
-                   n_sub: int = 64) -> DataFrame:
+                   n_sub: int = 64,
+                   group_cols: list[str] | None = None) -> DataFrame:
     """Deterministic global shuffle + equal-size shard assignment —
     the last curation step before training: examples must reach the
     trainer in an order uncorrelated with crawl/source/time order,
@@ -417,7 +418,10 @@ def shuffle_shards(docs: DataFrame, n_shards: int,
     binomial imbalance) and ``shard_pos`` (= ``shuffle_idx div
     n_shards``, the deterministic within-shard read order).
     Re-running on the same corpus reproduces the identical layout;
-    changing ``salt`` redraws it.
+    changing ``salt`` redraws it.  With ``group_cols`` (e.g.
+    ``["split"]`` after :func:`split_by_cluster`) the permutation and
+    the round-robin run WITHIN each group, so every group gets its
+    own exactly-balanced shard set.
 
     Scale shape: the permutation is
     :func:`~neleval_spark.functions.ranks.dense_index`'s two-phase
@@ -430,7 +434,7 @@ def shuffle_shards(docs: DataFrame, n_shards: int,
 
     h = token_hash(F.concat(F.col(id_col).cast("string"),
                             F.lit(salt)))
-    out = dense_index(docs, [], h, n_sub=n_sub,
+    out = dense_index(docs, list(group_cols or []), h, n_sub=n_sub,
                       idx_col="shuffle_idx", size_col="_ss_n",
                       tiebreak=id_col)
     return (out

@@ -637,6 +637,49 @@ def test_cli_curate_temperature(spark, capsys, tmp_path):
     assert kept["de"] / 20 > kept["en"] / 80
 
 
+def test_cli_curate_split_shards(spark, capsys, tmp_path):
+    import glob
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"doc {i} body", "en", "a.com") for i in range(120)],
+        "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(docs)
+    # cluster table pairs docs (2i, 2i+1) -> same cluster
+    clusters = str(tmp_path / "clusters")
+    spark.createDataFrame(
+        [(i, i - (i % 2)) for i in range(120)],
+        "doc_id long, cluster long"
+    ).write.mode("overwrite").parquet(clusters)
+    out = _run(capsys, "curate", docs, "-o", str(tmp_path / "cur"),
+               "--split", "train=800000", "--split", "valid=100000",
+               "--split", "test=100000",
+               "--split-clusters", clusters,
+               "--shards", "4")
+    funnel = json.loads(out)["funnel"]
+    assert funnel["in"] == 120 and funnel["out"] == 120
+    assert sum(funnel["split"].values()) == 120
+    assert funnel["split"]["train"] > funnel["split"]["valid"]
+    cur = spark.read.parquet(str(tmp_path / "cur"))
+    rows = cur.collect()
+    # leakage safety survives the CLI: cluster pairs share a split
+    by_doc = {r["doc_id"]: r["split"] for r in rows}
+    for i in range(0, 120, 2):
+        assert by_doc[i] == by_doc[i + 1], i
+    # per-split shards exactly balanced (within one row)
+    sizes = {}
+    for r in rows:
+        sizes.setdefault((r["split"], r["shard"]), 0)
+        sizes[(r["split"], r["shard"])] += 1
+    for sp in set(s for s, _ in sizes):
+        per = [n for (s, _), n in sizes.items() if s == sp]
+        assert max(per) - min(per) <= 1, (sp, per)
+    # one file per (split, shard) leaf
+    for (sp, sh) in sizes:
+        parts = glob.glob(
+            f"{tmp_path}/cur/split={sp}/shard={sh}/*.parquet")
+        assert len(parts) == 1, (sp, sh, parts)
+
+
 def test_cli_curate_subsample(spark, capsys, tmp_path):
     docs = str(tmp_path / "docs")
     spark.createDataFrame(
