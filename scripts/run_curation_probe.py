@@ -107,6 +107,26 @@ try:
     n_neg = negative_samples(triples, n_neg=4).count()
     t_ng = time.perf_counter() - t0
 
+    # split (4-doc clusters) -> per-split permutation -> 32 balanced
+    # shards -> one file per (split, shard) leaf, the funnel's tail
+    from neleval_spark.functions.corpusops import (shuffle_shards,
+                                                   split_by_cluster)
+    t0 = time.perf_counter()
+    sharded = shuffle_shards(
+        split_by_cluster(
+            docs.withColumn("cluster",
+                            F.col("doc_id") - F.col("doc_id") % 4),
+            {"train": 800_000, "valid": 100_000, "test": 100_000}),
+        n_shards=32, group_cols=["split"])
+    (sharded.repartition(32, F.col("shard"))
+            .sortWithinPartitions("split", "shard", "shard_pos")
+            .write.partitionBy("split", "shard").mode("overwrite")
+            .parquet(tmp + "/shards"))
+    t_sh = time.perf_counter() - t0
+    import glob
+    n_leaves = len(glob.glob(tmp + "/shards/split=*/shard=*"))
+    n_files = len(glob.glob(tmp + "/shards/split=*/shard=*/*.parquet"))
+
     print(f"RESULT n_docs={n_docs} "
           f"clean_lines={t_cl:.1f}s ({n_docs / t_cl:.0f} docs/s, "
           f"kept={n_kept}) "
@@ -118,7 +138,9 @@ try:
           f"pairs={n_pairs}) "
           f"walks[60k-edge]={t_rw:.1f}s (rows={n_walkrows}) "
           f"node2vec[60k-edge]={t_n2v:.1f}s (rows={n_n2v}) "
-          f"negatives[60k-triple]={t_ng:.1f}s (rows={n_neg})",
+          f"negatives[60k-triple]={t_ng:.1f}s (rows={n_neg}) "
+          f"split+shard+write={t_sh:.1f}s ({n_docs / t_sh:.0f} "
+          f"docs/s, leaves={n_leaves}, files={n_files})",
           flush=True)
 finally:
     shutil.rmtree(tmp, ignore_errors=True)
