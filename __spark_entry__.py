@@ -3595,14 +3595,8 @@ def q_leakage_split(spark, sf_dir):
 Q_LEAKAGE_SPLIT_SQL = _dedup_cluster_sql(final_select="""
 , hashed AS (
   SELECT doc_id, cluster,
-         list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-             list_transform(range(1, length(CAST(cluster AS VARCHAR)
-                                             || '#split') + 1),
-               i -> CAST(ascii(substring(CAST(cluster AS VARCHAR)
-                                         || '#split', i, 1))
-                         AS BIGINT))),
-           (acc, x) -> (acc * 31 + x) % 2147483647) % 1000000
+         (""" + _NEG_HASH_SQL.format(
+             v="CAST(cluster AS VARCHAR) || '#split'") + """) % 1000000
            AS split_hash
   FROM cc)
 SELECT doc_id, cluster, split_hash,

@@ -952,33 +952,38 @@ def cmd_curate(args):
         for s in args.split:
             name, _, ppm = s.partition("=")
             shares[name] = int(ppm)
+        # private column name: the input docs may legitimately carry
+        # their own `cluster` column (e.g. pre-joined dedup output) —
+        # joining/overwriting under that name would be ambiguous or
+        # destructive.
         if args.split_clusters:
             cl = spark.read.parquet(args.split_clusters) \
-                .select("doc_id", "cluster")
+                .select("doc_id",
+                        F.col("cluster").alias("_split_cluster"))
             dd = (d.join(cl, "doc_id", "left")
-                  .withColumn("cluster",
-                              F.coalesce("cluster", F.col("doc_id"))))
+                  .withColumn("_split_cluster",
+                              F.coalesce("_split_cluster",
+                                         F.col("doc_id"))))
         else:
             # no cluster table: every doc its own cluster (plain
             # deterministic hash split)
-            dd = d.withColumn("cluster", F.col("doc_id"))
-        d = split_by_cluster(dd, shares).drop("cluster", "split_hash")
+            dd = d.withColumn("_split_cluster", F.col("doc_id"))
+        d = split_by_cluster(dd, shares,
+                             cluster_col="_split_cluster") \
+            .drop("_split_cluster", "split_hash")
         funnel["split"] = {
             r["split"]: r["n"]
             for r in d.groupBy("split")
                       .agg(F.count(F.lit(1)).alias("n")).collect()}
 
     if args.shards:
-        from .functions.corpusops import shuffle_shards
+        from .functions.corpusops import shuffle_shards, write_shards
 
         groups = ["split"] if args.split else []
         d = shuffle_shards(d, n_shards=args.shards,
                            group_cols=groups)
-        part_cols = groups + ["shard"]
-        (d.repartition(args.shards, F.col("shard"))
-          .sortWithinPartitions(*part_cols, "shard_pos")
-          .write.partitionBy(*part_cols).mode("overwrite")
-          .parquet(args.out))
+        write_shards(d, args.out, n_shards=args.shards,
+                     group_cols=groups)
     else:
         d.write.mode("overwrite").parquet(args.out)
     funnel["out"] = spark.read.parquet(args.out).count()

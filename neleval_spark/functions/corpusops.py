@@ -247,11 +247,8 @@ def budget_sample(docs: DataFrame, budgets: dict[str, int],
     ~9e12 tokens at the default denom), so a DuckDB oracle reproduces
     the kept set exactly.  Keeps ``sample_weight`` (the row's token
     count), ``sample_hash`` and ``threshold`` for audit."""
-    weight = (F.col(weight_col) if weight_col else
-              F.size(F.filter(
-                  F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
-                  lambda t: t != ""))).cast("long")
-    with_w = docs.withColumn("sample_weight", weight)
+    with_w = docs.withColumn("sample_weight",
+                             _token_weight(text_col, weight_col))
     totals = with_w.groupBy(stratum_col).agg(
         F.sum("sample_weight").alias("_tot"))
 
@@ -263,19 +260,44 @@ def budget_sample(docs: DataFrame, budgets: dict[str, int],
     bud = (F.lit(0).cast("long") if bud is None
            else bud.otherwise(F.lit(0).cast("long")))
 
+    return (_keep_within_budget(with_w, totals.withColumn("_bud", bud),
+                                "_bud", stratum_col, key_col, denom,
+                                salt)
+            .drop("_bud", "_tot"))
+
+
+def _token_weight(text_col: str, weight_col: str | None) -> F.Column:
+    """Row weight for the budget samplers: the explicit weight
+    column, else the ``[a-z0-9]+`` token count of ``text_col``."""
+    return (F.col(weight_col) if weight_col else
+            F.size(F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != ""))).cast("long")
+
+
+def _keep_within_budget(with_w: DataFrame, budgeted: DataFrame,
+                        budget_col: str, stratum_col: str,
+                        key_col: str, denom: int,
+                        salt: str) -> DataFrame:
+    """Shared tail of :func:`budget_sample` /
+    :func:`temperature_sample`: broadcast-join the per-stratum frame
+    (must carry ``_tot`` and ``budget_col``), derive the integer
+    keep-threshold ``min(denom, budget * denom div total)``, and keep
+    rows whose salted consistent hash lands under it.  ONE definition
+    so a fix to the hash, the threshold arithmetic or the overflow
+    bound cannot silently diverge between the two samplers."""
     h = F.pmod(token_hash(F.concat(F.col(key_col).cast("string"),
                                    F.lit(salt))),
                F.lit(denom))
-    return (with_w.join(F.broadcast(totals), stratum_col)
-            .withColumn("_bud", bud)
+    return (with_w.join(F.broadcast(budgeted), stratum_col)
             .withColumn(
                 "threshold",
                 F.least(F.lit(denom).cast("long"),
-                        F.expr(f"_bud * CAST({int(denom)} AS BIGINT) "
+                        F.expr(f"{budget_col} * "
+                               f"CAST({int(denom)} AS BIGINT) "
                                f"div greatest(_tot, 1)")))
             .withColumn("sample_hash", h)
-            .where(F.col("sample_hash") < F.col("threshold"))
-            .drop("_bud", "_tot"))
+            .where(F.col("sample_hash") < F.col("threshold")))
 
 
 def temperature_sample(docs: DataFrame, total_budget: int,
@@ -321,11 +343,8 @@ def temperature_sample(docs: DataFrame, total_budget: int,
             "temperature_sample supports the exact lattice "
             "alpha in {0.0, 0.5, 1.0} (integer / correctly-rounded "
             f"IEEE arithmetic only); got {alpha!r}")
-    weight = (F.col(weight_col) if weight_col else
-              F.size(F.filter(
-                  F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
-                  lambda t: t != ""))).cast("long")
-    with_w = docs.withColumn("sample_weight", weight)
+    with_w = docs.withColumn("sample_weight",
+                             _token_weight(text_col, weight_col))
     totals = with_w.groupBy(stratum_col).agg(
         F.sum("sample_weight").alias("_tot"))
     if alpha == 0.0:
@@ -344,18 +363,8 @@ def temperature_sample(docs: DataFrame, total_budget: int,
                    "stratum_budget",
                    F.expr(f"CAST({int(total_budget)} AS BIGINT) "
                           f"* _share div {int(denom)}")))
-    h = F.pmod(token_hash(F.concat(F.col(key_col).cast("string"),
-                                   F.lit(salt))),
-               F.lit(denom))
-    return (with_w.join(F.broadcast(weights), stratum_col)
-            .withColumn(
-                "threshold",
-                F.least(F.lit(denom).cast("long"),
-                        F.expr(f"stratum_budget "
-                               f"* CAST({int(denom)} AS BIGINT) "
-                               f"div greatest(_tot, 1)")))
-            .withColumn("sample_hash", h)
-            .where(F.col("sample_hash") < F.col("threshold"))
+    return (_keep_within_budget(with_w, weights, "stratum_budget",
+                                stratum_col, key_col, denom, salt)
             .drop("_w", "_wsum", "_share", "_tot"))
 
 
@@ -397,7 +406,17 @@ def split_by_cluster(docs: DataFrame, splits: dict[str, int],
         cond = F.col("split_hash") < F.lit(cum)
         expr = (F.when(cond, name) if expr is None
                 else expr.when(cond, name))
-    return out.withColumn("split", expr)
+    # splits sum to denom, so every non-NULL hash lands in a branch;
+    # the only way to fall through is a NULL cluster id (NULL hash).
+    # Fail loudly per the no-silent-unassigned contract instead of
+    # emitting split=NULL rows (which a partitioned write would bury
+    # in a __HIVE_DEFAULT_PARTITION__ directory).
+    return out.withColumn(
+        "split",
+        expr.otherwise(F.raise_error(F.lit(
+            "split_by_cluster: NULL cluster id — coalesce cluster "
+            "ids (e.g. to the doc id for singleton docs) before "
+            "splitting"))))
 
 
 def shuffle_shards(docs: DataFrame, n_shards: int,
@@ -448,19 +467,24 @@ def shuffle_shards(docs: DataFrame, n_shards: int,
 
 def write_shards(docs: DataFrame, out_dir: str, n_shards: int,
                  shard_col: str = "shard",
-                 pos_col: str = "shard_pos") -> None:
+                 pos_col: str = "shard_pos",
+                 group_cols: list[str] | None = None) -> None:
     """Write ``shuffle_shards`` output as one parquet file per
-    ``shard=<k>/`` directory, rows stored in ``shard_pos`` order so a
-    trainer streaming the file reads the shuffled order directly.
+    ``[group=…/]shard=<k>/`` leaf, rows stored in ``shard_pos`` order
+    so a trainer streaming the file reads the shuffled order
+    directly.  ``group_cols`` (e.g. ``["split"]``) prepend partition
+    levels — pass the same list given to :func:`shuffle_shards`.
 
     Repartitions on the shard column FIRST (PLANS.md merge probe:
     without it every upstream task opens a file per shard it touches
     — 2,752 files and 6.1× slower for one 5.5M-row generation);
-    ``repartition(n_shards, shard)`` hashes like ``bucketBy`` →
-    exactly one task, hence one file, per shard."""
+    ``repartition(n_shards, shard)`` hashes like ``bucketBy`` → one
+    task per shard, hence one file per (group, shard) leaf the task
+    owns."""
+    part_cols = list(group_cols or []) + [shard_col]
     (docs.repartition(n_shards, F.col(shard_col))
-         .sortWithinPartitions(shard_col, pos_col)
-         .write.partitionBy(shard_col).mode("overwrite")
+         .sortWithinPartitions(*part_cols, pos_col)
+         .write.partitionBy(*part_cols).mode("overwrite")
          .parquet(out_dir))
 
 

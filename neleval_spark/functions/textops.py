@@ -866,15 +866,22 @@ def subsample_frequent(docs: DataFrame, t_num: int = 1,
 
     The coin flip is exact integer arithmetic: with u = h/P (the
     per-occurrence polynomial hash of (doc, pos, token) over
-    P = 2^31-1), ``u < sqrt(tT/c)  ⟺  h²·c·t_den < P²·t_num·T`` —
-    a pure product comparison in DECIMAL(38,0) (h² ≤ 19 digits,
-    c·t_den ≤ 19 more: exact up to corpus totals T·t_den ~ 1e19, far
+    P = 2^31-1), ``u < sqrt(tT/c)  ⟺  h²·c·t_den < P²·t_num·T``
+    (lhs ≤ 38 digits: exact up to corpus totals T·t_den ~ 1e19, far
     past 10^12 tokens), so the decision replays bit-for-bit in
-    DuckDB (HUGEINT).  No division anywhere — divisions would need
-    a floor that rounds differently between engines (and Spark's
-    ``div`` wraps silently past 2^63).  Words with
-    c·t_den ≤ t_num·T always survive (their rhs dominates h²·c·t_den
-    for every h < P), exactly like the paper.
+    DuckDB (HUGEINT), and that product comparison IS the oracle SQL.
+    On the Spark side the same predicate is evaluated as
+    ``h ≤ isqrt((P²·t_num·T − 1) div (c·t_den))`` — an exactly
+    equivalent per-VOCAB-ROW threshold (h² ≤ q ⟺ h ≤ isqrt(q);
+    isqrt = float sqrt + ±1 integer correction, exact for q < 2^63)
+    — because the hash is an interpreted higher-order fold and
+    predicate pushdown re-inlines staged aliases into the filter
+    (PLANS.md "Higher-order functions are interpreted"): squaring h
+    in the predicate would run the fold TWICE per occurrence, the
+    hot path of the whole operator.  The quotient is capped at
+    (P−1)² first (the all-survive case) so the ``div``'s long result
+    can't wrap.  Words with c·t_den ≤ t_num·T always survive,
+    exactly like the paper.
 
     Returns one row per document:
     ``(doc_id, n_tokens, n_kept, subsampled_text)`` (surviving
@@ -888,6 +895,10 @@ def subsample_frequent(docs: DataFrame, t_num: int = 1,
     ``unigram_surprisal`` precedent); the rebuild is one doc-keyed
     aggregate bounded by document size.
     """
+    if t_num < 1 or t_den < 1:
+        raise ValueError(
+            f"subsample_frequent needs t_num, t_den >= 1; got "
+            f"t_num={t_num!r} t_den={t_den!r}")
     prime2 = MINHASH_PRIME * MINHASH_PRIME
 
     toks = docs.select(
@@ -900,21 +911,44 @@ def subsample_frequent(docs: DataFrame, t_num: int = 1,
     cf = toks.groupBy("token").agg(F.count("*").alias("_cf"))
     total = cf.agg(F.sum("_cf").alias("_t"))
     # per-vocab-row sides of the product comparison (never computed
-    # per occurrence): lhs_f = c·t_den, rhs = P²·t_num·T
+    # per occurrence): lhs_f = c·t_den, rhs = P²·t_num·T, folded into
+    # the exact hash threshold _thr = isqrt((rhs−1) div lhs_f) so the
+    # per-occurrence filter evaluates the interpreted hash fold ONCE.
+    hmax = MINHASH_PRIME - 1  # token_hash range is [0, P-1]
     lam = (cf.crossJoin(F.broadcast(total))
            .select(
                "token",
                F.expr(f"CAST(_cf AS DECIMAL(38,0)) * {t_den}")
                .alias("_lhs_f"),
                F.expr(f"CAST({prime2} AS DECIMAL(38,0))"
-                      f" * {t_num} * _t").alias("_rhs")))
+                      f" * {t_num} * _t").alias("_rhs"))
+           # q = (rhs−1) div lhs, capped BEFORE the div at hmax²
+           # (every h survives there) so the long result can't wrap
+           .withColumn(
+               "_q",
+               F.when(F.expr(f"CAST({hmax * hmax} AS DECIMAL(38,0)) "
+                             f"* _lhs_f < _rhs"),
+                      F.lit(hmax * hmax).cast("long"))
+               .otherwise(F.expr("CAST((_rhs - 1) div _lhs_f "
+                                 "AS BIGINT)"))))
+    # exact isqrt(q): float sqrt is within 1 of the true root for
+    # q < 2^63, so one ±1 correction pins it
+    s0 = F.floor(F.sqrt(F.col("_q").cast("double"))).cast("long")
+    lam = lam.withColumn("_s0", s0).withColumn(
+        "_s1",
+        F.when((F.col("_s0") + 1) * (F.col("_s0") + 1) <= F.col("_q"),
+               F.col("_s0") + 1).otherwise(F.col("_s0")))
+    lam = lam.select(
+        "token",
+        F.when(F.col("_s1") * F.col("_s1") > F.col("_q"),
+               F.col("_s1") - 1).otherwise(F.col("_s1"))
+        .alias("_thr"))
 
     h = token_hash(F.concat_ws(
         "\x1f", F.col("_doc").cast("string"),
         F.col("pos").cast("string"), "token"))
-    occ = toks.join(lam, "token") \
-              .withColumn("_h2", (h * h).cast("decimal(38,0)"))
-    kept = occ.where(F.col("_h2") * F.col("_lhs_f") < F.col("_rhs"))
+    occ = toks.join(lam, "token").withColumn("_h", h)
+    kept = occ.where(F.col("_h") <= F.col("_thr"))
 
     rebuilt = kept.groupBy("_doc").agg(
         F.count("*").alias("n_kept"),

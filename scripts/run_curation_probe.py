@@ -110,7 +110,8 @@ try:
     # split (4-doc clusters) -> per-split permutation -> 32 balanced
     # shards -> one file per (split, shard) leaf, the funnel's tail
     from neleval_spark.functions.corpusops import (shuffle_shards,
-                                                   split_by_cluster)
+                                                   split_by_cluster,
+                                                   write_shards)
     t0 = time.perf_counter()
     sharded = shuffle_shards(
         split_by_cluster(
@@ -118,10 +119,8 @@ try:
                             F.col("doc_id") - F.col("doc_id") % 4),
             {"train": 800_000, "valid": 100_000, "test": 100_000}),
         n_shards=32, group_cols=["split"])
-    (sharded.repartition(32, F.col("shard"))
-            .sortWithinPartitions("split", "shard", "shard_pos")
-            .write.partitionBy("split", "shard").mode("overwrite")
-            .parquet(tmp + "/shards"))
+    write_shards(sharded, tmp + "/shards", n_shards=32,
+                 group_cols=["split"])
     t_sh = time.perf_counter() - t0
     import glob
     n_leaves = len(glob.glob(tmp + "/shards/split=*/shard=*"))

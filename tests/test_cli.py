@@ -680,6 +680,39 @@ def test_cli_curate_split_shards(spark, capsys, tmp_path):
         assert len(parts) == 1, (sp, sh, parts)
 
 
+def test_cli_curate_split_keeps_user_cluster_col(spark, capsys,
+                                                 tmp_path):
+    # input docs that ALREADY carry a `cluster` column (e.g. joined
+    # dedup output): splitting must neither raise an ambiguous-column
+    # error nor clobber/drop the user's column
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"doc {i} body", "en", "a.com", 1000 + i % 5)
+         for i in range(60)],
+        "doc_id long, text string, lang string, source string, "
+        "cluster long"
+    ).write.mode("overwrite").parquet(docs)
+    clusters = str(tmp_path / "clusters")
+    spark.createDataFrame(
+        [(i, i - (i % 2)) for i in range(60)],
+        "doc_id long, cluster long"
+    ).write.mode("overwrite").parquet(clusters)
+    out = _run(capsys, "curate", docs, "-o", str(tmp_path / "cur"),
+               "--split", "train=800000", "--split", "valid=100000",
+               "--split", "test=100000",
+               "--split-clusters", clusters)
+    funnel = json.loads(out)["funnel"]
+    assert funnel["in"] == 60 and funnel["out"] == 60
+    rows = spark.read.parquet(str(tmp_path / "cur")).collect()
+    # the user's cluster column survives untouched
+    assert {r["cluster"] for r in rows} == {1000, 1001, 1002,
+                                            1003, 1004}
+    # and the split still keys off the SPLIT-CLUSTERS table
+    by_doc = {r["doc_id"]: r["split"] for r in rows}
+    for i in range(0, 60, 2):
+        assert by_doc[i] == by_doc[i + 1], i
+
+
 def test_cli_curate_subsample(spark, capsys, tmp_path):
     docs = str(tmp_path / "docs")
     spark.createDataFrame(

@@ -173,6 +173,15 @@ def test_split_by_cluster_semantics(spark):
     # deterministic across recomputation
     again = {(r["doc_id"], r["split"]) for r in out.collect()}
     assert again == {(r["doc_id"], r["split"]) for r in res}
+    # NULL cluster ids fail LOUDLY (split=NULL rows would otherwise
+    # land in a __HIVE_DEFAULT_PARTITION__ leaf of a sharded write)
+    with_null = spark.createDataFrame(
+        [(1, 7), (2, None)], "doc_id long, cluster long")
+    with pytest.raises(Exception, match="NULL cluster id"):
+        split_by_cluster(
+            with_null,
+            {"train": 800_000, "valid": 100_000, "test": 100_000}
+        ).collect()
 
 
 def test_shuffle_shards_semantics(spark, tmp_path):
