@@ -4473,6 +4473,50 @@ ORDER BY doc_id
 """
 
 
+def q_fim(spark, sf_dir):
+    """Fill-in-the-middle transform (textops.fim_transform): half the
+    docs (hash coin) are re-ordered <PRE>prefix<SUF>suffix<MID>middle
+    at two hash-chosen character cuts; the rest pass through.  Pure
+    column expressions; the oracle replays coin, cuts and substring
+    layout exactly."""
+    from neleval_spark.functions.textops import fim_transform
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fim_transform(d).orderBy("doc_id")
+
+
+Q_FIM_SQL = ("""
+WITH k AS (
+  SELECT doc_id, text,
+         CAST(doc_id AS VARCHAR) || '#fim' AS hk,
+         length(text) AS n
+  FROM documents),
+d AS (
+  SELECT doc_id, text, n,
+         (""" + _NEG_HASH_SQL.format(v="hk") + """) % 1000000
+           < 500000 AS fim_applied,
+         (""" + _NEG_HASH_SQL.format(v="hk || '#a'") + """) % (n + 1)
+           AS a,
+         (""" + _NEG_HASH_SQL.format(v="hk || '#b'") + """) % (n + 1)
+           AS b
+  FROM k),
+s AS (SELECT doc_id, text, n, fim_applied,
+             least(a, b) AS st, greatest(a, b) AS en
+      FROM d)
+SELECT doc_id, fim_applied,
+       CAST(CASE WHEN fim_applied THEN st ELSE -1 END
+            AS BIGINT) AS split_start,
+       CAST(CASE WHEN fim_applied THEN en ELSE -1 END
+            AS BIGINT) AS split_end,
+       CASE WHEN fim_applied THEN
+         '<PRE>' || substring(text, 1, st) ||
+         '<SUF>' || substring(text, en + 1, n - en) ||
+         '<MID>' || substring(text, st + 1, en - st)
+       ELSE text END AS fim_text
+FROM s ORDER BY doc_id
+""")
+
+
 def q_quality(spark, sf_dir):
     from neleval_spark.functions.textops import quality_features
 
@@ -6234,6 +6278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "dedup_cluster": q_dedup_cluster,
         "minhash_pairs_hotguard": q_minhash_pairs_hotguard,
+        "fim": q_fim,
     }
     return qs
 
@@ -6317,6 +6362,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": Q_MINHASH_PAIRS_SQL,
         "minhash_pairs_hotguard": Q_MINHASH_PAIRS_HOTGUARD_SQL,
         "dedup_cluster": Q_DEDUP_CLUSTER_SQL,
+        "fim": Q_FIM_SQL,
         "leakage_split": Q_LEAKAGE_SPLIT_SQL,
         "shuffle_shards": Q_SHUFFLE_SHARDS_SQL,
         "dedup_increment": Q_DEDUP_INCREMENT_SQL,

@@ -966,3 +966,60 @@ def subsample_frequent(docs: DataFrame, t_num: int = 1,
                 F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
                 F.coalesce("subsampled_text", F.lit(""))
                 .alias("subsampled_text")))
+
+
+def fim_transform(docs: DataFrame, rate_ppm: int = 500_000,
+                  denom: int = 1_000_000,
+                  id_col: str = "doc_id",
+                  text_col: str = "text",
+                  pre_tok: str = "<PRE>",
+                  suf_tok: str = "<SUF>",
+                  mid_tok: str = "<MID>",
+                  salt: str = "#fim") -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    Training of Language Models to Fill in the Middle"): for a
+    deterministic ``rate_ppm``/``denom`` fraction of documents, cut
+    the text at two hash-chosen character positions and emit it in
+    PSM order ``<PRE> prefix <SUF> suffix <MID> middle`` so an
+    autoregressive trainer learns infilling; the rest pass through
+    untouched (the paper's mixed regime).
+
+    All three draws are the salted consistent polynomial hash
+    (:func:`token_hash` — the engine-agnostic convention every
+    sampler here uses): the doc-selection coin is
+    ``hash(id#fim) mod denom < rate_ppm``; the two cut points are
+    ``hash(id#fim#a|b) mod (len+1)`` sorted, so the layout replays
+    bit-for-bit in DuckDB and re-runs are idempotent.  Sentinel
+    tokens are caller-chosen and must not occur in the corpus (the
+    usual out-of-vocab specials); reassembly
+    ``prefix + middle + suffix`` is lossless and property-tested.
+
+    Scale shape: pure per-row column expressions — no shuffle, no
+    aggregate, no UDF; Catalyst keeps the whole thing in one
+    projection over the scan."""
+    if not 0 <= rate_ppm <= denom:
+        raise ValueError(
+            f"rate_ppm must be in [0, {denom}]; got {rate_ppm}")
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    pick = F.pmod(token_hash(key), F.lit(denom)) < rate_ppm
+    n = F.length(F.col(text_col))
+    a = F.pmod(token_hash(F.concat(key, F.lit("#a"))), n + 1)
+    b = F.pmod(token_hash(F.concat(key, F.lit("#b"))), n + 1)
+    start = F.least(a, b)
+    end = F.greatest(a, b)
+    prefix = F.col(text_col).substr(F.lit(1), start)
+    middle = F.col(text_col).substr(start + 1, end - start)
+    suffix = F.col(text_col).substr(end + 1, n - end)
+    # -1 sentinel (not NULL) for pass-through rows: the oracle gate's
+    # row sort can't order mixed NULL/int columns (CLAUDE.md)
+    return docs.select(
+        id_col,
+        pick.alias("fim_applied"),
+        F.when(pick, start.cast("long")).otherwise(F.lit(-1))
+        .alias("split_start"),
+        F.when(pick, end.cast("long")).otherwise(F.lit(-1))
+        .alias("split_end"),
+        F.when(pick, F.concat(F.lit(pre_tok), prefix,
+                              F.lit(suf_tok), suffix,
+                              F.lit(mid_tok), middle))
+        .otherwise(F.col(text_col)).alias("fim_text"))

@@ -54,3 +54,47 @@ def test_subsample_frequent_semantics(spark):
     out2 = subsample_frequent(d.repartition(7), t_num=1,
                               t_den=100).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_fim_transform_semantics(spark):
+    from neleval_spark.functions.textops import fim_transform
+
+    texts = ["def add(a, b):\n    return a + b", "", "x",
+             "the quick brown fox jumps over the lazy dog"]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(100 * texts)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fim_transform(d).collect()}
+    originals = {i: t for i, t in enumerate(100 * texts)}
+    applied = [r for r in out.values() if r["fim_applied"]]
+    passed = [r for r in out.values() if not r["fim_applied"]]
+    # the 500k ppm coin selects roughly half; both branches present
+    assert 100 < len(applied) < 300
+    for r in passed:  # pass-through rows keep text; -1 sentinels
+        assert r["fim_text"] == originals[r["doc_id"]]
+        assert r["split_start"] == -1 and r["split_end"] == -1
+    for r in applied:  # lossless reassembly from PSM order
+        t = r["fim_text"]
+        assert t.startswith("<PRE>")
+        pre, rest = t[5:].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        assert pre + mid + suf == originals[r["doc_id"]]
+        assert 0 <= r["split_start"] <= r["split_end"] \
+            <= len(originals[r["doc_id"]])
+        assert pre == originals[r["doc_id"]][:r["split_start"]]
+    # deterministic across recomputation
+    again = {r["doc_id"]: r["fim_text"]
+             for r in fim_transform(d).collect()}
+    assert again == {k: v["fim_text"] for k, v in out.items()}
+    # rate 0 / full-rate bounds
+    assert fim_transform(d, rate_ppm=0) \
+        .where("fim_applied").count() == 0
+    assert fim_transform(d, rate_ppm=1_000_000) \
+        .where("NOT fim_applied").count() == 0
+    import pytest
+    with pytest.raises(ValueError, match="rate_ppm"):
+        fim_transform(d, rate_ppm=2_000_000)
+    # scale shape: no shuffle anywhere in the plan
+    plan = (fim_transform(d)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
