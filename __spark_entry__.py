@@ -3924,7 +3924,8 @@ WITH w AS (
            AS sample_weight,
          CAST(doc_id AS VARCHAR) || '#budget' AS token
   FROM documents),
-tot AS (SELECT lang, SUM(sample_weight) AS t FROM w GROUP BY lang),
+tot AS (SELECT lang, CAST(SUM(sample_weight) AS BIGINT) AS t
+        FROM w GROUP BY lang),
 j AS (
   SELECT w.doc_id, w.lang, w.sample_weight, w.token, tot.t,
          CAST(CASE w.lang WHEN 'en' THEN 1000
@@ -3971,14 +3972,16 @@ WITH w AS (
            AS sample_weight,
          CAST(doc_id AS VARCHAR) || '#temp' AS token
   FROM documents),
-tot AS (SELECT lang, SUM(sample_weight) AS t,
+tot AS (SELECT lang, CAST(SUM(sample_weight) AS BIGINT) AS t,
                CAST(FLOOR(SQRT(SUM(sample_weight))) AS BIGINT) AS wt
         FROM w GROUP BY lang),
 shr AS (
   SELECT lang, t,
-         CAST(3000 AS BIGINT)
-           * ((wt * 1000000) // GREATEST((SELECT SUM(wt) FROM tot), 1))
-           // 1000000 AS stratum_budget
+         CAST(CAST(3000 AS BIGINT)
+              * ((wt * 1000000)
+                 // GREATEST((SELECT CAST(SUM(wt) AS BIGINT)
+                              FROM tot), 1))
+              // 1000000 AS BIGINT) AS stratum_budget
   FROM tot),
 h AS (
   SELECT w.doc_id, w.lang, w.sample_weight, shr.stratum_budget,
@@ -4514,6 +4517,54 @@ SELECT doc_id, fim_applied,
          '<MID>' || substring(text, st + 1, en - st)
        ELSE text END AS fim_text
 FROM s ORDER BY doc_id
+""")
+
+
+def q_upsample(spark, sf_dir):
+    """Epoch-weighted upsampling (corpusops.upsample_to_budget): de
+    gets ~2.5 epochs (2 full copies + hash-coin fractional), fr
+    exactly 1.0 (budget == its sf0.01 token supply), en ~0.5
+    (degrades to thinning), es/zh dropped (absent from budgets).  The
+    oracle replays rate arithmetic, copy fan-out and coin exactly."""
+    from neleval_spark.functions.corpusops import upsample_to_budget
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = upsample_to_budget(d, {"de": 9000, "en": 6000, "fr": 3758})
+    return out.select("doc_id", "lang", "sample_weight", "rate_ppm",
+                      "copy_idx").orderBy("doc_id", "copy_idx")
+
+
+Q_UPSAMPLE_SQL = ("""
+WITH w AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+                                                    '[^a-z0-9]+'),
+                              t -> t != '')) AS BIGINT)
+           AS sample_weight
+  FROM documents),
+t AS (SELECT lang, SUM(sample_weight) AS tot FROM w GROUP BY lang),
+r AS (
+  SELECT w.*,
+         CAST((CASE w.lang WHEN 'de' THEN 9000 WHEN 'en' THEN 6000
+                           WHEN 'fr' THEN 3758 ELSE 0 END
+               * CAST(1000000 AS BIGINT)) // greatest(tot, 1)
+              AS BIGINT) AS rate_ppm
+  FROM w JOIN t USING (lang)),
+h AS (
+  SELECT r.*,
+         (""" + _NEG_HASH_SQL.format(
+             v="CAST(doc_id AS VARCHAR) || '#epoch'") + """)
+           % 1000000 AS hh,
+         rate_ppm // 1000000 AS n_full
+  FROM r),
+x AS (
+  SELECT doc_id, lang, sample_weight, rate_ppm, hh, n_full,
+         UNNEST(range(0, CAST(n_full + 1 AS BIGINT))) AS copy_idx
+  FROM h)
+SELECT doc_id, lang, sample_weight, rate_ppm, copy_idx
+FROM x
+WHERE copy_idx < n_full OR hh < rate_ppm % 1000000
+ORDER BY doc_id, copy_idx
 """)
 
 
@@ -5809,7 +5860,7 @@ dangling AS (
     SELECT DISTINCT obj FROM t WHERE pred IN ('cooccurs_with')
   ) o WHERE o.obj NOT IN (SELECT DISTINCT subj FROM t)
 )
-SELECT "check", violations FROM (
+SELECT "check", CAST(violations AS BIGINT) AS violations FROM (
   SELECT 'null_field' AS "check",
          COALESCE(null_field, 0) AS violations FROM rowwise
   UNION ALL
@@ -6279,6 +6330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "minhash_pairs_hotguard": q_minhash_pairs_hotguard,
         "fim": q_fim,
+        "upsample": q_upsample,
     }
     return qs
 
@@ -6363,6 +6415,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_hotguard": Q_MINHASH_PAIRS_HOTGUARD_SQL,
         "dedup_cluster": Q_DEDUP_CLUSTER_SQL,
         "fim": Q_FIM_SQL,
+        "upsample": Q_UPSAMPLE_SQL,
         "leakage_split": Q_LEAKAGE_SPLIT_SQL,
         "shuffle_shards": Q_SHUFFLE_SHARDS_SQL,
         "dedup_increment": Q_DEDUP_INCREMENT_SQL,

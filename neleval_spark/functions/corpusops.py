@@ -300,6 +300,72 @@ def _keep_within_budget(with_w: DataFrame, budgeted: DataFrame,
             .where(F.col("sample_hash") < F.col("threshold")))
 
 
+def upsample_to_budget(docs: DataFrame, budgets: dict[str, int],
+                       stratum_col: str = "lang",
+                       key_col: str = "doc_id",
+                       text_col: str = "text",
+                       weight_col: str | None = None,
+                       denom: int = 1_000_000,
+                       salt: str = "#epoch",
+                       max_epochs: int = 1_000) -> DataFrame:
+    """Epoch-weighted mixture materialization: REPEAT each stratum's
+    documents so its expected token total equals the stratum budget —
+    the over-sampling half of a pretraining recipe ("books for 3.2
+    epochs, web for 0.7") that :func:`budget_sample` (keep-only)
+    cannot express.  Emits one row per (document, ``copy_idx``).
+
+    Per stratum, rate = budget/total as integer ppm.  Every document
+    gets ``rate div denom`` guaranteed copies plus ONE extra copy iff
+    its salted consistent hash lands under ``rate % denom`` — so the
+    fractional epoch is hash-deterministic (reproducible across runs,
+    engines and partitionings; ``rate < denom`` degrades to exactly
+    :func:`budget_sample`-style thinning, with this salt).  Strata
+    absent from ``budgets`` are dropped.
+
+    Scale shape: the same ONE tiny per-stratum aggregate + broadcast
+    join as :func:`budget_sample`; the repeat is a posexplode over a
+    per-row ``sequence`` bounded by the epoch count — no shuffle of
+    the repeated rows (they materialize exactly where the input
+    partition lives).  A budget implying more than ``max_epochs``
+    copies fails LOUDLY in-plan (``raise_error``): a mis-typed budget
+    would otherwise silently explode the corpus.  Keeps
+    ``sample_weight``, ``rate_ppm``, ``copy_idx`` for audit."""
+    with_w = docs.withColumn("sample_weight",
+                             _token_weight(text_col, weight_col))
+    totals = with_w.groupBy(stratum_col).agg(
+        F.sum("sample_weight").alias("_tot"))
+    bud = None
+    for stratum, b in sorted(budgets.items()):
+        cond = F.col(stratum_col) == stratum
+        val = F.lit(int(b)).cast("long")
+        bud = F.when(cond, val) if bud is None else bud.when(cond, val)
+    bud = (F.lit(0).cast("long") if bud is None
+           else bud.otherwise(F.lit(0).cast("long")))
+    budgeted = totals.withColumn("_bud", bud).withColumn(
+        "rate_ppm",
+        F.expr(f"_bud * CAST({int(denom)} AS BIGINT) "
+               f"div greatest(_tot, 1)"))
+    h = F.pmod(token_hash(F.concat(F.col(key_col).cast("string"),
+                                   F.lit(salt))),
+               F.lit(denom))
+    n_full = F.expr(f"rate_ppm div {int(denom)}")
+    n_full = (F.when(n_full <= max_epochs, n_full)
+              .otherwise(F.raise_error(F.format_string(
+                  "upsample_to_budget: budget implies %d full copies "
+                  f"per doc (> max_epochs={int(max_epochs)}) for "
+                  f"stratum '%s'", n_full, F.col(stratum_col)))))
+    frac = F.col("rate_ppm") % denom
+    return (with_w.join(F.broadcast(budgeted), stratum_col)
+            .withColumn("_hash", h)
+            .withColumn("_n_full", n_full)
+            .select("*", F.posexplode(
+                F.sequence(F.lit(0).cast("long"), F.col("_n_full")))
+                .alias("copy_idx", "_copy"))
+            .where((F.col("copy_idx") < F.col("_n_full"))
+                   | (F.col("_hash") < frac))
+            .drop("_bud", "_tot", "_hash", "_n_full", "_copy"))
+
+
 def temperature_sample(docs: DataFrame, total_budget: int,
                        alpha: float = 0.5,
                        stratum_col: str = "lang",

@@ -489,3 +489,40 @@ def test_dense_index_two_phase_window(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     rn = [line for line in plan.split("\n") if "row_number" in line]
     assert rn and all("_dr_sub" in line for line in rn), rn
+
+
+def test_upsample_to_budget_semantics(spark):
+    from neleval_spark.functions.corpusops import upsample_to_budget
+
+    # stratum a: 10 docs x 10 tokens = 100; b: 5 docs x 10 = 50
+    rows = [(i, "w " * 10, "a" if i < 10 else "b")
+            for i in range(15)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, "
+                              "lang string")
+    # a at 2.5 epochs, b at exactly 1.0; no third stratum
+    out = upsample_to_budget(d, {"a": 250, "b": 50}).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    # b: exactly one copy per doc (integer epoch, no coin)
+    for i in range(10, 15):
+        assert by_doc[i] == [0], i
+    # a: 2 or 3 copies per doc, contiguous idx from 0
+    n3 = 0
+    for i in range(10):
+        assert by_doc[i] in ([0, 1], [0, 1, 2]), i
+        n3 += len(by_doc[i]) == 3
+    # the fractional .5 epoch lands on SOME but not all docs
+    assert 0 < n3 < 10
+    # expected-token accounting: total ~= budget for a
+    a_rows = sum(len(v) for k, v in by_doc.items() if k < 10)
+    assert 20 <= a_rows <= 30
+    # deterministic
+    again = upsample_to_budget(d, {"a": 250, "b": 50}).collect()
+    assert sorted((r["doc_id"], r["copy_idx"]) for r in again) == \
+        sorted((r["doc_id"], r["copy_idx"]) for r in out)
+    # absurd budget fails loudly instead of exploding the corpus
+    import pytest
+    with pytest.raises(Exception, match="max_epochs"):
+        upsample_to_budget(d, {"a": 10_000_000}, max_epochs=100) \
+            .count()
