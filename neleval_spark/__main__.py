@@ -828,8 +828,11 @@ def cmd_curate(args):
     DSIR importance resampling toward a target corpus → Mikolov
     frequent-word subsampling → per-domain cap → token-budget
     mixture sampling → temperature language rebalancing →
-    leakage-safe train/valid/test split (hashes the near-dup CLUSTER
-    id) → deterministic global shuffle into exactly-balanced shards.
+    epoch-weighted upsampling (copies, for strata whose budget
+    EXCEEDS supply) → leakage-safe train/valid/test split (hashes
+    the near-dup CLUSTER id; upsampled copies share their doc's
+    cluster, so they can never straddle splits) → deterministic
+    global shuffle into exactly-balanced shards.
     Every stage is optional (off unless its flag is given),
     distributed, and deterministic; the curated table is written to
     --out (one file per shard, in read order, when --shards is given)
@@ -945,6 +948,21 @@ def cmd_curate(args):
                "stratum_budget")
         funnel["after_temperature"] = d.count()
 
+    if args.upsample:
+        from .functions.corpusops import upsample_to_budget
+
+        budgets = {}
+        for b in args.upsample:
+            stratum, _, tokens = b.partition("=")
+            budgets[stratum] = int(tokens)
+        # keeps copy_idx: it distinguishes the copies downstream
+        # (split keys on doc_id so copies stay together; the shard
+        # shuffle keys on (doc_id, copy_idx) so copies spread apart)
+        d = upsample_to_budget(d, budgets,
+                               stratum_col=args.stratum_col) \
+            .drop("sample_weight", "rate_ppm")
+        funnel["after_upsample"] = d.count()
+
     if args.split:
         from .functions.corpusops import split_by_cluster
 
@@ -980,8 +998,21 @@ def cmd_curate(args):
         from .functions.corpusops import shuffle_shards, write_shards
 
         groups = ["split"] if args.split else []
+        # upsampled copies share a doc_id; the shuffle permutation
+        # tie-breaks on its id column, so give each copy its own id
+        # (this also SPREADS a doc's copies through the epoch instead
+        # of leaving them adjacent).
+        id_col = "doc_id"
+        if "copy_idx" in d.columns:
+            d = d.withColumn(
+                "_shard_id",
+                F.concat_ws("#", F.col("doc_id").cast("string"),
+                            F.col("copy_idx").cast("string")))
+            id_col = "_shard_id"
         d = shuffle_shards(d, n_shards=args.shards,
-                           group_cols=groups)
+                           group_cols=groups, id_col=id_col)
+        if id_col == "_shard_id":
+            d = d.drop("_shard_id")
         write_shards(d, args.out, n_shards=args.shards,
                      group_cols=groups)
     else:
@@ -1341,6 +1372,13 @@ def main(argv=None):
                         dest="temperature_alpha",
                         help="rebalance exponent; exact lattice "
                              "0 / 0.5 / 1 only"),
+        sp.add_argument("--upsample", action="append",
+                        metavar="STRATUM=TOKENS",
+                        help="epoch-weighted token budget per stratum "
+                             "(repeat): REPEATS docs when the budget "
+                             "exceeds supply (integer copies + hash-"
+                             "coin fractional epoch); absent strata "
+                             "are dropped"),
         sp.add_argument("--stratum-col", default="lang"),
         sp.add_argument("--split", action="append",
                         metavar="NAME=PPM",

@@ -616,6 +616,48 @@ def test_cli_graph_corpus(spark, capsys, tmp_path):
                                   "n_steps"}
 
 
+def test_cli_curate_upsample(spark, capsys, tmp_path):
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "w " * 10, "en" if i < 20 else "de", "a.com")
+         for i in range(30)],
+        "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(docs)
+    # en: 20 docs x 10 tok = 200 supply at budget 200 (exactly 1
+    # epoch); de: 100 supply at budget 250 (2.5 epochs)
+    out = _run(capsys, "curate", docs, "-o", str(tmp_path / "cur"),
+               "--upsample", "en=200", "--upsample", "de=250",
+               "--split", "train=900000", "--split", "valid=100000",
+               "--shards", "3")
+    funnel = json.loads(out)["funnel"]
+    assert funnel["in"] == 30
+    # en exactly once each; de 2-3 copies each (20..30 rows)
+    assert 40 <= funnel["after_upsample"] <= 50
+    assert funnel["out"] == funnel["after_upsample"]
+    cur = spark.read.parquet(str(tmp_path / "cur"))
+    rows = cur.collect()
+    # copies keep copy_idx and NEVER straddle splits
+    splits_by_doc = {}
+    for r in rows:
+        splits_by_doc.setdefault(r["doc_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in splits_by_doc.values())
+    # every (doc_id, copy_idx) shard position is unique (composite
+    # shard id: duplicate doc_ids don't collapse the permutation)
+    pos = [(r["split"], r["shard"], r["shard_pos"]) for r in rows]
+    assert len(pos) == len(set(pos))
+    # de docs with 3 copies exist; their copies are spread across
+    # shards at least once (the permutation keys on copy_idx too)
+    de3 = [k for k, v in
+           {r["doc_id"]: sum(1 for x in rows
+                             if x["doc_id"] == r["doc_id"])
+            for r in rows if r["lang"] == "de"}.items() if v == 3]
+    assert de3
+    spread = any(
+        len({r["shard"] for r in rows if r["doc_id"] == d}) > 1
+        for d in de3)
+    assert spread
+
+
 def test_cli_curate_temperature(spark, capsys, tmp_path):
     docs = str(tmp_path / "docs")
     spark.createDataFrame(
