@@ -2884,6 +2884,138 @@ ORDER BY p.subj, p.pred, p.obj, p.j
 """)
 
 
+_KG_SYNTH_SQL = """
+  SELECT DISTINCT 'E' || CAST(doc_id % 50 AS VARCHAR) AS subj,
+         'cooccurs_with' AS pred,
+         'E' || CAST((doc_id + 1) % 50 AS VARCHAR) AS obj
+  FROM documents
+  UNION
+  SELECT DISTINCT 'E' || CAST(doc_id % 50 AS VARCHAR),
+         'type', 'T' || CAST(doc_id % 3 AS VARCHAR)
+  FROM documents
+  UNION
+  SELECT DISTINCT 'E' || CAST(doc_id % 50 AS VARCHAR),
+         'lives_in', 'C' || CAST(doc_id % 7 AS VARCHAR)
+  FROM documents"""
+
+
+def q_kg_ranking(spark, sf_dir):
+    """Filtered link-prediction ranking (graph/ranking.ranking_eval,
+    Bordes et al. 2013 §4 protocol): every 'lives_in' triple of the
+    deterministic synthetic KG is a test triple; candidates are the
+    full entity vocabulary; the rank counts better-scoring
+    candidates under the hash scorer MINUS better-scoring known true
+    objects (the filtered correction).  The oracle replays the
+    score hash, the total order and both counts exactly."""
+    from neleval_spark.graph.ranking import ranking_eval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+
+    def ent(e):
+        return F.concat(F.lit("E"), (e % 50).cast("string"))
+
+    triples = (
+        docs.select(ent(i).alias("subj"),
+                    F.lit("cooccurs_with").alias("pred"),
+                    ent(i + 1).alias("obj"))
+        .unionByName(docs.select(
+            ent(i).alias("subj"), F.lit("type").alias("pred"),
+            F.concat(F.lit("T"), (i % 3).cast("string")).alias("obj")))
+        .unionByName(docs.select(
+            ent(i).alias("subj"), F.lit("lives_in").alias("pred"),
+            F.concat(F.lit("C"), (i % 7).cast("string")).alias("obj")))
+    ).distinct()
+    test = triples.where(F.col("pred") == "lives_in")
+    out = ranking_eval(test, triples)
+    return out.orderBy("subj", "pred", "obj")
+
+
+_RANK_SCORE = ("(" + _NEG_HASH_SQL.format(
+    v="{s} || chr(31) || {p} || chr(31) || {e} || chr(31) || '#rank'")
+    + ")")
+
+Q_KG_RANKING_SQL = ("""
+WITH t AS (""" + _KG_SYNTH_SQL + """),
+ents AS (
+  SELECT DISTINCT entity FROM (
+    SELECT subj AS entity FROM t
+    UNION ALL SELECT obj FROM t)),
+ts AS (
+  SELECT subj, pred, obj,
+         """ + _RANK_SCORE.format(s="subj", p="pred", e="obj") + """
+           AS st
+  FROM t WHERE pred = 'lives_in'),
+raw AS (
+  SELECT s.subj, s.pred, s.obj, COUNT(*) AS n_raw
+  FROM ts s JOIN ents e
+    ON (""" + _RANK_SCORE.format(s="s.subj", p="s.pred",
+                                 e="e.entity") + """ > s.st
+        OR (""" + _RANK_SCORE.format(s="s.subj", p="s.pred",
+                                     e="e.entity") + """ = s.st
+            AND e.entity < s.obj))
+  GROUP BY 1, 2, 3),
+kb AS (
+  SELECT s.subj, s.pred, s.obj, COUNT(*) AS n_kb
+  FROM ts s JOIN t
+    ON t.subj = s.subj AND t.pred = s.pred AND t.obj != s.obj
+  WHERE (""" + _RANK_SCORE.format(s="s.subj", p="s.pred",
+                                  e="t.obj") + """ > s.st
+         OR (""" + _RANK_SCORE.format(s="s.subj", p="s.pred",
+                                      e="t.obj") + """ = s.st
+             AND t.obj < s.obj))
+  GROUP BY 1, 2, 3)
+SELECT subj, pred, obj,
+       CAST(1 + COALESCE(n_raw, 0) - COALESCE(n_kb, 0) AS BIGINT)
+         AS rank,
+       ROUND(1.0 / (1 + COALESCE(n_raw, 0) - COALESCE(n_kb, 0)), 6)
+         AS rr
+FROM ts LEFT JOIN raw USING (subj, pred, obj)
+        LEFT JOIN kb USING (subj, pred, obj)
+ORDER BY subj, pred, obj
+""")
+
+
+def q_snapshot_intervals(spark, sf_dir):
+    """SCD-2 validity intervals (corpusops.snapshot_intervals): the
+    events stream read as a crawl history (user_id = url, event_type
+    = content fingerprint) collapses into per-key runs with
+    [valid_from_ms, valid_to_ms) bounds, -1 pinning the open run on
+    both engines.  The oracle replays the gaps-and-islands run
+    detection, the ms arithmetic and the lead() bounds exactly."""
+    from neleval_spark.functions.corpusops import snapshot_intervals
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = snapshot_intervals(ev, key="user_id", ts="ts",
+                             value_col="event_type",
+                             tiebreak="event_id")
+    return out.orderBy("user_id", "valid_from_ms")
+
+
+Q_SNAPSHOT_INTERVALS_SQL = ("""
+WITH s AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ms,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts), event_id) AS rn,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_ms(ts), event_id)
+           AS prev,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+st AS (SELECT * FROM s
+       WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+SELECT user_id, event_type,
+       CAST(ms AS BIGINT) AS valid_from_ms,
+       CAST(COALESCE(lead(ms) OVER (PARTITION BY user_id
+                                    ORDER BY rn), -1) AS BIGINT)
+         AS valid_to_ms,
+       CAST(COALESCE(lead(rn) OVER (PARTITION BY user_id
+                                    ORDER BY rn), n + 1) - rn
+            AS BIGINT) AS n_snapshots
+FROM st ORDER BY user_id, valid_from_ms
+""")
+
+
 def q_random_walks(spark, sf_dir):
     """DeepWalk corpus generation (graph/walks.random_walks) over
     the synthetic ring+residence KG (each Ei has out-degree 2: the
@@ -6331,6 +6463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_hotguard": q_minhash_pairs_hotguard,
         "fim": q_fim,
         "upsample": q_upsample,
+        "kg_ranking": q_kg_ranking,
+        "snapshot_intervals": q_snapshot_intervals,
     }
     return qs
 
@@ -6416,6 +6550,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster": Q_DEDUP_CLUSTER_SQL,
         "fim": Q_FIM_SQL,
         "upsample": Q_UPSAMPLE_SQL,
+        "kg_ranking": Q_KG_RANKING_SQL,
+        "snapshot_intervals": Q_SNAPSHOT_INTERVALS_SQL,
         "leakage_split": Q_LEAKAGE_SPLIT_SQL,
         "shuffle_shards": Q_SHUFFLE_SHARDS_SQL,
         "dedup_increment": Q_DEDUP_INCREMENT_SQL,

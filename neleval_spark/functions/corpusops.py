@@ -666,6 +666,66 @@ def crawl_diff(old: DataFrame, new: DataFrame, key: str = "url",
                     "old_content", "new_content")
 
 
+def snapshot_intervals(pages: DataFrame, key: str = "url",
+                       ts: str = "warc_ts",
+                       value_col: str = "content_hash",
+                       tiebreak: str | None = None,
+                       open_end_ms: int = -1) -> DataFrame:
+    """Validity intervals from a full crawl history (SCD-2 over
+    snapshots; the N-generation generalization of the two-generation
+    :func:`crawl_diff`): collapse each ``key``'s consecutive run of
+    an identical ``value_col`` into ONE row ``(key, value,
+    valid_from_ms, valid_to_ms, n_snapshots)`` — "this url served
+    THIS content from t1 until t2".  Temporal-KG construction reads
+    these as triple validity intervals; recrawl schedulers read run
+    lengths as churn rates.  The open (current) run gets
+    ``valid_to_ms = open_end_ms`` (a pinned sentinel, not NULL — the
+    crawl_diff convention).
+
+    Gaps-and-islands WITHOUT the groupBy: run STARTS are detected
+    with ``lag`` (null-safe — a NULL value is a run like any other),
+    non-start rows are dropped, and each start's ``valid_to`` /
+    ``n_snapshots`` come from ``lead`` over the surviving rows.
+
+    Scale shape: every window partitions by ``key``, so the plan is
+    ONE exchange (hash on key) followed by per-key sorts — the
+    filter between the two window stacks preserves the
+    partitioning, so the second stack re-sorts but does NOT
+    re-shuffle.  Per-key data is one url's recrawl history (tiny);
+    there is no global sort and no driver state.  Timestamps are
+    compared as epoch MILLISECONDS (engine-agnostic integers).
+    ``tiebreak`` orders equal-timestamp snapshots deterministically
+    (pass a fetch id); without it, ties order by ``value_col``."""
+    order = [F.col("_si_ms"),
+             F.col(tiebreak) if tiebreak else F.col(value_col)]
+    w = Window.partitionBy(key).orderBy(*order)
+    wk = Window.partitionBy(key)
+    d = (pages
+         .withColumn("_si_ms",
+                     F.unix_millis(F.col(ts).cast("timestamp")))
+         .withColumn("_si_prev", F.lag(F.col(value_col)).over(w))
+         .withColumn("_si_rn", F.row_number().over(w))
+         .withColumn("_si_n", F.count(F.lit(1)).over(wk)))
+    starts = d.where(
+        (F.col("_si_rn") == 1)
+        | ~F.col("_si_prev").eqNullSafe(F.col(value_col)))
+    w2 = Window.partitionBy(key).orderBy("_si_rn")
+    return (starts
+            .withColumn("valid_from_ms", F.col("_si_ms"))
+            .withColumn(
+                "valid_to_ms",
+                F.coalesce(F.lead("_si_ms").over(w2),
+                           F.lit(int(open_end_ms)).cast("long")))
+            .withColumn(
+                "n_snapshots",
+                (F.coalesce(F.lead("_si_rn").over(w2),
+                            F.col("_si_n") + 1)
+                 - F.col("_si_rn")).cast("long"))
+            .select(key, F.col(value_col),
+                    F.col("valid_from_ms").cast("long"),
+                    "valid_to_ms", "n_snapshots"))
+
+
 def chunk_text(docs: DataFrame, max_tokens: int = 128,
                overlap: int = 32, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:

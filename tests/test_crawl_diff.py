@@ -26,3 +26,65 @@ def test_narrow_projection(spark):
     new = spark.createDataFrame([("a", 1)], "url string, content_hash int")
     out = crawl_diff(old, new)
     assert out.columns == ["url", "status", "old_content", "new_content"]
+
+
+def test_snapshot_intervals_runs(spark):
+    from datetime import datetime
+
+    from neleval_spark.functions.corpusops import snapshot_intervals
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # url a: h1 (2 fetches) -> h2 (1) -> h1 again (new run, 2)
+        ("a", t(0), "h1", 0), ("a", t(10), "h1", 1),
+        ("a", t(20), "h2", 2),
+        ("a", t(30), "h1", 3), ("a", t(40), "h1", 4),
+        # url b: single snapshot, open run
+        ("b", t(5), "hb", 5),
+        # url c: NULL hash run then a real one (NULL is a run too)
+        ("c", t(0), None, 6), ("c", t(10), None, 7),
+        ("c", t(20), "hc", 8),
+    ]
+    d = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, content_hash string, "
+        "fetch_id long")
+    out = snapshot_intervals(d, tiebreak="fetch_id")
+    key = lambda x: (x[0], x[1] or "", x[2:])  # noqa: E731
+    got = sorted(((r["url"], r["content_hash"], r["valid_from_ms"],
+                   r["valid_to_ms"], r["n_snapshots"])
+                  for r in out.collect()), key=key)
+
+    def ms(s):
+        import calendar
+        return calendar.timegm(t(s).timetuple()) * 1000
+
+    assert got == sorted([
+        ("a", "h1", ms(0), ms(20), 2),
+        ("a", "h2", ms(20), ms(30), 1),
+        ("a", "h1", ms(30), -1, 2),
+        ("b", "hb", ms(5), -1, 1),
+        ("c", None, ms(0), ms(20), 2),
+        ("c", "hc", ms(20), -1, 1),
+    ], key=key)
+    # interval cover: per url, n_snapshots sums to the fetch count
+    per = {}
+    for u, _, _, _, n in got:
+        per[u] = per.get(u, 0) + n
+    assert per == {"a": 5, "b": 1, "c": 3}
+
+
+def test_snapshot_intervals_one_exchange(spark):
+    """Every window partitions by the key: the whole plan shuffles
+    exactly once (the second window stack re-sorts but must not
+    re-exchange after the run-start filter)."""
+    from neleval_spark.functions.corpusops import snapshot_intervals
+
+    d = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", "h", 1)],
+        "url string, warc_ts string, content_hash string, "
+        "fetch_id long")
+    out = snapshot_intervals(d, tiebreak="fetch_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
