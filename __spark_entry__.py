@@ -2976,6 +2976,74 @@ ORDER BY subj, pred, obj
 """)
 
 
+def q_kcore(spark, sf_dir):
+    """k-core peel (graph/kcore.kcore, Batagelj-Zaveršnik): the
+    synthetic co-occurrence graph is a 50-ring + chords (everything
+    in the 2-core) with pendant vertices and length-2 pendant chains
+    (peel rounds 1 and 2).  kcore(k=2) must strip every P*/Q*
+    vertex and keep the ring+chords exactly; the oracle unrolls four
+    peel rounds (peel depth here is 3) in chained CTEs."""
+    from neleval_spark.graph.kcore import kcore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+
+    def ent(pre, e):
+        return F.concat(F.lit(pre), (e % 50).cast("string"))
+
+    edges = (
+        docs.select(ent("E", i).alias("src"),
+                    ent("E", i + 1).alias("dst"))
+        .unionByName(docs.select(ent("E", i).alias("src"),
+                                 ent("E", i * 7).alias("dst")))
+        .unionByName(docs.where(i % 5 == 0).select(
+            ent("P", i).alias("src"), ent("E", i).alias("dst")))
+        .unionByName(docs.where(i % 10 == 0).select(
+            ent("Q", i).alias("src"), ent("P", i).alias("dst")))
+    )
+    return kcore(edges, 2).orderBy("a", "b")
+
+
+def _kcore_rounds_sql(n_rounds: int, k: int) -> str:
+    parts = []
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""
+d{r} AS (
+  SELECT v, COUNT(*) AS c FROM (
+    SELECT a AS v FROM e{r - 1}
+    UNION ALL SELECT b FROM e{r - 1}) GROUP BY v),
+k{r} AS (SELECT v FROM d{r} WHERE c >= {k}),
+e{r} AS (
+  SELECT a, b FROM e{r - 1}
+  WHERE a IN (SELECT v FROM k{r})
+    AND b IN (SELECT v FROM k{r}))""")
+    return ",".join(parts)
+
+
+Q_KCORE_SQL = ("""
+WITH raw AS (
+  SELECT 'E' || CAST(doc_id % 50 AS VARCHAR) AS src,
+         'E' || CAST((doc_id + 1) % 50 AS VARCHAR) AS dst
+  FROM documents
+  UNION ALL
+  SELECT 'E' || CAST(doc_id % 50 AS VARCHAR),
+         'E' || CAST((doc_id * 7) % 50 AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'P' || CAST(doc_id % 50 AS VARCHAR),
+         'E' || CAST(doc_id % 50 AS VARCHAR)
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 'Q' || CAST(doc_id % 50 AS VARCHAR),
+         'P' || CAST(doc_id % 50 AS VARCHAR)
+  FROM documents WHERE doc_id % 10 = 0),
+e0 AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src != dst),""" + _kcore_rounds_sql(4, 2) + """
+SELECT a, b FROM e4 ORDER BY a, b
+""")
+
+
 def q_snapshot_intervals(spark, sf_dir):
     """SCD-2 validity intervals (corpusops.snapshot_intervals): the
     events stream read as a crawl history (user_id = url, event_type
@@ -6465,6 +6533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample": q_upsample,
         "kg_ranking": q_kg_ranking,
         "snapshot_intervals": q_snapshot_intervals,
+        "kcore": q_kcore,
     }
     return qs
 
@@ -6552,6 +6621,7 @@ def oracle_sql() -> dict[str, str]:
         "upsample": Q_UPSAMPLE_SQL,
         "kg_ranking": Q_KG_RANKING_SQL,
         "snapshot_intervals": Q_SNAPSHOT_INTERVALS_SQL,
+        "kcore": Q_KCORE_SQL,
         "leakage_split": Q_LEAKAGE_SPLIT_SQL,
         "shuffle_shards": Q_SHUFFLE_SHARDS_SQL,
         "dedup_increment": Q_DEDUP_INCREMENT_SQL,
