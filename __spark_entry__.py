@@ -2976,6 +2976,75 @@ ORDER BY subj, pred, obj
 """)
 
 
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (functions/bitext.mine_bitext,
+    Artetxe & Schwenk 2019 ratio margin + mutual-best): even-label
+    embeddings are the source side, odd-label the target; candidate
+    pairs come from the shared LSH tables, the margin normalizes by
+    each side's top-4 neighbourhood mean (ordered fold — bit-stable
+    summation), mutual-best keeps 1:1 alignments.  The oracle
+    replays signatures, cosine, both neighbourhood means
+    (list_reduce over rank-ordered lists) and both argmax windows
+    exactly."""
+    from neleval_spark.functions.bitext import mine_bitext
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = F.col("embedding").cast("array<double>")
+    src = e.where(F.col("label") % 2 == 0).select(
+        F.col("vec_id").alias("sid"), emb.alias("sv"))
+    tgt = e.where(F.col("label") % 2 == 1).select(
+        F.col("vec_id").alias("tid"), emb.alias("tv"))
+    out = mine_bitext(src, tgt, k=4, threshold=1.0, mutual=True)
+    return out.orderBy("sid")
+
+
+Q_BITEXT_MINE_SQL = f"""
+WITH s AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE label % 2 = 0),
+t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE label % 2 = 1),
+ssig AS ({_lsh_sig_sql(4, 8, 's')}),
+tsig AS ({_lsh_sig_sql(4, 8, 't')}),
+pairs AS (
+  SELECT DISTINCT a.id AS sid, b.id AS tid
+  FROM ssig a JOIN tsig b ON a.tbl = b.tbl AND a.sig = b.sig),
+sim AS (
+  SELECT sid, tid,
+         list_dot_product(sv.v, tv.v)
+           / (sqrt(list_dot_product(sv.v, sv.v))
+              * sqrt(list_dot_product(tv.v, tv.v))) AS c
+  FROM pairs
+  JOIN s sv ON sv.id = pairs.sid
+  JOIN t tv ON tv.id = pairs.tid),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY sid
+                            ORDER BY c DESC, tid ASC) AS rs,
+         row_number() OVER (PARTITION BY tid
+                            ORDER BY c DESC, sid ASC) AS rt
+  FROM sim),
+asg AS (SELECT sid, list_reduce(list(c ORDER BY rs),
+                                (a, b) -> a + b) / COUNT(*) AS av_s
+        FROM rk WHERE rs <= 4 GROUP BY sid),
+atg AS (SELECT tid, list_reduce(list(c ORDER BY rt),
+                                (a, b) -> a + b) / COUNT(*) AS av_t
+        FROM rk WHERE rt <= 4 GROUP BY tid),
+m AS (
+  SELECT rk.sid, rk.tid, c, c * 2.0 / (av_s + av_t) AS margin
+  FROM rk JOIN asg USING (sid) JOIN atg USING (tid)),
+f AS (SELECT * FROM m WHERE margin >= 1.0),
+b AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY sid
+                            ORDER BY margin DESC, tid ASC) AS bs,
+         row_number() OVER (PARTITION BY tid
+                            ORDER BY margin DESC, sid ASC) AS bt
+  FROM f)
+SELECT sid, tid, ROUND(c, 6) AS cos, ROUND(margin, 6) AS margin
+FROM b WHERE bs = 1 AND bt = 1 ORDER BY sid
+"""
+
+
 def q_kcore(spark, sf_dir):
     """k-core peel (graph/kcore.kcore, Batagelj-Zaveršnik): the
     synthetic co-occurrence graph is a 50-ring + chords (everything
@@ -6534,6 +6603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ranking": q_kg_ranking,
         "snapshot_intervals": q_snapshot_intervals,
         "kcore": q_kcore,
+        "bitext_mine": q_bitext_mine,
     }
     return qs
 
@@ -6622,6 +6692,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ranking": Q_KG_RANKING_SQL,
         "snapshot_intervals": Q_SNAPSHOT_INTERVALS_SQL,
         "kcore": Q_KCORE_SQL,
+        "bitext_mine": Q_BITEXT_MINE_SQL,
         "leakage_split": Q_LEAKAGE_SPLIT_SQL,
         "shuffle_shards": Q_SHUFFLE_SHARDS_SQL,
         "dedup_increment": Q_DEDUP_INCREMENT_SQL,
