@@ -72,11 +72,14 @@ def mine_bitext(src: DataFrame, tgt: DataFrame, k: int = 4,
         .withColumnRenamed("id", id_t)
     pairs = (ss.join(ts, ["table", "sig"])
              .select(id_s, id_t).distinct())
+    # per-row norm staging below the joins (PLANS.md "cosine family")
     cos = _dot(F.col(vec_s), F.col(vec_t)) / (
-        _norm(F.col(vec_s)) * _norm(F.col(vec_t)))
+        F.col("_sn") * F.col("_tn"))
     scored = (pairs
-              .join(src.select(id_s, vec_s), id_s)
-              .join(tgt.select(id_t, vec_t), id_t)
+              .join(src.select(id_s, vec_s).withColumn(
+                  "_sn", _norm(F.col(vec_s))), id_s)
+              .join(tgt.select(id_t, vec_t).withColumn(
+                  "_tn", _norm(F.col(vec_t))), id_t)
               .select(id_s, id_t, cos.alias("_cos")))
 
     w_s = Window.partitionBy(id_s).orderBy(F.col("_cos").desc(),

@@ -96,3 +96,38 @@ def test_partitioning_invariance(spark):
                     _vecs(spark, tgt_rows, "tid", "tv").repartition(3),
                     k=3, threshold=1.0, n_tables=8).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_norms_staged_below_join(spark):
+    """The per-row norm folds must SURVIVE optimization below the
+    pair join: the per-pair projection (the one holding the zip_with
+    dot product) must not contain a sqrt — a re-inlined norm would
+    put the whole cosine family back at three interpreted folds per
+    candidate pair (PLANS.md 'cosine family')."""
+    from neleval_spark.functions.bitext import mine_bitext
+    from neleval_spark.functions.similarity import (ann_lsh_topk,
+                                                    cosine_topk)
+
+    src_rows, tgt_rows = _planted(6)
+    src = _vecs(spark, src_rows, "sid", "sv")
+    tgt = _vecs(spark, tgt_rows, "tid", "tv")
+    for out in (
+        mine_bitext(src, tgt, k=2, threshold=0.0, n_tables=8),
+        ann_lsh_topk(
+            src.withColumnRenamed("sid", "qid")
+               .withColumnRenamed("sv", "qv"),
+            tgt.withColumnRenamed("tid", "cid")
+               .withColumnRenamed("tv", "cv"), k=2, n_tables=8),
+        cosine_topk(
+            src.withColumnRenamed("sid", "qid")
+               .withColumnRenamed("sv", "qv"),
+            tgt.withColumnRenamed("tid", "cid")
+               .withColumnRenamed("tv", "cv"), k=2),
+    ):
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        pair_lines = [ln for ln in plan.split("\n")
+                      if "zip_with" in ln]
+        assert pair_lines, plan
+        assert all("SQRT" not in ln.upper() for ln in pair_lines), \
+            pair_lines
+        assert "SQRT" in plan.upper()
