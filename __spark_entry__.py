@@ -3113,6 +3113,72 @@ SELECT a, b FROM e4 ORDER BY a, b
 """)
 
 
+def q_linkpred(spark, sf_dir):
+    """Neighborhood link-prediction features (graph/linkpred
+    .link_prediction, Liben-Nowell & Kleinberg): common neighbours /
+    Jaccard / Adamic-Adar over the kcore probe graph's distance-2
+    non-edges.  The oracle replays the wedge self-join, the z-sorted
+    ordered Adamic-Adar fold (list_reduce over list(ORDER BY z)) and
+    the existing-edge anti-join exactly."""
+    from neleval_spark.graph.linkpred import link_prediction
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+
+    def ent(pre, e):
+        return F.concat(F.lit(pre), (e % 50).cast("string"))
+
+    edges = (
+        docs.select(ent("E", i).alias("src"),
+                    ent("E", i + 1).alias("dst"))
+        .unionByName(docs.select(ent("E", i).alias("src"),
+                                 ent("E", i * 7).alias("dst")))
+        .unionByName(docs.where(i % 5 == 0).select(
+            ent("P", i).alias("src"), ent("E", i).alias("dst")))
+    )
+    return link_prediction(edges).orderBy("u", "w")
+
+
+Q_LINKPRED_SQL = ("""
+WITH raw AS (
+  SELECT 'E' || CAST(doc_id % 50 AS VARCHAR) AS src,
+         'E' || CAST((doc_id + 1) % 50 AS VARCHAR) AS dst
+  FROM documents
+  UNION ALL
+  SELECT 'E' || CAST(doc_id % 50 AS VARCHAR),
+         'E' || CAST((doc_id * 7) % 50 AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'P' || CAST(doc_id % 50 AS VARCHAR),
+         'E' || CAST(doc_id % 50 AS VARCHAR)
+  FROM documents WHERE doc_id % 5 = 0),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src != dst),
+adj AS (SELECT a AS z, b AS n FROM e
+        UNION ALL SELECT b AS z, a AS n FROM e),
+deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY z),
+cent AS (SELECT adj.z, adj.n, deg.d FROM adj JOIN deg USING (z)),
+wedge AS (
+  SELECT c1.n AS u, c2.n AS w, c1.z, 1.0 / ln(c1.d) AS inv
+  FROM cent c1 JOIN cent c2 ON c1.z = c2.z AND c1.n < c2.n),
+sc AS (
+  SELECT u, w, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         list_reduce(list(inv ORDER BY z), (x, y) -> x + y) AS aa
+  FROM wedge GROUP BY u, w),
+j AS (
+  SELECT sc.u, sc.w, sc.common_neighbors, sc.aa,
+         du.d AS du, dw.d AS dw
+  FROM sc JOIN deg du ON du.z = sc.u JOIN deg dw ON dw.z = sc.w)
+SELECT u, w, common_neighbors,
+       ROUND(common_neighbors
+             / (du + dw - common_neighbors), 6) AS jaccard,
+       ROUND(aa, 6) AS adamic_adar
+FROM j ANTI JOIN e ON j.u = e.a AND j.w = e.b
+ORDER BY u, w
+""")
+
+
 def q_snapshot_intervals(spark, sf_dir):
     """SCD-2 validity intervals (corpusops.snapshot_intervals): the
     events stream read as a crawl history (user_id = url, event_type
@@ -6604,6 +6670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_intervals": q_snapshot_intervals,
         "kcore": q_kcore,
         "bitext_mine": q_bitext_mine,
+        "linkpred": q_linkpred,
     }
     return qs
 
@@ -6693,6 +6760,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_intervals": Q_SNAPSHOT_INTERVALS_SQL,
         "kcore": Q_KCORE_SQL,
         "bitext_mine": Q_BITEXT_MINE_SQL,
+        "linkpred": Q_LINKPRED_SQL,
         "leakage_split": Q_LEAKAGE_SPLIT_SQL,
         "shuffle_shards": Q_SHUFFLE_SHARDS_SQL,
         "dedup_increment": Q_DEDUP_INCREMENT_SQL,
