@@ -1038,6 +1038,22 @@ def cmd_graph_corpus(args):
     spark = _spark()
     edges = spark.read.parquet(args.edges).select("src", "dst")
 
+    n_kcore = None
+    if args.kcore:
+        # prune the stray-mention periphery BEFORE walk generation:
+        # 1-shell vertices dominate walk starts but carry no
+        # co-occurrence signal (graph/kcore.py).  kcore() returns
+        # the normalized a<b undirected edges — symmetrize so every
+        # surviving vertex starts walks (the walk ops read src→dst)
+        from .graph.kcore import kcore
+
+        core = kcore(edges, args.kcore)
+        n_kcore = core.count()
+        edges = (core.select(F.col("a").alias("src"),
+                             F.col("b").alias("dst"))
+                 .unionByName(core.select(
+                     F.col("b").alias("src"), F.col("a").alias("dst"))))
+
     biased = not (args.w_return == args.w_near == args.w_far == 1)
     if biased:
         walks = node2vec_walks(
@@ -1070,6 +1086,7 @@ def cmd_graph_corpus(args):
         "pairs": spark.read.parquet(f"{args.out}/pairs").count(),
         "negatives":
             spark.read.parquet(f"{args.out}/negatives").count(),
+        "kcore_edges": n_kcore,
         "biased": biased, "out_path": args.out}))
 
 
@@ -1400,6 +1417,10 @@ def main(argv=None):
         sp.add_argument("edges",
                         help="parquet edge list (src, dst)"),
         sp.add_argument("-o", "--out", required=True),
+        sp.add_argument("--kcore", type=int, default=0,
+                        help="prune to the k-core before walk "
+                             "generation (strip stray-mention "
+                             "periphery; 0 = stage off)"),
         sp.add_argument("--walk-len", type=int, default=5,
                         dest="walk_len"),
         sp.add_argument("--n-walks", type=int, default=4,

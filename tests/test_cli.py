@@ -616,6 +616,31 @@ def test_cli_graph_corpus(spark, capsys, tmp_path):
                                   "n_steps"}
 
 
+def test_cli_graph_corpus_kcore(spark, capsys, tmp_path):
+    from pyspark.sql import functions as F
+
+    edges = str(tmp_path / "edges")
+    ring = [(f"n{i}", f"n{(i + 1) % 8}") for i in range(8)]
+    chords = [(f"n{i}", f"n{(i + 3) % 8}") for i in range(8)]
+    leaves = [(f"leaf{i}", f"n{i}") for i in range(4)]
+    spark.createDataFrame(ring + chords + leaves,
+                          "src string, dst string") \
+        .write.mode("overwrite").parquet(edges)
+    out = _run(capsys, "graph-corpus", edges,
+               "-o", str(tmp_path / "gc"),
+               "--kcore", "2", "--walk-len", "3", "--n-walks", "1",
+               "--n-neg", "1")
+    res = json.loads(out)
+    # the 4 leaf edges are peeled before walk generation
+    assert res["kcore_edges"] == 16
+    walks = spark.read.parquet(str(tmp_path / "gc") + "/walks")
+    nodes = {r["node"] for r in walks.select("node").collect()}
+    assert nodes == {f"n{i}" for i in range(8)}  # no leaf starts
+    # and no walk ever visits a leaf
+    assert walks.where(
+        F.exists("path", lambda s: s.startswith("leaf"))).count() == 0
+
+
 def test_cli_curate_upsample(spark, capsys, tmp_path):
     docs = str(tmp_path / "docs")
     spark.createDataFrame(
