@@ -5,4 +5,5 @@ from .ingest import (  # noqa: F401
     stream_pages,
 )
 from .dedup import stream_dedup  # noqa: F401
+from .intervals import stream_snapshot_runs  # noqa: F401
 from .sessions import stream_host_sessions  # noqa: F401

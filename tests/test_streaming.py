@@ -420,3 +420,75 @@ def test_stream_sessions_late_event_extends_pending(spark, tmp_path):
     # one MERGED session (0..35, 3 docs) + the minute-70 session;
     # no (0,10,2)/(35,35,1) split pair
     assert rows == [(0, 3), (10, 1)]  # minute 70 % 60 == 10
+
+
+def test_fold_settled_pure():
+    from neleval_spark.streaming.intervals import _fold_settled
+
+    # fresh key: one run forms, nothing closes
+    run, closed = _fold_settled(None, [(0, "h1"), (10, "h1")])
+    assert run == (0, 10, 2, "h1") and closed == []
+    # hash change closes the run AT the changing snapshot's ts
+    run, closed = _fold_settled(run, [(20, "h2"), (30, "h1")])
+    assert closed == [((0, 10, 2, "h1"), 20), ((20, 20, 1, "h2"), 30)]
+    assert run == (30, 30, 1, "h1")
+    # no settled snapshots: no change
+    assert _fold_settled(run, []) == (run, [])
+
+
+def test_stream_snapshot_runs_matches_batch(spark, tmp_path):
+    """Streamed closed intervals == the batch operator's closed
+    intervals on the same fetch history, including an out-of-order
+    different-hash snapshot that SPLITS a pending run."""
+    import datetime as dt
+
+    from neleval_spark.functions.corpusops import snapshot_intervals
+    from neleval_spark.streaming import stream_snapshot_runs
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def snap(url, minutes, h):
+        return (url, t0 + dt.timedelta(minutes=minutes), h)
+
+    schema = "url string, warc_ts timestamp, content_hash string"
+    d = str(tmp_path / "snaps")
+    # batch 1: u1 changes h1->h2->h1; u4 h1 twice (gap hides a late
+    # h2); u2 single open run
+    b1 = [snap("u1", 0, "h1"), snap("u1", 10, "h1"),
+          snap("u1", 20, "h2"), snap("u1", 30, "h1"),
+          snap("u4", 0, "h1"), snap("u4", 40, "h1"),
+          snap("u2", 5, "hx")]
+    # batch 2: a LATE but admissible u4 snapshot lands between the
+    # two pending ones and must split them; u1's open run extends
+    b2 = [snap("u4", 20, "h2"), snap("u1", 360, "h1")]
+    # batch 3: far-future fetch advances the watermark past
+    # everything above (wm = 720 - 60 = 660 min)
+    b3 = [snap("u3", 720, "hz")]
+    for b in (b1, b2, b3):
+        spark.createDataFrame(b, schema).coalesce(1) \
+            .write.mode("append").parquet(d)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    q = (stream_snapshot_runs(stream, watermark="1 hour")
+         .writeStream.format("memory").queryName("snap_runs")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r["url"], r["content_hash"],
+            int(r["valid_from"].timestamp()),
+            int(r["valid_to"].timestamp()), r["n_snapshots"])
+           for r in spark.sql("SELECT * FROM snap_runs").collect()}
+
+    batch = snapshot_intervals(
+        spark.createDataFrame(b1 + b2 + b3, schema),
+        value_col="content_hash")
+    want = {(r["url"], r["content_hash"], r["valid_from_ms"] // 1000,
+             r["valid_to_ms"] // 1000, r["n_snapshots"])
+            for r in batch.collect() if r["valid_to_ms"] != -1}
+    assert got == want
+    # the late h2 split u4's history into three runs, two closed
+    assert sum(1 for u, *_ in got if u == "u4") == 2
+    # open runs (u2, u3, u1's last) are never emitted by the stream
+    assert not any(u in ("u2", "u3") for u, *_ in got)
