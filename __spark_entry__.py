@@ -3179,6 +3179,101 @@ ORDER BY u, w
 """)
 
 
+def _er_records(spark, sf_dir):
+    """Deterministic fuzzy-ER demo corpus: the 64 distinct part names
+    plus two variants per name — a token swap (0 edits after the
+    matcher's token-sort normalization) and a dropped 3rd character
+    (1 edit) — so the expected clusters are known by construction."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    base = part.select(F.col("p_name").alias("name")).distinct()
+    return (base.select(
+                F.concat(F.lit("b:"), "name").alias("id"), F.col("name"))
+            .unionByName(base.select(
+                F.concat(F.lit("s:"), "name").alias("id"),
+                F.array_join(F.reverse(F.split("name", " ")),
+                             " ").alias("name")))
+            .unionByName(base.select(
+                F.concat(F.lit("d:"), "name").alias("id"),
+                F.expr("concat(substring(name, 1, 2), substring(name, 4))")
+                .alias("name"))))
+
+
+def q_er_pairs(spark, sf_dir):
+    """Fuzzy entity resolution, match stage (functions/er.er_match):
+    q-gram prefix-filter blocking (SSJoin/PPJoin bound: ``d*q + 1``
+    rarest occurrence-keyed grams per record under one global
+    frequency order) + integer levenshtein verify on the token-sorted
+    normalized names.  The KB-merge primitive the reference lacks
+    (its KB joins are exact on kbid).  The oracle is the BRUTE-FORCE
+    all-pairs distance join — so a green row certifies the blocking
+    is COMPLETE (no pair within the distance bound escapes the
+    prefix filter), not merely self-consistent."""
+    from neleval_spark.functions.er import er_match
+
+    recs = _er_records(spark, sf_dir)
+    return er_match(recs).orderBy("id_a", "id_b")
+
+
+_ER_NORM_SQL = """
+base AS (SELECT DISTINCT p_name AS name FROM part),
+recs AS (
+  SELECT 'b:' || name AS id, name FROM base
+  UNION ALL
+  SELECT 's:' || name,
+         array_to_string(list_reverse(string_split(name, ' ')), ' ')
+  FROM base
+  UNION ALL
+  SELECT 'd:' || name, substr(name, 1, 2) || substr(name, 4)
+  FROM base),
+norm AS (
+  SELECT id, array_to_string(list_sort(list_filter(
+           regexp_split_to_array(lower(trim(name)), '[^a-z0-9]+'),
+           t -> t != '')), ' ') AS norm
+  FROM recs),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(levenshtein(a.norm, b.norm) AS INTEGER) AS dist
+  FROM norm a JOIN norm b ON a.id < b.id
+  WHERE levenshtein(a.norm, b.norm) <= 2)
+"""
+
+
+Q_ER_PAIRS_SQL = ("WITH " + _ER_NORM_SQL + """
+SELECT id_a, id_b, dist FROM pairs ORDER BY id_a, id_b
+""")
+
+
+def q_er_resolve(spark, sf_dir):
+    """Fuzzy ER, resolve stage (functions/er.er_resolve): verified
+    match pairs -> large-star/small-star connected components ->
+    canonical = component-minimum id, singletons self-canonical.
+    Oracle: brute-force distance pairs + recursive min-label
+    reachability CTE (the _dedup_cluster_sql pattern)."""
+    from neleval_spark.functions.er import er_resolve
+
+    recs = _er_records(spark, sf_dir)
+    return er_resolve(recs).orderBy("id")
+
+
+Q_ER_RESOLVE_SQL = ("WITH RECURSIVE " + _ER_NORM_SQL + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT id, id AS lbl FROM recs
+  UNION
+  SELECT e.dst AS id, r.lbl AS lbl
+  FROM reach r JOIN edges e ON r.id = e.src
+  WHERE r.lbl < e.dst),
+cc AS (SELECT id, MIN(lbl) AS canonical FROM reach GROUP BY id)
+SELECT id, canonical,
+       CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT)
+         AS cluster_size
+FROM cc ORDER BY id
+""")
+
+
 def q_snapshot_intervals(spark, sf_dir):
     """SCD-2 validity intervals (corpusops.snapshot_intervals): the
     events stream read as a crawl history (user_id = url, event_type
@@ -6671,6 +6766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "bitext_mine": q_bitext_mine,
         "linkpred": q_linkpred,
+        "er_pairs": q_er_pairs,
+        "er_resolve": q_er_resolve,
     }
     return qs
 
@@ -6761,6 +6858,8 @@ def oracle_sql() -> dict[str, str]:
         "kcore": Q_KCORE_SQL,
         "bitext_mine": Q_BITEXT_MINE_SQL,
         "linkpred": Q_LINKPRED_SQL,
+        "er_pairs": Q_ER_PAIRS_SQL,
+        "er_resolve": Q_ER_RESOLVE_SQL,
         "leakage_split": Q_LEAKAGE_SPLIT_SQL,
         "shuffle_shards": Q_SHUFFLE_SHARDS_SQL,
         "dedup_increment": Q_DEDUP_INCREMENT_SQL,
