@@ -1090,6 +1090,41 @@ def cmd_graph_corpus(args):
         "biased": biased, "out_path": args.out}))
 
 
+def cmd_resolve_entities(args):
+    """Fuzzy entity resolution over a parquet name table (id, name):
+    prefix-filter q-gram blocking + levenshtein verify + transitive
+    canonicalization (functions/er.py).  Writes the canonical mapping
+    (id, canonical, cluster_size) — and, with --pairs, the verified
+    match pairs with distances — under --out, plus a JSON summary.
+    Deterministic: canonical = component-minimum id, so re-runs
+    produce identical mappings on any partitioning."""
+    from pyspark.sql import functions as F
+
+    from .functions.er import er_match, er_resolve
+
+    spark = _spark()
+    names = spark.read.parquet(args.names).select(
+        F.col(args.id_col).alias("id"),
+        F.col(args.name_col).alias("name"))
+
+    summary = {"out_path": args.out, "max_dist": args.max_dist}
+    if args.pairs:
+        pairs = er_match(names, max_dist=args.max_dist, q=args.q)
+        pairs.write.mode("overwrite").parquet(f"{args.out}/pairs")
+        summary["pairs"] = (
+            spark.read.parquet(f"{args.out}/pairs").count())
+    resolved = er_resolve(names, max_dist=args.max_dist, q=args.q)
+    resolved.write.mode("overwrite").parquet(f"{args.out}/resolved")
+    resolved = spark.read.parquet(f"{args.out}/resolved")
+    agg = resolved.agg(
+        F.count(F.lit(1)).alias("records"),
+        F.countDistinct("canonical").alias("clusters"),
+        F.max("cluster_size").alias("largest_cluster")).collect()[0]
+    summary.update(records=agg["records"], clusters=agg["clusters"],
+                   largest_cluster=agg["largest_cluster"])
+    print(json.dumps(summary))
+
+
 def cmd_frontier(args):
     """Crawl dispatch: seed urls (+ optional fetched sitemaps) →
     robots.txt compliance filter → politeness schedule → fetch-plan
@@ -1441,6 +1476,22 @@ def main(argv=None):
                         dest="max_degree",
                         help="cap biased-walk candidates per node "
                              "(0 = uncapped)")))
+    add("resolve-entities", cmd_resolve_entities, lambda sp: (
+        sp.add_argument("names",
+                        help="parquet name table (id, name)"),
+        sp.add_argument("-o", "--out", required=True),
+        sp.add_argument("--id-col", default="id", dest="id_col"),
+        sp.add_argument("--name-col", default="name",
+                        dest="name_col"),
+        sp.add_argument("--max-dist", type=int, default=2,
+                        dest="max_dist",
+                        help="edit-distance threshold on the "
+                             "token-sorted normalized name"),
+        sp.add_argument("--q", type=int, default=3,
+                        help="q-gram size for blocking"),
+        sp.add_argument("--pairs", action="store_true",
+                        help="also write verified match pairs "
+                             "with distances")))
     add("frontier", cmd_frontier, lambda sp: (
         sp.add_argument("urls",
                         help="parquet seed frontier with a url column"),

@@ -797,3 +797,21 @@ def test_cli_curate_subsample(spark, capsys, tmp_path):
     rare = sum(1 for r in cur for t in r["text"].split()
                if t != "the")
     assert rare == 200 and 10 <= the_kept <= 80
+
+def test_cli_resolve_entities(spark, capsys, tmp_path):
+    names = str(tmp_path / "names")
+    spark.createDataFrame(
+        [("a", "acme corp"), ("b", "acme cord"), ("c", "corp acme"),
+         ("z", "totally different business")],
+        "id string, name string"
+    ).write.mode("overwrite").parquet(names)
+    out = _run(capsys, "resolve-entities", names,
+               "-o", str(tmp_path / "er"), "--pairs")
+    res = json.loads(out)
+    # a~b dist 1, a~c dist 0 (token sort), b~c dist 1 -> one cluster
+    assert res == {"out_path": str(tmp_path / "er"), "max_dist": 2,
+                   "pairs": 3, "records": 4, "clusters": 2,
+                   "largest_cluster": 3}
+    resolved = spark.read.parquet(str(tmp_path / "er") + "/resolved")
+    got = {r["id"]: r["canonical"] for r in resolved.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "z": "z"}
