@@ -3274,6 +3274,89 @@ FROM cc ORDER BY id
 """)
 
 
+def q_kg_conflate(spark, sf_dir):
+    """KG node conflation (pipeline/triples.conflate_kg): a KG whose
+    generations spelled entities two ways (base part name; dropped
+    3rd char) is folded onto canonical nodes via fuzzy ER over the
+    node vocabulary, then re-aggregated (n_pages sums, seen bounds
+    widen).  Doc objects (mentioned_in) are never conflated.  The
+    oracle replays brute-force distance pairs over the same
+    vocabulary, the recursive-CTE components, the rewrite and the
+    re-aggregation exactly."""
+    from neleval_spark.pipeline.triples import conflate_kg
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    base = part.select(F.col("p_name").alias("name")).distinct()
+    variant = F.expr("concat(substring(name, 1, 2), substring(name, 4))")
+    kg = (base.select(
+              F.col("name").alias("subj"),
+              F.lit("cooccurs_with").alias("pred"),
+              variant.alias("obj"),
+              F.lit(1).alias("n_pages"),
+              F.lit(1).alias("first_seen"), F.lit(1).alias("last_seen"))
+          .unionByName(base.select(
+              variant.alias("subj"),
+              F.lit("mentioned_in").alias("pred"),
+              F.concat(F.lit("doc:"), "name").alias("obj"),
+              F.lit(2).alias("n_pages"),
+              F.lit(2).alias("first_seen"),
+              F.lit(2).alias("last_seen"))))
+    return (conflate_kg(kg)
+            .orderBy("subj", "pred", "obj"))
+
+
+Q_KG_CONFLATE_SQL = ("""
+WITH RECURSIVE base AS (SELECT DISTINCT p_name AS name FROM part),
+kg AS (
+  SELECT name AS subj, 'cooccurs_with' AS pred,
+         substr(name, 1, 2) || substr(name, 4) AS obj,
+         1 AS n_pages, 1 AS first_seen, 1 AS last_seen
+  FROM base
+  UNION ALL
+  SELECT substr(name, 1, 2) || substr(name, 4), 'mentioned_in',
+         'doc:' || name, 2, 2, 2
+  FROM base),
+nodes AS (
+  SELECT subj AS id FROM kg
+  UNION
+  SELECT obj FROM kg WHERE pred IN ('cooccurs_with')),
+norm AS (
+  SELECT id, array_to_string(list_sort(list_filter(
+           regexp_split_to_array(lower(trim(id)), '[^a-z0-9]+'),
+           t -> t != '')), ' ') AS norm
+  FROM nodes),
+prs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM norm a JOIN norm b ON a.id < b.id
+  WHERE levenshtein(a.norm, b.norm) <= 2),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION ALL
+  SELECT id_b, id_a FROM prs),
+reach AS (
+  SELECT id, id AS lbl FROM nodes
+  UNION
+  SELECT e.dst AS id, r.lbl AS lbl
+  FROM reach r JOIN edges e ON r.id = e.src
+  WHERE r.lbl < e.dst),
+cc AS (SELECT id, MIN(lbl) AS canonical FROM reach GROUP BY id),
+rw AS (
+  SELECT cs.canonical AS subj, kg.pred,
+         CASE WHEN kg.pred IN ('cooccurs_with') THEN co.canonical
+              ELSE kg.obj END AS obj,
+         kg.n_pages, kg.first_seen, kg.last_seen
+  FROM kg
+  JOIN cc cs ON cs.id = kg.subj
+  LEFT JOIN cc co ON co.id = kg.obj)
+SELECT subj, pred, obj,
+       CAST(SUM(n_pages) AS BIGINT) AS n_pages,
+       MIN(first_seen) AS first_seen,
+       MAX(last_seen) AS last_seen
+FROM rw GROUP BY subj, pred, obj
+ORDER BY subj, pred, obj
+""")
+
+
 def q_snapshot_intervals(spark, sf_dir):
     """SCD-2 validity intervals (corpusops.snapshot_intervals): the
     events stream read as a crawl history (user_id = url, event_type
@@ -6768,6 +6851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkpred": q_linkpred,
         "er_pairs": q_er_pairs,
         "er_resolve": q_er_resolve,
+        "kg_conflate": q_kg_conflate,
     }
     return qs
 
@@ -6860,6 +6944,7 @@ def oracle_sql() -> dict[str, str]:
         "linkpred": Q_LINKPRED_SQL,
         "er_pairs": Q_ER_PAIRS_SQL,
         "er_resolve": Q_ER_RESOLVE_SQL,
+        "kg_conflate": Q_KG_CONFLATE_SQL,
         "leakage_split": Q_LEAKAGE_SPLIT_SQL,
         "shuffle_shards": Q_SHUFFLE_SHARDS_SQL,
         "dedup_increment": Q_DEDUP_INCREMENT_SQL,

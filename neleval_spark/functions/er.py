@@ -112,7 +112,13 @@ def er_candidates(names: DataFrame, id_col: str = "id",
                       F.col("norm").alias("norm_a"), "gram_key")
     b = blocks.select(F.col("id").alias("id_b"),
                       F.col("norm").alias("norm_b"), "gram_key")
-    return (a.join(b, "gram_key")
+    # the length filter runs INSIDE the block join (lossless: a pair
+    # within edit distance d never differs by more than d chars), so
+    # length-mismatched block co-members are dropped before the
+    # pair-distinct shuffle, not after it
+    return (a.join(b, (a["gram_key"] == b["gram_key"])
+                   & (F.abs(F.length(a["norm_a"])
+                            - F.length(b["norm_b"])) <= max_dist))
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "norm_a", "id_b", "norm_b")
             .distinct())

@@ -381,6 +381,60 @@ def merge_kg(base: DataFrame, delta: DataFrame,
     )
 
 
+def conflate_kg(kg: DataFrame,
+                entity_preds: tuple = ("cooccurs_with",),
+                max_dist: int = 2, q: int = 3) -> DataFrame:
+    """Conflate KG nodes whose NAMES fuzzy-match (typos, dropped
+    characters, token order) — the knowledge-fusion step after
+    :func:`merge_kg`'s exact-key upsert.  Two crawl generations that
+    spell the same entity "Acme Corp" and "Acme Crop" produce two
+    parallel node families; this folds them onto one canonical node.
+
+    Mechanics: the DISTINCT node vocabulary (all subjects, plus
+    objects of ``entity_preds`` — other objects such as doc urls are
+    never conflated) runs through :func:`~neleval_spark.functions.er.
+    er_resolve` (prefix-filter blocking + levenshtein ≤ ``max_dist``
+    + connected components; canonical = component-minimum name, so
+    the output is a pure function of the vocabulary).  Triples are
+    rewritten onto canonical nodes and re-aggregated: ``n_pages``
+    SUMS (the witnesses were counted under distinct spellings),
+    ``first_seen``/``last_seen`` take min/max.
+
+    Scale shape: ER runs on the node VOCABULARY (distinct names —
+    orders of magnitude smaller than the triple table); the rewrite
+    is two equi-joins of the triple table against the vocabulary-
+    sized mapping; the re-aggregation is one hash exchange on the
+    conflated key.  The triple table itself never enters the
+    blocking or CC loops."""
+    from ..functions.er import er_resolve
+
+    nodes = (kg.select(F.col("subj").alias("name"))
+             .unionByName(kg.where(F.col("pred").isin(*entity_preds))
+                          .select(F.col("obj").alias("name")))
+             .distinct())
+    mapping = (er_resolve(nodes.withColumn("id", F.col("name")),
+                          max_dist=max_dist, q=q)
+               .select(F.col("id").alias("name"), "canonical"))
+    ms = mapping.select(F.col("name").alias("subj"),
+                        F.col("canonical").alias("_cs"))
+    mo = mapping.select(F.col("name").alias("obj"),
+                        F.col("canonical").alias("_co"))
+    rewritten = (
+        kg.join(ms, "subj", "left")
+        .join(mo, "obj", "left")
+        .select(
+            F.coalesce("_cs", F.col("subj")).alias("subj"),
+            "pred",
+            F.when(F.col("pred").isin(*entity_preds),
+                   F.coalesce("_co", F.col("obj")))
+            .otherwise(F.col("obj")).alias("obj"),
+            "n_pages", "first_seen", "last_seen"))
+    return (rewritten.groupBy("subj", "pred", "obj")
+            .agg(F.sum("n_pages").cast("long").alias("n_pages"),
+                 F.min("first_seen").alias("first_seen"),
+                 F.max("last_seen").alias("last_seen")))
+
+
 def prune_kg(kg: DataFrame, current_gen: int,
              max_staleness: int) -> DataFrame:
     """Evict triples not re-observed within ``max_staleness``

@@ -158,3 +158,42 @@ def test_validate_kg_plan_shape(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan and "Window" not in plan
     assert "LeftAnti" in plan
+
+def test_conflate_kg_folds_name_variants(spark):
+    from neleval_spark.pipeline.triples import conflate_kg
+
+    kg = spark.createDataFrame(
+        [
+            # two spellings of the same subject node
+            ("acme corp", "cooccurs_with", "beta labs", 3, 1, 1),
+            ("acme cor", "cooccurs_with", "beta labs", 2, 2, 2),
+            # entity OBJECT variant conflates too
+            ("beta labs", "cooccurs_with", "acme cor", 1, 2, 2),
+            # doc objects are NEVER conflated, even if near a name
+            ("acme corp", "mentioned_in", "doc:acme cor", 5, 1, 2),
+        ],
+        "subj string, pred string, obj string, n_pages long, "
+        "first_seen int, last_seen int")
+    got = {(r["subj"], r["pred"], r["obj"]):
+           (r["n_pages"], r["first_seen"], r["last_seen"])
+           for r in conflate_kg(kg).collect()}
+    # canonical = min name: "acme cor" < "acme corp"
+    assert got == {
+        ("acme cor", "cooccurs_with", "beta labs"): (5, 1, 2),
+        ("beta labs", "cooccurs_with", "acme cor"): (1, 2, 2),
+        ("acme cor", "mentioned_in", "doc:acme cor"): (5, 1, 2),
+    }
+
+
+def test_conflate_kg_identity_when_no_variants(spark):
+    from neleval_spark.pipeline.triples import conflate_kg
+
+    kg = spark.createDataFrame(
+        [("Entity_Alpha_Holdings", "cooccurs_with",
+          "Entirely_Different_Name_Beta", 1, 1, 1)],
+        "subj string, pred string, obj string, n_pages long, "
+        "first_seen int, last_seen int")
+    rows = conflate_kg(kg).collect()
+    assert len(rows) == 1
+    assert rows[0]["subj"] == "Entity_Alpha_Holdings"
+    assert rows[0]["n_pages"] == 1
