@@ -3274,6 +3274,62 @@ FROM cc ORDER BY id
 """)
 
 
+def q_er_increment(spark, sf_dir):
+    """Incremental fuzzy ER (functions/er.er_increment): the 64 base
+    part names form the persisted blocking index (er_index: ALL
+    occurrence-keyed grams — the one-sided-prefix trick that makes
+    increments order-independent); the increment is the dropped-3rd-
+    char variants, matched against the index and within the batch.
+    The oracle is the brute-force new×index + new×new distance join,
+    certifying increment completeness."""
+    from neleval_spark.functions.er import er_increment, er_index
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    base = part.select(F.col("p_name").alias("name")).distinct()
+    index = er_index(base.select(
+        F.concat(F.lit("i:"), "name").alias("id"), "name"))
+    new = base.select(
+        F.concat(F.lit("n:"), "name").alias("id"),
+        F.expr("concat(substring(name, 1, 2), substring(name, 4))")
+        .alias("name"))
+    return (er_increment(new, index)
+            .orderBy("new_id", "match_id"))
+
+
+Q_ER_INCREMENT_SQL = ("""
+WITH base AS (SELECT DISTINCT p_name AS name FROM part),
+nidx AS (
+  SELECT 'i:' || name AS id,
+         array_to_string(list_sort(list_filter(
+           regexp_split_to_array(lower(trim(name)), '[^a-z0-9]+'),
+           t -> t != '')), ' ') AS norm
+  FROM base),
+nnew AS (
+  SELECT 'n:' || name AS id,
+         array_to_string(list_sort(list_filter(
+           regexp_split_to_array(lower(trim(
+             substr(name, 1, 2) || substr(name, 4))), '[^a-z0-9]+'),
+           t -> t != '')), ' ') AS norm
+  FROM base),
+vi AS (
+  SELECT n.id AS new_id, x.id AS match_id,
+         CAST(levenshtein(n.norm, x.norm) AS INTEGER) AS dist,
+         TRUE AS is_index
+  FROM nnew n JOIN nidx x ON n.id != x.id
+  WHERE levenshtein(n.norm, x.norm) <= 2),
+vw AS (
+  SELECT b.id AS new_id, a.id AS match_id,
+         CAST(levenshtein(a.norm, b.norm) AS INTEGER) AS dist,
+         FALSE AS is_index
+  FROM nnew a JOIN nnew b ON a.id < b.id
+  WHERE levenshtein(a.norm, b.norm) <= 2)
+SELECT * FROM vi
+UNION ALL
+SELECT * FROM vw
+ORDER BY new_id, match_id
+""")
+
+
 def q_kg_conflate(spark, sf_dir):
     """KG node conflation (pipeline/triples.conflate_kg): a KG whose
     generations spelled entities two ways (base part name; dropped
@@ -6852,6 +6908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pairs": q_er_pairs,
         "er_resolve": q_er_resolve,
         "kg_conflate": q_kg_conflate,
+        "er_increment": q_er_increment,
     }
     return qs
 
@@ -6945,6 +7002,7 @@ def oracle_sql() -> dict[str, str]:
         "er_pairs": Q_ER_PAIRS_SQL,
         "er_resolve": Q_ER_RESOLVE_SQL,
         "kg_conflate": Q_KG_CONFLATE_SQL,
+        "er_increment": Q_ER_INCREMENT_SQL,
         "leakage_split": Q_LEAKAGE_SPLIT_SQL,
         "shuffle_shards": Q_SHUFFLE_SHARDS_SQL,
         "dedup_increment": Q_DEDUP_INCREMENT_SQL,

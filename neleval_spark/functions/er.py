@@ -139,6 +139,99 @@ def er_match(names: DataFrame, id_col: str = "id",
             .select("id_a", "id_b", F.col("dist").cast("int").alias("dist")))
 
 
+def er_index(names: DataFrame, id_col: str = "id",
+             name_col: str = "name", q: int = 3) -> DataFrame:
+    """Persistable blocking index for :func:`er_increment`: ALL
+    occurrence-keyed q-grams per record, ``(id, norm, gram_key)``.
+    Keeping the FULL gram set (not a prefix) is what makes increments
+    cheap AND complete: the prefix lemma only needs a prefix on ONE
+    side when the other side keeps everything — if |A∩B| ≥ t and none
+    of A's first |A|−t+1 grams were in B, at most t−1 shared grams
+    would remain.  So the index never needs re-ranking when the
+    corpus-wide gram frequencies drift; append new batches with a
+    plain union."""
+    norm = names.select(F.col(id_col).alias("id"),
+                        normalize_name(F.col(name_col)).alias("norm"))
+    return _keyed_grams(norm, "id", q).select("id", "norm", "gram_key")
+
+
+def er_increment(new_names: DataFrame, index: DataFrame,
+                 id_col: str = "id", name_col: str = "name",
+                 q: int = 3, max_dist: int = 2) -> DataFrame:
+    """Match a NEW batch of names against an existing
+    :func:`er_index` (plus within-batch matches) without touching
+    the index's blocking — the incremental-construction form of
+    :func:`er_match` (same shape as dedup_index.check_increment).
+
+    Returns ``(new_id, match_id, dist, is_index)``: ``match_id`` is
+    an index record (``is_index`` true) or a SMALLER-id new record
+    (first-wins within the batch, mirroring check_increment).
+
+    Scale shape: the increment's prefix grams (``d*q+1`` per new
+    record, ranked by the increment's OWN gram frequencies — any
+    fixed order is correct, see :func:`er_index`) are distinct-
+    collected and broadcast onto the index gram table, so the large
+    index side is filtered to the increment's blocks BEFORE any
+    exchange; the index is never re-scanned per gram order and
+    existing records never pair with each other."""
+    norm_new = new_names.select(
+        F.col(id_col).alias("id"),
+        normalize_name(F.col(name_col)).alias("norm"))
+    keyed = _keyed_grams(norm_new, "id", q)
+    prefix_len = max_dist * q + 1
+    rk = Window.partitionBy("id").orderBy("df", "gram_key")
+    df = keyed.groupBy("gram_key").agg(F.count("*").alias("df"))
+    kept = (keyed.join(df, "gram_key")
+            .withColumn("_rk", F.row_number().over(rk))
+            .where(F.col("_rk") <= prefix_len)
+            .select("id", "norm", "gram_key", "gram_total"))
+    # short records keep all grams anyway (total <= d*q < prefix);
+    # their sentinel only matters against OTHER short records, and
+    # the index carries no sentinel — so block short new records
+    # against short INDEX records via the index's full gram set OR
+    # both being short.  A short-short pair can share zero grams, so
+    # join short new records against short index rows explicitly.
+    idx_len = index.groupBy("id").agg(
+        F.count("*").alias("_ig"),
+        F.first("norm").alias("norm"))
+    short_new = (kept.where(F.col("gram_total") <= max_dist * q)
+                 .select("id", "norm").distinct())
+    short_idx = idx_len.where(F.col("_ig") <= max_dist * q) \
+        .select(F.col("id").alias("match_id"),
+                F.col("norm").alias("norm_b"))
+    cand_short = (short_new.select(F.col("id").alias("new_id"),
+                                   F.col("norm").alias("norm_a"))
+                  .crossJoin(F.broadcast(short_idx)))
+
+    active = kept.select("gram_key").distinct()
+    idx = index.join(F.broadcast(active), "gram_key")
+    cand_idx = (kept.select(F.col("id").alias("new_id"),
+                            F.col("norm").alias("norm_a"), "gram_key")
+                .join(idx.select(F.col("id").alias("match_id"),
+                                 F.col("norm").alias("norm_b"),
+                                 "gram_key"),
+                      "gram_key")
+                .select("new_id", "norm_a", "match_id", "norm_b"))
+    vs_index = (cand_idx.unionByName(
+                    cand_short.select("new_id", "norm_a",
+                                      "match_id", "norm_b"))
+                .distinct()
+                # a re-submitted id must not match itself
+                .where(F.col("new_id") != F.col("match_id"))
+                .where(F.abs(F.length("norm_a") - F.length("norm_b"))
+                       <= max_dist)
+                .withColumn("dist", F.levenshtein("norm_a", "norm_b"))
+                .where(F.col("dist") <= max_dist)
+                .select("new_id", "match_id",
+                        F.col("dist").cast("int").alias("dist"),
+                        F.lit(True).alias("is_index")))
+    within = (er_match(new_names, id_col, name_col, q, max_dist)
+              .select(F.col("id_b").alias("new_id"),
+                      F.col("id_a").alias("match_id"),
+                      "dist", F.lit(False).alias("is_index")))
+    return vs_index.unionByName(within)
+
+
 def er_resolve(names: DataFrame, id_col: str = "id",
                name_col: str = "name", q: int = 3,
                max_dist: int = 2) -> DataFrame:

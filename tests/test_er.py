@@ -137,3 +137,85 @@ def test_normalize_name_column(spark):
     vals = [r["n"] for r in
             df.select(normalize_name(F.col("s")).alias("n")).collect()]
     assert vals == ["42 acme corp", ""]
+
+def _py_increment(new_rows, index_rows, max_dist=2):
+    """Ground truth: every (new, index) pair within max_dist, plus
+    within-batch pairs keyed by the larger id (first-wins)."""
+    out = {}
+    for ni, nn in new_rows:
+        for xi, xn in index_rows:
+            if ni == xi:
+                continue
+            d = _lev(_norm(nn), _norm(xn))
+            if d <= max_dist:
+                out[(ni, xi, True)] = d
+    for (a, b), d in _py_match(new_rows, max_dist).items():
+        out[(b, a, False)] = d
+    return out
+
+
+def _spark_increment(spark, new_rows, index_rows, max_dist=2):
+    from neleval_spark.functions.er import er_increment, er_index
+
+    idx = er_index(spark.createDataFrame(
+        list(index_rows), "id string, name string"))
+    new = spark.createDataFrame(list(new_rows),
+                                "id string, name string")
+    return {(r["new_id"], r["match_id"], r["is_index"]): r["dist"]
+            for r in er_increment(new, idx,
+                                  max_dist=max_dist).collect()}
+
+
+def test_increment_hand_checked(spark):
+    index = [("i1", "acme corp"), ("i2", "beta labs"), ("i3", "ab")]
+    new = [("n1", "acme cor"),      # matches i1 (dist 1)
+           ("n2", "acme core"),     # matches i1 (dist 1) and n1
+           ("n3", "az"),            # short-short vs i3 (dist 1)
+           ("n4", "completely novel name")]
+    got = _spark_increment(spark, new, index)
+    assert got == _py_increment(new, index)
+    assert got[("n1", "i1", True)] == 1
+    assert got[("n2", "n1", False)] == 1
+    assert got[("n3", "i3", True)] == 1
+    assert not any(k[0] == "n4" for k in got)
+
+
+def test_increment_gram_frequency_drift(spark):
+    """The index was built when 'zz' grams were rare; the increment's
+    own frequency order is completely different.  Completeness must
+    not depend on any shared order (the index keeps ALL grams)."""
+    index = [(f"i{k}", f"zzz common {k}") for k in range(20)] + \
+        [("it", "rare target name")]
+    new = [("n0", "rare target nam")] + \
+        [(f"n{k+1}", f"zzz common {k}x") for k in range(20)]
+    got = _spark_increment(spark, new, index)
+    assert got == _py_increment(new, index)
+    assert ("n0", "it", True) in got
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_increment_fuzz_vs_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    words = ["red", "blue", "ring", "bolt", "widget", "acme", "ab"]
+
+    def gen(prefix, n):
+        rows = []
+        for i in range(n):
+            name = " ".join(rng.choice(words)
+                            for _ in range(rng.randint(1, 3)))
+            s = list(name)
+            for _ in range(rng.randint(0, 2)):
+                p = rng.randrange(len(s))
+                s[p] = rng.choice("abxyz")
+            rows.append((f"{prefix}{i:03d}", "".join(s)))
+        return rows
+
+    index, new = gen("i", 30), gen("n", 25)
+    assert _spark_increment(spark, new, index) == \
+        _py_increment(new, index)
+
+
+def test_increment_resubmitted_id_skips_self(spark):
+    index = [("same", "acme corp")]
+    new = [("same", "acme corp")]
+    assert _spark_increment(spark, new, index) == {}
