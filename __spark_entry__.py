@@ -3429,6 +3429,56 @@ def q_snapshot_intervals(spark, sf_dir):
     return out.orderBy("user_id", "valid_from_ms")
 
 
+def q_fact_intervals(spark, sf_dir):
+    """Temporal-KG fact validity (pipeline.triples.fact_intervals):
+    the events stream read as timestamped triple observations
+    (subj = entity from user_id, pred = employer/residence split on
+    event_id parity, obj = event_type) collapses into per-(subj, pred)
+    SCD-2 runs — the composite-key generalization of
+    snapshot_intervals.  The oracle replays the run detection and
+    lead() bounds over the same composite key."""
+    from neleval_spark.pipeline.triples import fact_intervals
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    obs = ev.select(
+        F.concat(F.lit("E"), F.col("user_id").cast("string"))
+         .alias("subj"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("employer"))
+         .otherwise(F.lit("residence")).alias("pred"),
+        F.col("event_type").alias("obj"),
+        F.col("ts"), F.col("event_id"))
+    out = fact_intervals(obs, ts="ts", tiebreak="event_id")
+    return out.orderBy("subj", "pred", "valid_from_ms")
+
+
+Q_FACT_INTERVALS_SQL = ("""
+WITH o AS (
+  SELECT 'E' || CAST(user_id AS VARCHAR) AS subj,
+         CASE WHEN event_id % 2 = 0 THEN 'employer'
+              ELSE 'residence' END AS pred,
+         event_type AS obj, epoch_ms(ts) AS ms, event_id
+  FROM events),
+s AS (
+  SELECT subj, pred, obj, ms,
+         row_number() OVER (PARTITION BY subj, pred
+                            ORDER BY ms, event_id) AS rn,
+         lag(obj) OVER (PARTITION BY subj, pred
+                        ORDER BY ms, event_id) AS prev,
+         COUNT(*) OVER (PARTITION BY subj, pred) AS n
+  FROM o),
+st AS (SELECT * FROM s WHERE rn = 1 OR prev IS DISTINCT FROM obj)
+SELECT subj, pred, obj,
+       CAST(ms AS BIGINT) AS valid_from_ms,
+       CAST(COALESCE(lead(ms) OVER (PARTITION BY subj, pred
+                                    ORDER BY rn), -1) AS BIGINT)
+         AS valid_to_ms,
+       CAST(COALESCE(lead(rn) OVER (PARTITION BY subj, pred
+                                    ORDER BY rn), n + 1) - rn
+            AS BIGINT) AS n_snapshots
+FROM st ORDER BY subj, pred, valid_from_ms
+""")
+
+
 Q_SNAPSHOT_INTERVALS_SQL = ("""
 WITH s AS (
   SELECT user_id, event_type, epoch_ms(ts) AS ms,
@@ -6841,6 +6891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "random_walks": q_random_walks,
         "er_pairs": q_er_pairs,
+        "fact_intervals": q_fact_intervals,
         # ---- long-green tail (driver-checked r3/r4; local gate
         # always)
         "media_meta": q_media_meta,
@@ -6996,6 +7047,7 @@ def oracle_sql() -> dict[str, str]:
         "upsample": Q_UPSAMPLE_SQL,
         "kg_ranking": Q_KG_RANKING_SQL,
         "snapshot_intervals": Q_SNAPSHOT_INTERVALS_SQL,
+        "fact_intervals": Q_FACT_INTERVALS_SQL,
         "kcore": Q_KCORE_SQL,
         "bitext_mine": Q_BITEXT_MINE_SQL,
         "linkpred": Q_LINKPRED_SQL,

@@ -666,7 +666,7 @@ def crawl_diff(old: DataFrame, new: DataFrame, key: str = "url",
                     "old_content", "new_content")
 
 
-def snapshot_intervals(pages: DataFrame, key: str = "url",
+def snapshot_intervals(pages: DataFrame, key="url",
                        ts: str = "warc_ts",
                        value_col: str = "content_hash",
                        tiebreak: str | None = None,
@@ -695,11 +695,17 @@ def snapshot_intervals(pages: DataFrame, key: str = "url",
     there is no global sort and no driver state.  Timestamps are
     compared as epoch MILLISECONDS (engine-agnostic integers).
     ``tiebreak`` orders equal-timestamp snapshots deterministically
-    (pass a fetch id); without it, ties order by ``value_col``."""
+    (pass a fetch id); without it, ties order by ``value_col``.
+
+    ``key`` may be a single column name or a list of names: a
+    composite key SCD-2s each key tuple independently (the temporal-KG
+    use in :func:`neleval_spark.pipeline.triples.fact_intervals`
+    passes ``["subj", "pred"]``)."""
+    keys = [key] if isinstance(key, str) else list(key)
     order = [F.col("_si_ms"),
              F.col(tiebreak) if tiebreak else F.col(value_col)]
-    w = Window.partitionBy(key).orderBy(*order)
-    wk = Window.partitionBy(key)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    wk = Window.partitionBy(*keys)
     d = (pages
          .withColumn("_si_ms",
                      F.unix_millis(F.col(ts).cast("timestamp")))
@@ -709,7 +715,7 @@ def snapshot_intervals(pages: DataFrame, key: str = "url",
     starts = d.where(
         (F.col("_si_rn") == 1)
         | ~F.col("_si_prev").eqNullSafe(F.col(value_col)))
-    w2 = Window.partitionBy(key).orderBy("_si_rn")
+    w2 = Window.partitionBy(*keys).orderBy("_si_rn")
     return (starts
             .withColumn("valid_from_ms", F.col("_si_ms"))
             .withColumn(
@@ -721,7 +727,7 @@ def snapshot_intervals(pages: DataFrame, key: str = "url",
                 (F.coalesce(F.lead("_si_rn").over(w2),
                             F.col("_si_n") + 1)
                  - F.col("_si_rn")).cast("long"))
-            .select(key, F.col(value_col),
+            .select(*keys, F.col(value_col),
                     F.col("valid_from_ms").cast("long"),
                     "valid_to_ms", "n_snapshots"))
 

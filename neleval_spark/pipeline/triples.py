@@ -334,6 +334,43 @@ def aggregate_kg(triples: DataFrame, generation: int) -> DataFrame:
     )
 
 
+def fact_intervals(observations: DataFrame, ts: str = "warc_ts",
+                   tiebreak: str | None = None,
+                   open_end_ms: int = -1) -> DataFrame:
+    """Temporal-KG fact validity: timestamped triple observations
+    ``(subj, pred, obj, ts)`` → one row per (subj, pred) run of an
+    identical object,
+
+        (subj, pred, obj, valid_from_ms, valid_to_ms, n_snapshots)
+
+    — "the KG believed subj --pred--> THIS obj from t1 until t2".
+    This is SCD-2 over the (subj, pred) timeline (the triple-level
+    analogue of the url-level
+    :func:`~neleval_spark.functions.corpusops.snapshot_intervals`,
+    which it delegates to with the composite key): when a recrawl
+    extracts a different object for a functional predicate (a person
+    changes employer, a page changes canonical entity), the old fact's
+    interval closes at the new observation's timestamp and a new open
+    run starts.  The open (current) fact gets ``valid_to_ms =
+    open_end_ms`` (pinned sentinel, not NULL).
+
+    Semantics note: runs are over the OBSERVED sequence per
+    (subj, pred), so the predicate is treated as functional — one
+    object at a time.  For multi-valued predicates, feed one
+    canonical observation per (subj, pred, ts) first (e.g. the
+    majority object per crawl generation), or SCD-2 presence per
+    (subj, pred, obj) against the snapshot grid instead.
+
+    Scale shape: inherited from snapshot_intervals — one exchange
+    hashed on (subj, pred), per-key sorts over one fact's observation
+    history (tiny), no global sort, no driver state."""
+    from ..functions.corpusops import snapshot_intervals
+
+    return snapshot_intervals(
+        observations, key=["subj", "pred"], ts=ts, value_col="obj",
+        tiebreak=tiebreak, open_end_ms=open_end_ms)
+
+
 def merge_kg(base: DataFrame, delta: DataFrame,
              mode: str = "replace") -> DataFrame:
     """Incrementally fold one crawl generation's aggregated KG

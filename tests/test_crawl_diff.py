@@ -88,3 +88,53 @@ def test_snapshot_intervals_one_exchange(spark):
     out = snapshot_intervals(d, tiebreak="fetch_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_fact_intervals_composite_key(spark):
+    """Temporal-KG SCD-2: runs are per (subj, pred) — the same
+    subject's two predicates evolve independently, and an object
+    flip-flop re-opens a new interval rather than merging runs."""
+    from datetime import datetime
+
+    from neleval_spark.pipeline.triples import fact_intervals
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # e1 employer: acme (2 obs) -> globex (open)
+        ("e1", "employer", "acme", t(0), 0),
+        ("e1", "employer", "acme", t(10), 1),
+        ("e1", "employer", "globex", t(20), 2),
+        # e1 residence: interleaved timestamps, independent runs
+        ("e1", "residence", "paris", t(5), 3),
+        ("e1", "residence", "oslo", t(15), 4),
+        ("e1", "residence", "paris", t(25), 5),
+        # e2 employer: single open fact
+        ("e2", "employer", "acme", t(0), 6),
+    ]
+    d = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, "
+        "warc_ts timestamp, fetch_id long")
+    out = fact_intervals(d, tiebreak="fetch_id")
+    assert out.columns == ["subj", "pred", "obj", "valid_from_ms",
+                           "valid_to_ms", "n_snapshots"]
+    # still one exchange with the composite key (pre-execution plan,
+    # as in test_snapshot_intervals_one_exchange — the post-AQE
+    # string prints the reused exchange twice)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def ms(s):
+        import calendar
+        return calendar.timegm(t(s).timetuple()) * 1000
+
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == sorted([
+        ("e1", "employer", "acme", ms(0), ms(20), 2),
+        ("e1", "employer", "globex", ms(20), -1, 1),
+        ("e1", "residence", "paris", ms(5), ms(15), 1),
+        ("e1", "residence", "oslo", ms(15), ms(25), 1),
+        ("e1", "residence", "paris", ms(25), -1, 1),
+        ("e2", "employer", "acme", ms(0), -1, 1),
+    ])
