@@ -5758,6 +5758,93 @@ FROM best, tot
 """
 
 
+def q_chain_mentions(spark, sf_dir):
+    """Within-doc anaphora chaining (pipeline.canonicalize.
+    chain_mentions): per document, a deterministic mention set — a
+    multi-word entity name, its last-token anaphor, its acronym
+    anaphor, and an unmatched singleton — chains single-token
+    mentions to the earliest same-doc antecedent by last token or
+    acronym.  The oracle replays key derivation, the backward
+    (url, key) join and the earliest-antecedent arg-min."""
+    from neleval_spark.pipeline.canonicalize import chain_mentions
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = F.element_at(
+        F.array(F.lit("Red Sable Group"), F.lit("Blue Fox Ltd"),
+                F.lit("Green Tree Corp")),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    toks = F.split(full, " ")
+    acr = F.upper(F.concat_ws(
+        "", F.transform(toks, lambda w: F.substring(w, 1, 1))))
+    m = (docs.select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+             .alias("url"),
+            F.explode(F.array(
+                F.struct(F.lit(0).cast("long").alias("start"),
+                         full.alias("surface")),
+                F.struct(F.lit(50).cast("long").alias("start"),
+                         F.element_at(toks, -1).alias("surface")),
+                F.struct(F.lit(100).cast("long").alias("start"),
+                         acr.alias("surface")),
+                F.struct(F.lit(150).cast("long").alias("start"),
+                         F.lit("Nowhere").alias("surface")),
+            )).alias("_m"))
+         .select("url", F.col("_m.start").alias("start"),
+                 F.col("_m.surface").alias("surface"))
+         .withColumn("end", F.col("start") + F.length("surface") - 1))
+    out = chain_mentions(m)
+    return (out.select("url", "start", "surface", "chain_surface",
+                       "antecedent_start")
+            .orderBy("url", "start"))
+
+
+Q_CHAIN_MENTIONS_SQL = ("""
+WITH d AS (
+  SELECT doc_id,
+         (['Red Sable Group', 'Blue Fox Ltd', 'Green Tree Corp'])
+           [CAST(doc_id % 3 AS INTEGER) + 1] AS fullname
+  FROM documents),
+m AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(x.start AS BIGINT) AS start,
+         CASE x.k
+           WHEN 0 THEN fullname
+           WHEN 1 THEN list_extract(string_split(fullname, ' '),
+                                    len(string_split(fullname, ' ')))
+           WHEN 2 THEN upper(array_to_string(list_transform(
+                  string_split(fullname, ' '), w -> substr(w, 1, 1)), ''))
+           ELSE 'Nowhere' END AS surface
+  FROM d CROSS JOIN (VALUES (0, 0), (1, 50), (2, 100), (3, 150))
+       AS x(k, start)),
+ante AS (
+  SELECT url, start AS a_start, surface AS a_surface,
+         lower(list_extract(string_split(surface, ' '),
+                            len(string_split(surface, ' ')))) AS key
+  FROM m WHERE len(string_split(surface, ' ')) >= 2
+  UNION
+  SELECT url, start, surface,
+         lower(array_to_string(list_transform(
+           string_split(surface, ' '), w -> substr(w, 1, 1)), ''))
+  FROM m WHERE len(string_split(surface, ' ')) >= 2),
+ana AS (
+  SELECT url, start, lower(surface) AS key FROM m
+  WHERE len(string_split(surface, ' ')) = 1),
+best AS (
+  SELECT ana.url, ana.start,
+         MIN(ante.a_start) AS ante_start,
+         arg_min(ante.a_surface, ante.a_start) AS ante_surface
+  FROM ana JOIN ante
+    ON ana.url = ante.url AND ana.key = ante.key
+   AND ante.a_start < ana.start
+  GROUP BY ana.url, ana.start)
+SELECT m.url, m.start, m.surface,
+       COALESCE(b.ante_surface, m.surface) AS chain_surface,
+       CAST(COALESCE(b.ante_start, -1) AS BIGINT) AS antecedent_start
+FROM m LEFT JOIN best b ON m.url = b.url AND m.start = b.start
+ORDER BY m.url, m.start
+""")
+
+
 def q_pipeline_triples_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's hot sink (``emit_triples``,
     pipeline/triples.py:32) hash-checked end-to-end: a deterministic
@@ -6892,6 +6979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "er_pairs": q_er_pairs,
         "fact_intervals": q_fact_intervals,
+        "chain_mentions": q_chain_mentions,
         # ---- long-green tail (driver-checked r3/r4; local gate
         # always)
         "media_meta": q_media_meta,
@@ -7048,6 +7136,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ranking": Q_KG_RANKING_SQL,
         "snapshot_intervals": Q_SNAPSHOT_INTERVALS_SQL,
         "fact_intervals": Q_FACT_INTERVALS_SQL,
+        "chain_mentions": Q_CHAIN_MENTIONS_SQL,
         "kcore": Q_KCORE_SQL,
         "bitext_mine": Q_BITEXT_MINE_SQL,
         "linkpred": Q_LINKPRED_SQL,

@@ -115,3 +115,70 @@ def canonicalize_nils(
         .drop(first, "nil_id")
     )
     return linked.unionByName(nils_labelled.select(*linked.columns))
+
+
+def chain_mentions(mentions: DataFrame) -> DataFrame:
+    """Within-document anaphora chaining: a single-token mention
+    ("Obama", "RSG") chains to the EARLIEST multi-word mention in the
+    same document whose last token or acronym it matches ("Barack
+    Obama", "Red Sable Group") — the standard construction-side
+    recall step before candidate generation, so short anaphoric
+    surfaces inherit the full antecedent surface that the alias
+    dictionary actually contains.
+
+    Input: mention rows with (url, start, end, surface, ...).  Output:
+    the same rows plus
+
+    * ``chain_surface`` — the antecedent's surface for chained
+      mentions, the mention's own surface otherwise (feed THIS to
+      candidate generation);
+    * ``antecedent_start`` — the antecedent's start offset, or -1
+      (pinned sentinel) for unchained mentions.
+
+    Only backward chaining (antecedent strictly earlier in the doc),
+    and only single-token anaphors — multi-word mentions are already
+    their own best surface.  Ties cannot occur within a valid mention
+    set (per-doc spans are non-overlapping, so starts are distinct);
+    the earliest antecedent is picked by ``min_by`` over
+    (start, end) regardless.
+
+    Scale shape: ONE equi-join on (url, key) — both sides are
+    per-document mention slices, so the key always carries the url
+    and no cross-document hub can form (a surface frequent across the
+    corpus is spread across its urls' hash buckets).  The join is
+    mention-proportional; the groupBy that picks the earliest
+    antecedent is a map-side-combinable min_by.  No per-row Python,
+    no collect, no window over an unbounded partition."""
+    toks = F.split(F.trim(F.col("surface")), " ")
+    base = mentions.select("url", "start", "end", "surface")
+    ante = (base
+            .where(F.size(toks) >= 2)
+            .select(
+                "url",
+                F.col("start").alias("_a_start"),
+                F.col("end").alias("_a_end"),
+                F.col("surface").alias("_a_surface"),
+                F.explode(F.array_distinct(F.array(
+                    F.lower(F.element_at(toks, -1)),
+                    acronym_key(F.col("surface"))))).alias("_key")))
+    ana = (base
+           .where(F.size(toks) == 1)
+           .select("url", "start",
+                   F.lower(F.col("surface")).alias("_key")))
+    best = (ana.join(ante, ["url", "_key"])
+            .where(F.col("_a_start") < F.col("start"))
+            .groupBy("url", "start")
+            .agg(F.min_by(
+                F.struct("_a_start", "_a_surface"),
+                F.struct("_a_start", "_a_end")).alias("_a"))
+            .select("url", "start",
+                    F.col("_a._a_start").alias("_ante_start"),
+                    F.col("_a._a_surface").alias("_ante_surface")))
+    return (mentions.join(best, ["url", "start"], "left")
+            .withColumn("chain_surface",
+                        F.coalesce(F.col("_ante_surface"),
+                                   F.col("surface")))
+            .withColumn("antecedent_start",
+                        F.coalesce(F.col("_ante_start"),
+                                   F.lit(-1)).cast("long"))
+            .drop("_ante_start", "_ante_surface"))

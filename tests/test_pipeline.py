@@ -242,3 +242,44 @@ def test_dedupe_snapshots_drops_recrawls(spark, corpus, built):
     want = built.select("url", "start", "end", "eid").collect()
     got = deduped.select("url", "start", "end", "eid").collect()
     assert sorted(map(str, got)) == sorted(map(str, want))
+
+
+def test_chain_mentions(spark):
+    """Single-token anaphors chain to the EARLIEST same-doc multi-word
+    antecedent by last token or acronym; multi-word mentions and
+    unmatched singles pass through with the -1 sentinel; chaining
+    never crosses documents."""
+    from neleval_spark.pipeline.canonicalize import chain_mentions
+
+    rows = [
+        # d1: full name, then last-token anaphor, then acronym anaphor
+        ("d1", 0, 11, "Barack Obama"),
+        ("d1", 50, 54, "Obama"),
+        ("d1", 90, 104, "Red Sable Group"),
+        ("d1", 200, 202, "RSG"),
+        # later full mention must NOT capture the earlier anaphor,
+        # and the EARLIEST antecedent wins for a later anaphor
+        ("d1", 300, 311, "Michele Obama"),
+        ("d1", 400, 404, "Obama"),
+        # unmatched single token: sentinel
+        ("d1", 500, 504, "Plaza"),
+        # d2: same surface as d1's anaphor, but no antecedent here
+        ("d2", 0, 4, "Obama"),
+    ]
+    d = spark.createDataFrame(
+        rows, "url string, start long, end long, surface string")
+    out = chain_mentions(d)
+    got = {(r["url"], r["start"]): (r["chain_surface"],
+                                    r["antecedent_start"])
+           for r in out.collect()}
+    assert len(got) == len(rows)
+    assert got[("d1", 50)] == ("Barack Obama", 0)
+    assert got[("d1", 200)] == ("Red Sable Group", 90)
+    # earliest antecedent wins (Barack at 0, not Michele at 300)
+    assert got[("d1", 400)] == ("Barack Obama", 0)
+    # multi-word mentions and unmatched singles pass through
+    assert got[("d1", 0)] == ("Barack Obama", -1)
+    assert got[("d1", 300)] == ("Michele Obama", -1)
+    assert got[("d1", 500)] == ("Plaza", -1)
+    # no cross-document chaining
+    assert got[("d2", 0)] == ("Obama", -1)
