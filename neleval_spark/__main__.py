@@ -1125,6 +1125,61 @@ def cmd_resolve_entities(args):
     print(json.dumps(summary))
 
 
+def cmd_fact_intervals(args):
+    """Temporal-KG fact validity: a parquet of timestamped triple
+    observations (subj, pred, obj, ts) → SCD-2 validity intervals per
+    (subj, pred) run (pipeline/triples.fact_intervals), written as
+    parquet plus a JSON summary.  --asof additionally filters to the
+    facts valid at the given epoch-ms instant (open runs included)."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.triples import fact_intervals
+
+    spark = _spark()
+    obs = spark.read.parquet(args.observations)
+    out = fact_intervals(obs, ts=args.ts_col, tiebreak=args.tiebreak)
+    if args.asof is not None:
+        out = out.where(
+            (F.col("valid_from_ms") <= args.asof)
+            & ((F.col("valid_to_ms") > args.asof)
+               | (F.col("valid_to_ms") == -1)))
+    out.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("intervals"),
+        F.count_distinct("subj", "pred").alias("facts"),
+        F.sum((F.col("valid_to_ms") == -1).cast("long"))
+         .alias("open_runs")).collect()[0]
+    print(json.dumps({"out_path": args.out,
+                      "intervals": agg["intervals"],
+                      "facts": agg["facts"],
+                      "open_runs": agg["open_runs"],
+                      "asof": args.asof}))
+
+
+def cmd_chain_mentions(args):
+    """Within-document anaphora chaining: a parquet mention table
+    (url, start, end, surface) gains chain_surface/antecedent_start
+    (pipeline/canonicalize.chain_mentions), written as parquet plus
+    a JSON summary of how many mentions chained."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.canonicalize import chain_mentions
+
+    spark = _spark()
+    mentions = spark.read.parquet(args.mentions)
+    out = chain_mentions(mentions)
+    out.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("mentions"),
+        F.sum((F.col("antecedent_start") >= 0).cast("long"))
+         .alias("chained")).collect()[0]
+    print(json.dumps({"out_path": args.out,
+                      "mentions": agg["mentions"],
+                      "chained": agg["chained"]}))
+
+
 def cmd_frontier(args):
     """Crawl dispatch: seed urls (+ optional fetched sitemaps) →
     robots.txt compliance filter → politeness schedule → fetch-plan
@@ -1492,6 +1547,24 @@ def main(argv=None):
         sp.add_argument("--pairs", action="store_true",
                         help="also write verified match pairs "
                              "with distances")))
+    add("fact-intervals", cmd_fact_intervals, lambda sp: (
+        sp.add_argument("observations",
+                        help="parquet of timestamped triple "
+                             "observations (subj, pred, obj, ts)"),
+        sp.add_argument("-o", "--out", required=True),
+        sp.add_argument("--ts-col", default="warc_ts",
+                        dest="ts_col"),
+        sp.add_argument("--tiebreak",
+                        help="column ordering equal-timestamp "
+                             "observations deterministically"),
+        sp.add_argument("--asof", type=int,
+                        help="epoch-ms instant: keep only facts "
+                             "valid then (open runs included)")))
+    add("chain-mentions", cmd_chain_mentions, lambda sp: (
+        sp.add_argument("mentions",
+                        help="parquet mention table "
+                             "(url, start, end, surface, ...)"),
+        sp.add_argument("-o", "--out", required=True)))
     add("frontier", cmd_frontier, lambda sp: (
         sp.add_argument("urls",
                         help="parquet seed frontier with a url column"),

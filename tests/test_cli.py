@@ -815,3 +815,46 @@ def test_cli_resolve_entities(spark, capsys, tmp_path):
     resolved = spark.read.parquet(str(tmp_path / "er") + "/resolved")
     got = {r["id"]: r["canonical"] for r in resolved.collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "z": "z"}
+
+
+def test_cli_fact_intervals(spark, capsys, tmp_path):
+    obs = spark.createDataFrame(
+        [("e1", "employer", "acme", "2024-01-01 00:00:00"),
+         ("e1", "employer", "acme", "2024-02-01 00:00:00"),
+         ("e1", "employer", "globex", "2024-03-01 00:00:00")],
+        "subj string, pred string, obj string, warc_ts string")
+    src = str(tmp_path / "obs")
+    obs.write.parquet(src)
+    out_dir = str(tmp_path / "facts")
+    out = _run(capsys, "fact-intervals", src, "-o", out_dir)
+    info = json.loads(out.strip().splitlines()[-1])
+    assert info["intervals"] == 2
+    assert info["facts"] == 1
+    assert info["open_runs"] == 1
+    # --asof at an instant inside the first (closed) run
+    import calendar
+    from datetime import datetime
+    t = calendar.timegm(
+        datetime(2024, 1, 15).timetuple()) * 1000
+    out = _run(capsys, "fact-intervals", src, "-o",
+               str(tmp_path / "asof"), "--asof", str(t))
+    info = json.loads(out.strip().splitlines()[-1])
+    assert info["intervals"] == 1 and info["open_runs"] == 0
+    got = spark.read.parquet(str(tmp_path / "asof")).collect()
+    assert got[0]["obj"] == "acme"
+
+
+def test_cli_chain_mentions(spark, capsys, tmp_path):
+    m = spark.createDataFrame(
+        [("d1", 0, 11, "Barack Obama"), ("d1", 50, 54, "Obama"),
+         ("d1", 90, 94, "Plaza")],
+        "url string, start long, end long, surface string")
+    src = str(tmp_path / "mentions")
+    m.write.parquet(src)
+    out_dir = str(tmp_path / "chained")
+    out = _run(capsys, "chain-mentions", src, "-o", out_dir)
+    info = json.loads(out.strip().splitlines()[-1])
+    assert info["mentions"] == 3 and info["chained"] == 1
+    got = {r["start"]: r["chain_surface"]
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got[50] == "Barack Obama" and got[90] == "Plaza"
