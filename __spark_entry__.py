@@ -6485,6 +6485,77 @@ ORDER BY subj, pred, obj
 """
 
 
+def q_kg_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge fusion (pipeline/fusion.fuse_facts): claims over a
+    functional predicate with deterministically injected corruption —
+    source h(doc_id%53) asserts E(doc_id%40) born_in C(doc_id%40),
+    except every 7th doc asserts a wrong object W(doc_id%3) — resolved
+    by two trust⇄belief sweeps in exact integer fixed-point
+    (scale=10^6).  The oracle unrolls the identical two iterations in
+    DuckDB CTEs; sweep-1 trust is uniform, so its confidence is just
+    n_sources*scale.  All arithmetic is BIGINT sums + integer DIV on
+    non-negative operands — bit-identical across engines."""
+    from neleval_spark.pipeline.fusion import fuse_facts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    claims = docs.select(
+        F.concat(F.lit("h"), (i % 53).cast("string")).alias("source"),
+        F.concat(F.lit("E"), (i % 40).cast("string")).alias("subj"),
+        F.lit("born_in").alias("pred"),
+        F.when(i % 7 == 0,
+               F.concat(F.lit("W"), (i % 3).cast("string")))
+        .otherwise(F.concat(F.lit("C"), (i % 40).cast("string")))
+        .alias("obj"))
+    return fuse_facts(claims, n_iter=2).orderBy("subj", "pred")
+
+
+Q_KG_FUSE_SQL = """
+WITH claims AS (
+  SELECT DISTINCT
+    'h' || CAST(doc_id % 53 AS VARCHAR) AS source,
+    'E' || CAST(doc_id % 40 AS VARCHAR) AS subj,
+    'born_in' AS pred,
+    CASE WHEN doc_id % 7 = 0 THEN 'W' || CAST(doc_id % 3 AS VARCHAR)
+         ELSE 'C' || CAST(doc_id % 40 AS VARCHAR) END AS obj
+  FROM documents),
+conf1 AS (
+  SELECT subj, pred, obj,
+         CAST(COUNT(*) AS BIGINT) * 1000000 AS conf
+  FROM claims GROUP BY 1, 2, 3),
+bel1 AS (
+  SELECT subj, pred, obj,
+         CAST(conf * 1000000
+              // CAST(SUM(conf) OVER (PARTITION BY subj, pred)
+                      AS BIGINT) AS BIGINT) AS belief
+  FROM conf1),
+t1 AS (
+  SELECT source,
+         CAST(CAST(SUM(belief) AS BIGINT) // COUNT(*) AS BIGINT)
+           AS trust
+  FROM claims JOIN bel1 USING (subj, pred, obj) GROUP BY 1),
+conf2 AS (
+  SELECT subj, pred, obj,
+         CAST(SUM(trust) AS BIGINT) AS conf,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM claims JOIN t1 USING (source) GROUP BY 1, 2, 3),
+bel2 AS (
+  SELECT subj, pred, obj, n_sources,
+         CAST(conf * 1000000
+              // CAST(SUM(conf) OVER (PARTITION BY subj, pred)
+                      AS BIGINT) AS BIGINT) AS belief,
+         CAST(COUNT(*) OVER (PARTITION BY subj, pred) AS BIGINT)
+           AS n_objects
+  FROM conf2),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY subj, pred
+                               ORDER BY belief DESC, obj ASC) AS rn
+  FROM bel2)
+SELECT subj, pred, obj, belief, n_sources, n_objects
+FROM ranked WHERE rn = 1 ORDER BY subj, pred
+"""
+
+
 def q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG integrity report (pipeline/triples.validate_kg): a witness
     table derived from documents with deterministically injected
@@ -6901,7 +6972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position 50 of 92).  The dict therefore leads with exactly 50
     # never-driver-green entries — one per operator family, covering
     # all round-4 crawl/KG/IR ops and every round-5 addition (ER,
-    # kcore, bitext, linkpred, SCD-2, curation tail) — then, just past
+    # kcore, bitext, linkpred, SCD-2, fusion, curation tail) — then, just past
     # the window, the never-green entries whose family is already
     # represented inside it (e.g. er_pairs ⊂ er_resolve,
     # random_walks ⊂ node2vec, bpe_pairs ⊣ bpe_encode), then the
@@ -6946,7 +7017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_hard_negatives": q_el_hard_negatives,
         "contrastive_pairs": q_contrastive_pairs,
         "subsample": q_subsample,
-        "temperature_sample": q_temperature_sample,
+        "kg_fuse": q_kg_fuse,
         "leakage_split": q_leakage_split,
         "shuffle_shards": q_shuffle_shards,
         "multimodal_features": q_multimodal_features,
@@ -6966,6 +7037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_increment": q_er_increment,
         # ---- position 50+: never-green entries whose operator family
         # already has a green row inside the window
+        "temperature_sample": q_temperature_sample,
         "charset_sniff": q_charset_sniff,
         "sitemap_urls": q_sitemap_urls,
         "ntriples_export": q_ntriples_export,
@@ -7177,6 +7249,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pattern": Q_GRAPH_PATTERN_SQL,
         "warc_roundtrip": Q_WARC_ROUNDTRIP_SQL,
         "kg_merge": Q_KG_MERGE_SQL,
+        "kg_fuse": Q_KG_FUSE_SQL,
         "kg_validate": Q_KG_VALIDATE_SQL,
         "ntriples_export": Q_NTRIPLES_EXPORT_SQL,
         "robots": Q_ROBOTS_SQL,

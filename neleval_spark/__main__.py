@@ -1157,6 +1157,38 @@ def cmd_fact_intervals(args):
                       "asof": args.asof}))
 
 
+def cmd_fuse_facts(args):
+    """Knowledge fusion: a parquet of witness-level claims (source,
+    subj, pred, obj) → one resolved object per (subj, pred) by
+    iterated source-trust voting (pipeline/fusion.fuse_facts), written
+    as parquet; --trust-out additionally writes the per-source
+    reliability table.  Prints a JSON summary of keys resolved,
+    conflicted keys, and the belief distribution's floor."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.fusion import fuse_facts, source_trust
+
+    spark = _spark()
+    claims = spark.read.parquet(args.claims)
+    facts = fuse_facts(claims, n_iter=args.iters, scale=args.scale)
+    facts.write.mode("overwrite").parquet(args.out)
+    facts = spark.read.parquet(args.out)
+    if args.trust_out:
+        source_trust(claims, n_iter=args.iters, scale=args.scale) \
+            .write.mode("overwrite").parquet(args.trust_out)
+    agg = facts.agg(
+        F.count(F.lit(1)).alias("facts"),
+        F.sum((F.col("n_objects") > 1).cast("long"))
+         .alias("conflicted"),
+        F.min("belief").alias("min_belief")).collect()[0]
+    print(json.dumps({"out_path": args.out,
+                      "facts": agg["facts"],
+                      "conflicted": agg["conflicted"],
+                      "min_belief": agg["min_belief"],
+                      "iters": args.iters,
+                      "scale": args.scale}))
+
+
 def cmd_chain_mentions(args):
     """Within-document anaphora chaining: a parquet mention table
     (url, start, end, surface) gains chain_surface/antecedent_start
@@ -1560,6 +1592,16 @@ def main(argv=None):
         sp.add_argument("--asof", type=int,
                         help="epoch-ms instant: keep only facts "
                              "valid then (open runs included)")))
+    add("fuse-facts", cmd_fuse_facts, lambda sp: (
+        sp.add_argument("claims",
+                        help="parquet of witness-level claims "
+                             "(source, subj, pred, obj)"),
+        sp.add_argument("-o", "--out", required=True),
+        sp.add_argument("--trust-out",
+                        help="also write the per-source trust table "
+                             "here"),
+        sp.add_argument("--iters", type=int, default=2),
+        sp.add_argument("--scale", type=int, default=1_000_000)))
     add("chain-mentions", cmd_chain_mentions, lambda sp: (
         sp.add_argument("mentions",
                         help="parquet mention table "
