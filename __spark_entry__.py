@@ -6556,6 +6556,83 @@ FROM ranked WHERE rn = 1 ORDER BY subj, pred
 """
 
 
+def q_kg_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARIS-style predicate alignment (pipeline/fusion.
+    align_predicates): four synthetic predicates over documents —
+    born_in asserts (E(i%40), C(i%40)) everywhere, place_of_birth the
+    same pair on i%3 docs, birthplace on i%2 docs, works_at a
+    disjoint object space — so the three C-object predicates align
+    pairwise and works_at matches nothing.  Supports are exact
+    integers; jaccard/containment are single divisions of exact
+    integers (bitwise deterministic); the overlap filter is integer
+    cross-multiplication.  Oracle: the same distinct-pair self-join +
+    per-predicate supports in DuckDB."""
+    from neleval_spark.pipeline.fusion import align_predicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    e = F.concat(F.lit("E"), (i % 40).cast("string"))
+    c = F.concat(F.lit("C"), (i % 40).cast("string"))
+
+    def tri(pred, obj, flt=None):
+        d = docs if flt is None else docs.filter(flt)
+        return d.select(F.lit(pred).alias("pred"),
+                        e.alias("subj"), obj.alias("obj"))
+
+    triples = (
+        tri("born_in", c)
+        .unionAll(tri("place_of_birth", c, i % 3 == 0))
+        .unionAll(tri("birthplace", c, i % 2 == 0))
+        .unionAll(tri("works_at",
+                      F.concat(F.lit("W"), (i % 11).cast("string")))))
+    return align_predicates(triples, min_support=2,
+                            min_overlap_pct=50) \
+        .orderBy("pred_a", "pred_b")
+
+
+Q_KG_ALIGN_SQL = """
+WITH t AS (
+  SELECT 'born_in' AS pred,
+         'E' || CAST(doc_id % 40 AS VARCHAR) AS subj,
+         'C' || CAST(doc_id % 40 AS VARCHAR) AS obj
+  FROM documents
+  UNION ALL
+  SELECT 'place_of_birth',
+         'E' || CAST(doc_id % 40 AS VARCHAR),
+         'C' || CAST(doc_id % 40 AS VARCHAR)
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'birthplace',
+         'E' || CAST(doc_id % 40 AS VARCHAR),
+         'C' || CAST(doc_id % 40 AS VARCHAR)
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'works_at',
+         'E' || CAST(doc_id % 40 AS VARCHAR),
+         'W' || CAST(doc_id % 11 AS VARCHAR)
+  FROM documents),
+pairs AS (SELECT DISTINCT pred, subj, obj FROM t),
+support AS (
+  SELECT pred, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY 1),
+common AS (
+  SELECT a.pred AS pred_a, b.pred AS pred_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM pairs a JOIN pairs b
+    ON a.subj = b.subj AND a.obj = b.obj AND a.pred < b.pred
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT pred_a, pred_b, n_common,
+       sa.n AS n_a, sb.n AS n_b,
+       n_common / (sa.n + sb.n - n_common) AS jaccard,
+       n_common / sa.n AS containment_a,
+       n_common / sb.n AS containment_b
+FROM common
+JOIN support sa ON sa.pred = pred_a
+JOIN support sb ON sb.pred = pred_b
+WHERE 100 * n_common >= 50 * LEAST(sa.n, sb.n)
+ORDER BY pred_a, pred_b
+"""
+
+
 def q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG integrity report (pipeline/triples.validate_kg): a witness
     table derived from documents with deterministically injected
@@ -7026,7 +7103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-5 tail: ER family, graph pruning/prediction,
         # SCD-2 intervals, mixture ops (positions 40-49)
         "fim": q_fim,
-        "upsample": q_upsample,
+        "kg_align": q_kg_align,
         "kg_ranking": q_kg_ranking,
         "snapshot_intervals": q_snapshot_intervals,
         "kcore": q_kcore,
@@ -7037,6 +7114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_increment": q_er_increment,
         # ---- position 50+: never-green entries whose operator family
         # already has a green row inside the window
+        "upsample": q_upsample,
         "temperature_sample": q_temperature_sample,
         "charset_sniff": q_charset_sniff,
         "sitemap_urls": q_sitemap_urls,
@@ -7250,6 +7328,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": Q_WARC_ROUNDTRIP_SQL,
         "kg_merge": Q_KG_MERGE_SQL,
         "kg_fuse": Q_KG_FUSE_SQL,
+        "kg_align": Q_KG_ALIGN_SQL,
         "kg_validate": Q_KG_VALIDATE_SQL,
         "ntriples_export": Q_NTRIPLES_EXPORT_SQL,
         "robots": Q_ROBOTS_SQL,

@@ -1189,6 +1189,24 @@ def cmd_fuse_facts(args):
                       "scale": args.scale}))
 
 
+def cmd_align_predicates(args):
+    """Schema fusion: a parquet triple table (subj, pred, obj) →
+    candidate predicate-alignment pairs by shared (subj, obj)
+    distributions (pipeline/fusion.align_predicates), written as
+    parquet plus a JSON summary."""
+    from .pipeline.fusion import align_predicates
+
+    spark = _spark()
+    triples = spark.read.parquet(args.triples)
+    out = align_predicates(triples, min_support=args.min_support,
+                           min_overlap_pct=args.min_overlap_pct)
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"out_path": args.out, "candidate_pairs": n,
+                      "min_support": args.min_support,
+                      "min_overlap_pct": args.min_overlap_pct}))
+
+
 def cmd_chain_mentions(args):
     """Within-document anaphora chaining: a parquet mention table
     (url, start, end, surface) gains chain_surface/antecedent_start
@@ -1602,6 +1620,14 @@ def main(argv=None):
                              "here"),
         sp.add_argument("--iters", type=int, default=2),
         sp.add_argument("--scale", type=int, default=1_000_000)))
+    add("align-predicates", cmd_align_predicates, lambda sp: (
+        sp.add_argument("triples",
+                        help="parquet triple table (subj, pred, obj)"),
+        sp.add_argument("-o", "--out", required=True),
+        sp.add_argument("--min-support", type=int, default=2,
+                        dest="min_support"),
+        sp.add_argument("--min-overlap-pct", type=int, default=50,
+                        dest="min_overlap_pct")))
     add("chain-mentions", cmd_chain_mentions, lambda sp: (
         sp.add_argument("mentions",
                         help="parquet mention table "

@@ -132,6 +132,69 @@ def fuse_facts(claims: DataFrame, n_iter: int = 2,
             .select(*FACT, "belief", "n_sources", "n_objects"))
 
 
+def align_predicates(triples: DataFrame, min_support: int = 2,
+                     min_overlap_pct: int = 50) -> DataFrame:
+    """Schema fusion: detect predicate pairs that mean the same thing
+    by their (subj, obj) pair distributions — the relation-alignment
+    half of PARIS (Suchanek, Abiteboul & Senellart, VLDB'12), reduced
+    to its set-overlap core.  When :func:`~neleval_spark.pipeline.
+    triples.merge_kg` folds KGs built by different extractors or
+    crawl generations, ``born_in`` and ``place_of_birth`` survive as
+    parallel predicates; two predicates asserting many of the SAME
+    (subj, obj) pairs are alignment candidates.
+
+    Emits one row per unordered candidate pair (pred_a < pred_b):
+    integer supports ``n_common`` / ``n_a`` / ``n_b`` (exact,
+    engine-agnostic), ``jaccard`` = n_common/(n_a+n_b-n_common) and
+    the directional containments (each a SINGLE division of exact
+    integers — bitwise deterministic), pre-filtered to
+    ``n_common >= min_support`` and max-containment >=
+    ``min_overlap_pct`` percent, the latter tested by integer
+    cross-multiplication (``100*n_common >= pct*min(n_a,n_b)``) so
+    the FILTER never compares floats.
+
+    Plan shape (100-TB lens): distinct (pred, subj, obj) →
+    self-equi-join on the (subj, obj) pair key → one hash aggregate
+    per predicate pair.  The join's per-key fan-out is the number of
+    DISTINCT PREDICATES asserting that exact pair — bounded by the
+    schema vocabulary (typically 10²-10⁴), not by entity degree, so
+    no hub blow-up: a celebrity subject spreads over its many
+    distinct objects.  Predicate support counts are a separate tiny
+    aggregate (rows = |schema|) joined back broadcast.  No cartesian,
+    no collect.
+    """
+    pairs = triples.select("pred", "subj", "obj").dropDuplicates()
+    support = pairs.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n"))
+    a = pairs.select(F.col("pred").alias("pred_a"), "subj", "obj")
+    b = pairs.select(F.col("pred").alias("pred_b"), "subj", "obj")
+    common = (a.join(b, ["subj", "obj"])
+              .filter(F.col("pred_a") < F.col("pred_b"))
+              .groupBy("pred_a", "pred_b")
+              .agg(F.count(F.lit(1)).alias("n_common"))
+              .filter(F.col("n_common") >= min_support))
+    out = (common
+           .join(F.broadcast(support.select(
+               F.col("pred").alias("pred_a"),
+               F.col("n").alias("n_a"))), "pred_a")
+           .join(F.broadcast(support.select(
+               F.col("pred").alias("pred_b"),
+               F.col("n").alias("n_b"))), "pred_b"))
+    return (out
+            .filter(F.lit(100) * F.col("n_common")
+                    >= F.lit(min_overlap_pct)
+                    * F.least("n_a", "n_b"))
+            .select(
+                "pred_a", "pred_b", "n_common", "n_a", "n_b",
+                (F.col("n_common")
+                 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                 ).alias("jaccard"),
+                (F.col("n_common") / F.col("n_a"))
+                .alias("containment_a"),
+                (F.col("n_common") / F.col("n_b"))
+                .alias("containment_b")))
+
+
 def source_trust(claims: DataFrame, n_iter: int = 2,
                  scale: int = 1_000_000) -> DataFrame:
     """The dual view: per-source reliability after ``n_iter`` sweeps

@@ -1,9 +1,11 @@
 """Knowledge fusion (pipeline/fusion.py): iterated source-trust fact
-resolution, differential against a pure-Python reference."""
+resolution (differential against a pure-Python reference) and
+PARIS-style predicate alignment."""
 
 import pytest
 
-from neleval_spark.pipeline.fusion import fuse_facts, source_trust
+from neleval_spark.pipeline.fusion import (
+    align_predicates, fuse_facts, source_trust)
 
 SCALE = 1_000_000
 
@@ -112,6 +114,48 @@ def test_fuse_mechanics(spark):
            for r in fuse_facts(df, n_iter=2).collect()}
     assert two[("E2", "y")] > 666_666
     assert two[("E1", "x")] == SCALE
+
+
+def test_align_predicates(spark):
+    rows = []
+    # born_in: pairs (E0,C0)..(E5,C5); place_of_birth: subset of 3;
+    # works_at: disjoint object space; rare_pred: one shared pair
+    # (min_support excludes); half_pred: 2 of its 8 pairs shared
+    # (25% containment, pct filter excludes at 50)
+    for k in range(6):
+        rows.append(("born_in", f"E{k}", f"C{k}"))
+    for k in range(3):
+        rows.append(("place_of_birth", f"E{k}", f"C{k}"))
+    for k in range(6):
+        rows.append(("works_at", f"E{k}", f"W{k}"))
+    rows.append(("rare_pred", "E0", "C0"))
+    for k in range(2):
+        rows.append(("half_pred", f"E{k}", f"C{k}"))
+    for k in range(6):
+        rows.append(("half_pred", f"X{k}", f"Y{k}"))
+    rows += rows[:4]  # duplicate triples collapse
+    df = spark.createDataFrame(rows, ["pred", "subj", "obj"])
+    got = {(r.pred_a, r.pred_b): r
+           for r in align_predicates(df, min_support=2,
+                                     min_overlap_pct=50).collect()}
+    # half_pred also clears the bar against place_of_birth alone
+    # (2 shared of min(8,3)=3 → 66% containment)
+    assert set(got) == {("born_in", "place_of_birth"),
+                        ("half_pred", "place_of_birth")}
+    r = got[("born_in", "place_of_birth")]
+    assert (r.n_common, r.n_a, r.n_b) == (3, 6, 3)
+    assert r.jaccard == 3 / 6 and r.containment_b == 1.0
+    assert r.containment_a == 0.5
+    # relaxing the pct filter admits the 25%-containment pair
+    relaxed = {(r.pred_a, r.pred_b)
+               for r in align_predicates(df, min_support=2,
+                                         min_overlap_pct=20).collect()}
+    assert ("born_in", "half_pred") in relaxed
+    # min_support=1 admits the single-pair predicate
+    loose = {(r.pred_a, r.pred_b)
+             for r in align_predicates(df, min_support=1,
+                                       min_overlap_pct=50).collect()}
+    assert ("born_in", "rare_pred") in loose
 
 
 def test_fuse_tiebreak_and_validation(spark):
