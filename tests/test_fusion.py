@@ -158,6 +158,27 @@ def test_align_predicates(spark):
     assert ("born_in", "rare_pred") in loose
 
 
+def test_fusion_plan_pins(spark):
+    """The scale claims in docs/PLANS.md 'kg_fuse'/'kg_align', pinned:
+    trust/support tables join BROADCAST (2 hints each survive to the
+    physical plan); the only shuffle join is the intended large-large
+    one (trust update on the fact key / the pair self-join); no
+    cartesian or nested-loop anywhere."""
+    claims = spark.createDataFrame(
+        [("a", "E1", "p", "x"), ("b", "E1", "p", "y")],
+        ["source", "subj", "pred", "obj"])
+    plan = fuse_facts(claims, n_iter=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    triples = spark.createDataFrame(
+        [("p1", "s", "o")], ["pred", "subj", "obj"])
+    plan = align_predicates(triples) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
 def test_fuse_tiebreak_and_validation(spark):
     # exact tie (same trust mass): lexicographically smallest obj wins
     rows = [("a", "E1", "p", "zz"), ("b", "E1", "p", "aa")]
