@@ -858,3 +858,42 @@ def test_cli_chain_mentions(spark, capsys, tmp_path):
     got = {r["start"]: r["chain_surface"]
            for r in spark.read.parquet(out_dir).collect()}
     assert got[50] == "Barack Obama" and got[90] == "Plaza"
+
+
+def test_cli_fuse_facts(spark, capsys, tmp_path):
+    claims = spark.createDataFrame(
+        [("a", "E1", "p", "x"), ("b", "E1", "p", "x"),
+         ("a", "E2", "p", "y"), ("b", "E2", "p", "y"),
+         ("c", "E2", "p", "z")],
+        "source string, subj string, pred string, obj string")
+    src = str(tmp_path / "claims")
+    claims.write.parquet(src)
+    out_dir = str(tmp_path / "fused")
+    trust_dir = str(tmp_path / "trust")
+    out = _run(capsys, "fuse-facts", src, "-o", out_dir,
+               "--trust-out", trust_dir)
+    info = json.loads(out.strip().splitlines()[-1])
+    assert info["facts"] == 2 and info["conflicted"] == 1
+    got = {r["subj"]: r["obj"]
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"E1": "x", "E2": "y"}
+    trust = {r["source"]: r["trust"]
+             for r in spark.read.parquet(trust_dir).collect()}
+    assert trust["c"] < trust["a"] == trust["b"]
+
+
+def test_cli_align_predicates(spark, capsys, tmp_path):
+    triples = spark.createDataFrame(
+        [("born_in", f"E{k}", f"C{k}") for k in range(4)]
+        + [("place_of_birth", f"E{k}", f"C{k}") for k in range(2)]
+        + [("works_at", f"E{k}", f"W{k}") for k in range(4)],
+        "pred string, subj string, obj string")
+    src = str(tmp_path / "triples")
+    triples.write.parquet(src)
+    out_dir = str(tmp_path / "aligned")
+    out = _run(capsys, "align-predicates", src, "-o", out_dir)
+    info = json.loads(out.strip().splitlines()[-1])
+    assert info["candidate_pairs"] == 1
+    [r] = spark.read.parquet(out_dir).collect()
+    assert (r["pred_a"], r["pred_b"]) == ("born_in", "place_of_birth")
+    assert r["containment_b"] == 1.0
