@@ -3,6 +3,8 @@ resolution (differential against a pure-Python reference) and
 PARIS-style predicate alignment."""
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from neleval_spark.pipeline.fusion import (
     align_predicates, fuse_facts, source_trust)
@@ -114,6 +116,33 @@ def test_fuse_mechanics(spark):
            for r in fuse_facts(df, n_iter=2).collect()}
     assert two[("E2", "y")] > 666_666
     assert two[("E1", "x")] == SCALE
+
+
+_claims_strategy = st.lists(
+    st.tuples(st.sampled_from(["s1", "s2", "s3", "s4"]),
+              st.sampled_from(["E1", "E2", "E3"]),
+              st.sampled_from(["p", "q"]),
+              st.sampled_from(["x", "y", "z"])),
+    min_size=1, max_size=20)
+
+
+@settings(max_examples=10, deadline=None)
+@given(claims=_claims_strategy, n_iter=st.sampled_from([1, 2, 3]))
+def test_fuse_fuzz(spark, claims, n_iter):
+    """Differential fuzz vs the pure-Python replica: arbitrary small
+    claim sets (duplicates included), any sweep count — facts AND
+    trust must match exactly (the fixed-point arithmetic is integer,
+    so there is no tolerance)."""
+    df = spark.createDataFrame(
+        claims, "source string, subj string, pred string, obj string")
+    got = {(r.subj, r.pred, r.obj): (r.belief, r.n_sources,
+                                     r.n_objects)
+           for r in fuse_facts(df, n_iter=n_iter).collect()}
+    want_facts, want_trust = _py_fuse(claims, n_iter=n_iter)
+    assert got == want_facts
+    got_trust = {r.source: (r.trust, r.n_claims)
+                 for r in source_trust(df, n_iter=n_iter).collect()}
+    assert got_trust == want_trust
 
 
 def test_align_predicates(spark):
