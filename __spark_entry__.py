@@ -3274,6 +3274,50 @@ FROM cc ORDER BY id
 """)
 
 
+def q_taxonomy_closure(spark, sf_dir):
+    """Schema-level taxonomy closure (graph/taxonomy
+    .taxonomy_closure, min-plus path doubling — the distributed
+    generalization of the reference's driver-recursed
+    WeightsForHierarchy, neleval/prepare.py:107-145): the customer
+    keys form a binary-heap is-a forest (child k -> parent k div 2,
+    root 1), ~log2(N) deep, so the doubling loop converges in ~4
+    rounds while the oracle's WITH RECURSIVE walks every ancestor
+    path depth-by-depth.  Exact BIGINT min-depths on both engines."""
+    from neleval_spark.graph.taxonomy import taxonomy_closure
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    edges = (
+        cust.where(F.col("c_custkey") >= 2)
+        .select(F.col("c_custkey").cast("long").alias("child"),
+                F.expr("CAST(c_custkey AS BIGINT) div 2")
+                .alias("parent"))
+    )
+    out = taxonomy_closure(edges)
+    return (
+        out.select(F.col("node").cast("long").alias("node"),
+                   F.col("ancestor").cast("long").alias("ancestor"),
+                   F.col("depth").cast("long").alias("depth"))
+        .orderBy("node", "ancestor")
+    )
+
+
+Q_TAXONOMY_CLOSURE_SQL = ("""
+WITH RECURSIVE e AS (
+  SELECT CAST(c_custkey AS BIGINT) AS child,
+         CAST(c_custkey // 2 AS BIGINT) AS parent
+  FROM customer WHERE c_custkey >= 2),
+cl AS (
+  SELECT child AS node, parent AS ancestor,
+         CAST(1 AS BIGINT) AS depth FROM e
+  UNION
+  SELECT cl.node, e.parent, cl.depth + 1
+  FROM cl JOIN e ON cl.ancestor = e.child
+  WHERE cl.depth < 64)
+SELECT node, ancestor, CAST(MIN(depth) AS BIGINT) AS depth
+FROM cl GROUP BY node, ancestor ORDER BY node, ancestor
+""")
+
+
 def q_er_increment(spark, sf_dir):
     """Incremental fuzzy ER (functions/er.er_increment): the 64 base
     part names form the persisted blocking index (er_index: ALL
@@ -7111,9 +7155,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkpred": q_linkpred,
         "er_resolve": q_er_resolve,
         "kg_conflate": q_kg_conflate,
-        "er_increment": q_er_increment,
+        "taxonomy_closure": q_taxonomy_closure,
         # ---- position 50+: never-green entries whose operator family
         # already has a green row inside the window
+        # (er_increment's family is in-window via er_resolve +
+        # kg_conflate, so it yields its slot to the taxonomy family)
+        "er_increment": q_er_increment,
         "upsample": q_upsample,
         "temperature_sample": q_temperature_sample,
         "charset_sniff": q_charset_sniff,
@@ -7294,6 +7341,7 @@ def oracle_sql() -> dict[str, str]:
         "er_resolve": Q_ER_RESOLVE_SQL,
         "kg_conflate": Q_KG_CONFLATE_SQL,
         "er_increment": Q_ER_INCREMENT_SQL,
+        "taxonomy_closure": Q_TAXONOMY_CLOSURE_SQL,
         "leakage_split": Q_LEAKAGE_SPLIT_SQL,
         "shuffle_shards": Q_SHUFFLE_SHARDS_SQL,
         "dedup_increment": Q_DEDUP_INCREMENT_SQL,

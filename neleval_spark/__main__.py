@@ -1207,6 +1207,42 @@ def cmd_align_predicates(args):
                       "min_overlap_pct": args.min_overlap_pct}))
 
 
+def cmd_taxonomy_closure(args):
+    """Schema-level taxonomy closure: a parquet is-a edge table
+    (child, parent) → the full (node, ancestor, depth) transitive
+    closure at minimum hop distance (graph/taxonomy.taxonomy_closure,
+    min-plus path doubling — the distributed generalization of the
+    reference's weights-for-hierarchy recursion,
+    neleval/prepare.py:107-145), written as parquet.  With
+    --instances, additionally expands an (entity, type) instance
+    table through the closure (graph/taxonomy.infer_types) via a
+    broadcast join — the instance side is never shuffled."""
+    from .graph.taxonomy import infer_types, taxonomy_closure
+
+    if args.instances and not args.types_out:
+        raise SystemExit(
+            "taxonomy-closure: --instances requires --types-out")
+    spark = _spark()
+    edges = spark.read.parquet(args.edges)
+    stats = {}
+    closure = taxonomy_closure(
+        edges, child=args.child_col, parent=args.parent_col,
+        max_depth=args.max_depth, stats=stats)
+    closure.write.mode("overwrite").parquet(args.out)
+    closure = spark.read.parquet(args.out)
+    summary = {"out_path": args.out, **stats}
+    if args.instances:
+        inst = spark.read.parquet(args.instances)
+        typed = infer_types(inst, closure,
+                            entity=args.entity_col,
+                            type_col=args.type_col)
+        typed.write.mode("overwrite").parquet(args.types_out)
+        summary["types_out"] = args.types_out
+        summary["typed_rows"] = (
+            spark.read.parquet(args.types_out).count())
+    print(json.dumps(summary))
+
+
 def cmd_chain_mentions(args):
     """Within-document anaphora chaining: a parquet mention table
     (url, start, end, surface) gains chain_surface/antecedent_start
@@ -1628,6 +1664,27 @@ def main(argv=None):
                         dest="min_support"),
         sp.add_argument("--min-overlap-pct", type=int, default=50,
                         dest="min_overlap_pct")))
+    add("taxonomy-closure", cmd_taxonomy_closure, lambda sp: (
+        sp.add_argument("edges",
+                        help="parquet is-a edge table "
+                             "(child, parent)"),
+        sp.add_argument("-o", "--out", required=True),
+        sp.add_argument("--child-col", default="child",
+                        dest="child_col"),
+        sp.add_argument("--parent-col", default="parent",
+                        dest="parent_col"),
+        sp.add_argument("--max-depth", type=int, default=32,
+                        dest="max_depth"),
+        sp.add_argument("--instances",
+                        help="optional (entity, type) parquet to "
+                             "expand through the closure"),
+        sp.add_argument("--types-out", dest="types_out",
+                        help="output path for the expanded types "
+                             "(required with --instances)"),
+        sp.add_argument("--entity-col", default="entity",
+                        dest="entity_col"),
+        sp.add_argument("--type-col", default="type",
+                        dest="type_col")))
     add("chain-mentions", cmd_chain_mentions, lambda sp: (
         sp.add_argument("mentions",
                         help="parquet mention table "
