@@ -897,3 +897,42 @@ def test_cli_align_predicates(spark, capsys, tmp_path):
     [r] = spark.read.parquet(out_dir).collect()
     assert (r["pred_a"], r["pred_b"]) == ("born_in", "place_of_birth")
     assert r["containment_b"] == 1.0
+
+
+def test_cli_taxonomy_closure(spark, capsys, tmp_path):
+    edges = spark.createDataFrame(
+        [("cat", "mammal"), ("mammal", "animal"),
+         ("cat", "pet"), ("pet", "animal")],
+        "child string, parent string")
+    src = str(tmp_path / "edges")
+    edges.write.parquet(src)
+    inst = spark.createDataFrame(
+        [("felix", "cat"), ("rex", "mammal")],
+        "entity string, type string")
+    inst_src = str(tmp_path / "inst")
+    inst.write.parquet(inst_src)
+    out_dir = str(tmp_path / "closure")
+    types_dir = str(tmp_path / "types")
+    out = _run(capsys, "taxonomy-closure", src, "-o", out_dir,
+               "--instances", inst_src, "--types-out", types_dir)
+    info = json.loads(out.strip().splitlines()[-1])
+    assert info["nodes"] == 4 and info["typed_rows"] == 6
+    closure = {(r["node"], r["ancestor"]): r["depth"]
+               for r in spark.read.parquet(out_dir).collect()}
+    assert closure[("cat", "animal")] == 2  # min over the two paths
+    typed = {(r["entity"], r["type"]): r["depth"]
+             for r in spark.read.parquet(types_dir).collect()}
+    assert typed[("felix", "animal")] == 2
+    assert typed[("rex", "mammal")] == 0
+
+
+def test_cli_taxonomy_closure_requires_types_out(spark, capsys,
+                                                 tmp_path):
+    edges = spark.createDataFrame([("a", "b")],
+                                  "child string, parent string")
+    src = str(tmp_path / "edges2")
+    edges.write.parquet(src)
+    with pytest.raises(SystemExit, match="types-out"):
+        _run(capsys, "taxonomy-closure", src,
+             "-o", str(tmp_path / "c2"),
+             "--instances", src)
