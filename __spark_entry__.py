@@ -5889,6 +5889,169 @@ ORDER BY m.url, m.start
 """)
 
 
+_DS_KB = [("E0", "born_in", "E1"), ("E0", "lives_in", "E1"),
+          ("E2", "works_at", "E3"), ("E5", "part_of", "E6"),
+          ("E1", "born_in", "E0")]
+
+
+def _ds_mentions(spark, sf_dir):
+    """Deterministic per-doc mention table for the distant family:
+    three mentions per document at starts 0/50/100 (inclusive ends
+    +4), eids E{(doc_id+k) % 7} — three consecutive residues mod 7,
+    so the eids are always pairwise distinct."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+         .alias("url"),
+        F.lit(0).cast("long").alias("sent_id"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(50 * k).cast("long").alias("start"),
+                F.concat(F.lit("E"),
+                         ((F.col("doc_id") + k) % 7).cast("string"))
+                 .alias("eid"))
+            for k in range(3)])).alias("_m"))
+        .select("url", "sent_id", F.col("_m.start").alias("start"),
+                (F.col("_m.start") + 4).alias("end"),
+                F.col("_m.eid").alias("eid")))
+
+
+def q_distant_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant-supervision relation labeling (pipeline/distant.py,
+    Mintz et al. 2009): per-doc deterministic mention triples fan
+    out to 6 ordered entity pairs each, matched against a 5-triple
+    KB (one multi-label pair, one reverse edge); unmatched pairs
+    become NA negatives kept by the engine-agnostic polynomial hash
+    under 100000 ppm.  The oracle replays pair generation, the
+    left join, the salted 31-fold hash and the threshold exactly."""
+    from neleval_spark.pipeline.distant import (
+        cooccurring_pairs, distant_label)
+
+    kb = spark.createDataFrame(
+        _DS_KB, "subj string, pred string, obj string")
+    pairs = cooccurring_pairs(_ds_mentions(spark, sf_dir))
+    out = distant_label(pairs, kb, na_keep_ppm=100_000)
+    return (out.select(
+        "url", "sent_id", "subj_eid", "obj_eid",
+        F.col("subj_start").cast("long").alias("subj_start"),
+        F.col("obj_start").cast("long").alias("obj_start"),
+        "pred", F.col("sample_hash").cast("long").alias("sample_hash"))
+        .orderBy("url", "subj_eid", "obj_eid", "pred"))
+
+
+_DS_KB_VALUES = ", ".join(
+    f"('{s}', '{p}', '{o}')" for s, p, o in _DS_KB)
+
+_DS_MENTIONS_SQL = """
+m AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(0 AS BIGINT) AS sent_id,
+         CAST(50 * x.k AS BIGINT) AS start,
+         CAST(50 * x.k + 4 AS BIGINT) AS fin,
+         'E' || CAST((doc_id + x.k) % 7 AS VARCHAR) AS eid
+  FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS x(k)),
+kb(subj, pred, obj) AS (VALUES """ + _DS_KB_VALUES + """),
+pairs AS (
+  SELECT a.url, a.sent_id, a.eid AS subj_eid, b.eid AS obj_eid,
+         a.start AS subj_start, a.fin AS subj_end,
+         b.start AS obj_start, b.fin AS obj_end,
+         CASE WHEN a.fin < b.start THEN b.start - a.fin
+              ELSE a.start - b.fin END AS gap
+  FROM m a JOIN m b ON a.url = b.url AND a.sent_id = b.sent_id
+  WHERE a.eid <> b.eid AND a.start <> b.start),
+lab AS (
+  SELECT p.*, kb.pred FROM pairs p
+  LEFT JOIN kb ON p.subj_eid = kb.subj AND p.obj_eid = kb.obj)"""
+
+Q_DISTANT_LABEL_SQL = ("""
+WITH """ + _DS_MENTIONS_SQL + """,
+na0 AS (
+  SELECT *, url || '#' || CAST(sent_id AS VARCHAR) || '#'
+            || subj_eid || '#' || obj_eid || '##na' AS t
+  FROM lab WHERE pred IS NULL),
+na AS (
+  SELECT *, list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, length(t) + 1),
+          i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+      (acc, x) -> (acc * 31 + x) % 2147483647) % 1000000
+      AS sample_hash
+  FROM na0)
+SELECT url, sent_id, subj_eid, obj_eid, subj_start, obj_start,
+       pred, CAST(-1 AS BIGINT) AS sample_hash
+FROM lab WHERE pred IS NOT NULL
+UNION ALL
+SELECT url, sent_id, subj_eid, obj_eid, subj_start, obj_start,
+       'NA' AS pred, CAST(sample_hash AS BIGINT) AS sample_hash
+FROM na WHERE sample_hash < 100000
+ORDER BY url, subj_eid, obj_eid, pred
+""")
+
+
+def q_ds_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowball-style pattern induction (pipeline/distant
+    .induce_patterns) over the distant-labeled pairs: a shared
+    deterministic sentence per doc puts ' was born in 1815 '-style
+    middles between the mention slots; forward pairs within the gap
+    cap cut, normalize (digits→0, whitespace collapse) and count the
+    middle per predicate in exact BIGINT distinct-pair supports."""
+    from neleval_spark.pipeline.distant import (
+        cooccurring_pairs, distant_label, induce_patterns)
+
+    kb = spark.createDataFrame(
+        _DS_KB, "subj string, pred string, obj string")
+    mentions = _ds_mentions(spark, sf_dir)
+    sents = (mentions.select("url", "sent_id").distinct()
+             .withColumn("text", F.concat(
+                 F.lit("AAAAA"),
+                 F.rpad(F.lit(" was born in 1815"), 45, " "),
+                 F.lit("BBBBB"),
+                 F.rpad(F.lit(" works near it"), 45, " "),
+                 F.lit("CCCCC"))))
+    labeled = distant_label(mentions.transform(cooccurring_pairs),
+                            kb, na_keep_ppm=0)
+    out = induce_patterns(labeled, sents, min_support=1)
+    return (out.select(
+        "pattern", "pred",
+        F.col("support").cast("long").alias("support"),
+        F.col("pattern_total").cast("long").alias("pattern_total"))
+        .orderBy("pattern", "pred"))
+
+
+Q_DS_PATTERNS_SQL = ("""
+WITH """ + _DS_MENTIONS_SQL + """,
+sent AS (
+  SELECT DISTINCT url, sent_id,
+         'AAAAA' || rpad(' was born in 1815', 45, ' ') || 'BBBBB'
+         || rpad(' works near it', 45, ' ') || 'CCCCC' AS text
+  FROM m),
+fwd AS (
+  SELECT l.*, s.text FROM lab l
+  JOIN sent s ON l.url = s.url AND l.sent_id = s.sent_id
+  WHERE l.pred IS NOT NULL AND l.subj_end < l.obj_start
+    AND l.gap <= 80),
+cells AS (
+  SELECT trim(regexp_replace(regexp_replace(
+           lower(substring(text, CAST(subj_end + 2 AS INTEGER),
+                           CAST(obj_start - subj_end - 1 AS INTEGER))),
+           '[0-9]+', '0', 'g'), '\\s+', ' ', 'g')) AS pattern,
+         pred, subj_eid || '|' || obj_eid AS pair
+  FROM fwd),
+per_pred AS (
+  SELECT pattern, pred,
+         CAST(COUNT(DISTINCT pair) AS BIGINT) AS support
+  FROM cells GROUP BY pattern, pred),
+totals AS (
+  SELECT pattern,
+         CAST(COUNT(DISTINCT pair) AS BIGINT) AS pattern_total
+  FROM cells GROUP BY pattern)
+SELECT p.pattern, p.pred, p.support, t.pattern_total
+FROM per_pred p JOIN totals t ON p.pattern = t.pattern
+WHERE p.support >= 1
+ORDER BY p.pattern, p.pred
+""")
+
+
 def q_pipeline_triples_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's hot sink (``emit_triples``,
     pipeline/triples.py:32) hash-checked end-to-end: a deterministic
@@ -7153,13 +7316,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "bitext_mine": q_bitext_mine,
         "linkpred": q_linkpred,
-        "er_resolve": q_er_resolve,
+        "distant_label": q_distant_label,
         "kg_conflate": q_kg_conflate,
         "taxonomy_closure": q_taxonomy_closure,
         # ---- position 50+: never-green entries whose operator family
         # already has a green row inside the window
-        # (er_increment's family is in-window via er_resolve +
-        # kg_conflate, so it yields its slot to the taxonomy family)
+        # (er_increment and er_resolve are in-window via kg_conflate,
+        # which drives the full ER path; their slots go to the
+        # taxonomy and distant-supervision families)
+        "ds_patterns": q_ds_patterns,
+        "er_resolve": q_er_resolve,
         "er_increment": q_er_increment,
         "upsample": q_upsample,
         "temperature_sample": q_temperature_sample,
@@ -7342,6 +7508,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_conflate": Q_KG_CONFLATE_SQL,
         "er_increment": Q_ER_INCREMENT_SQL,
         "taxonomy_closure": Q_TAXONOMY_CLOSURE_SQL,
+        "distant_label": Q_DISTANT_LABEL_SQL,
+        "ds_patterns": Q_DS_PATTERNS_SQL,
         "leakage_split": Q_LEAKAGE_SPLIT_SQL,
         "shuffle_shards": Q_SHUFFLE_SHARDS_SQL,
         "dedup_increment": Q_DEDUP_INCREMENT_SQL,

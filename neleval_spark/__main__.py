@@ -1207,6 +1207,54 @@ def cmd_align_predicates(args):
                       "min_overlap_pct": args.min_overlap_pct}))
 
 
+def cmd_distant_label(args):
+    """Distant-supervision relation labeling: a parquet mention table
+    (url, sent_id, start, end, eid) plus a parquet KB triple table
+    (subj, pred, obj) → labeled relation-extraction training pairs
+    (pipeline/distant: within-sentence co-occurrence pairs, KB match,
+    deterministic hash-sampled NA negatives), written as parquet.
+    With --sentences (url, sent_id, text) and --patterns-out,
+    additionally induces Snowball-style (pattern, pred) supports from
+    the positive pairs' middle contexts."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.distant import (
+        NA_LABEL, cooccurring_pairs, distant_label, induce_patterns)
+
+    if bool(args.sentences) != bool(args.patterns_out):
+        raise SystemExit(
+            "distant-label: --sentences and --patterns-out "
+            "go together")
+    spark = _spark()
+    mentions = spark.read.parquet(args.mentions)
+    kb = spark.read.parquet(args.kb)
+    stats = {}
+    pairs = cooccurring_pairs(mentions,
+                              max_mentions=args.max_mentions,
+                              stats=stats)
+    labeled = distant_label(pairs, kb, na_keep_ppm=args.na_ppm)
+    labeled.write.mode("overwrite").parquet(args.out)
+    labeled = spark.read.parquet(args.out)
+    agg = labeled.agg(
+        F.count(F.lit(1)).alias("examples"),
+        F.sum((F.col("pred") != NA_LABEL).cast("long"))
+         .alias("positives")).collect()[0]
+    summary = {"out_path": args.out,
+               "examples": agg["examples"],
+               "positives": agg["positives"],
+               "na": agg["examples"] - agg["positives"], **stats}
+    if args.patterns_out:
+        sents = spark.read.parquet(args.sentences)
+        pats = induce_patterns(labeled, sents,
+                               min_support=args.min_support,
+                               max_gap=args.max_gap)
+        pats.write.mode("overwrite").parquet(args.patterns_out)
+        summary["patterns_out"] = args.patterns_out
+        summary["patterns"] = (
+            spark.read.parquet(args.patterns_out).count())
+    print(json.dumps(summary))
+
+
 def cmd_taxonomy_closure(args):
     """Schema-level taxonomy closure: a parquet is-a edge table
     (child, parent) → the full (node, ancestor, depth) transitive
@@ -1664,6 +1712,29 @@ def main(argv=None):
                         dest="min_support"),
         sp.add_argument("--min-overlap-pct", type=int, default=50,
                         dest="min_overlap_pct")))
+    add("distant-label", cmd_distant_label, lambda sp: (
+        sp.add_argument("mentions",
+                        help="parquet mention table "
+                             "(url, sent_id, start, end, eid)"),
+        sp.add_argument("--kb", required=True,
+                        help="parquet KB triple table "
+                             "(subj, pred, obj)"),
+        sp.add_argument("-o", "--out", required=True),
+        sp.add_argument("--max-mentions", type=int, default=64,
+                        dest="max_mentions"),
+        sp.add_argument("--na-ppm", type=int, default=50_000,
+                        dest="na_ppm",
+                        help="NA negatives kept per million "
+                             "unmatched pairs"),
+        sp.add_argument("--sentences",
+                        help="parquet sentence table "
+                             "(url, sent_id, text) for pattern "
+                             "induction"),
+        sp.add_argument("--patterns-out", dest="patterns_out"),
+        sp.add_argument("--min-support", type=int, default=2,
+                        dest="min_support"),
+        sp.add_argument("--max-gap", type=int, default=80,
+                        dest="max_gap")))
     add("taxonomy-closure", cmd_taxonomy_closure, lambda sp: (
         sp.add_argument("edges",
                         help="parquet is-a edge table "

@@ -936,3 +936,46 @@ def test_cli_taxonomy_closure_requires_types_out(spark, capsys,
         _run(capsys, "taxonomy-closure", src,
              "-o", str(tmp_path / "c2"),
              "--instances", src)
+
+
+def test_cli_distant_label(spark, capsys, tmp_path):
+    mentions = spark.createDataFrame(
+        [("u1", 0, 0, 2, "E1"), ("u1", 0, 26, 31, "E2"),
+         ("u2", 0, 0, 2, "E3"), ("u2", 0, 26, 31, "E4")],
+        "url string, sent_id long, start long, end long, eid string")
+    kb = spark.createDataFrame(
+        [("E1", "born_in", "E2"), ("E3", "born_in", "E4")],
+        "subj string, pred string, obj string")
+    sents = spark.createDataFrame(
+        [("u1", 0, "Ada was born in   1815 in London"),
+         ("u2", 0, "Bob was born in   1900 in Berlin")],
+        "url string, sent_id long, text string")
+    m_src, kb_src, s_src = (str(tmp_path / d)
+                            for d in ("mentions", "kb", "sents"))
+    mentions.write.parquet(m_src)
+    kb.write.parquet(kb_src)
+    sents.write.parquet(s_src)
+    out_dir = str(tmp_path / "labeled")
+    pat_dir = str(tmp_path / "patterns")
+    out = _run(capsys, "distant-label", m_src, "--kb", kb_src,
+               "-o", out_dir, "--na-ppm", "0",
+               "--sentences", s_src, "--patterns-out", pat_dir)
+    info = json.loads(out.strip().splitlines()[-1])
+    assert info["examples"] == 2 and info["positives"] == 2
+    assert info["na"] == 0 and info["patterns"] == 1
+    [r] = spark.read.parquet(pat_dir).collect()
+    assert r["pattern"] == "was born in 0 in"
+    assert r["support"] == 2
+
+
+def test_cli_distant_label_patterns_needs_sentences(spark, capsys,
+                                                    tmp_path):
+    m = spark.createDataFrame(
+        [("u1", 0, 0, 2, "E1")],
+        "url string, sent_id long, start long, end long, eid string")
+    src = str(tmp_path / "m2")
+    m.write.parquet(src)
+    with pytest.raises(SystemExit, match="go together"):
+        _run(capsys, "distant-label", src, "--kb", src,
+             "-o", str(tmp_path / "o2"),
+             "--patterns-out", str(tmp_path / "p2"))
