@@ -6052,6 +6052,78 @@ ORDER BY p.pattern, p.pred
 """)
 
 
+_PLAUS_TYPES = [("E0", "place"), ("E1", "place"), ("E1", "org"),
+                ("E2", "org"), ("E3", "place"), ("E4", "org"),
+                ("E6", "person")]  # E5 deliberately untyped
+
+
+def q_triple_plausibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDValidate type-consistency scoring (pipeline/plausibility):
+    21 distinct deterministic triples (subj E{d%7}, pred p{d%3},
+    obj E{(d+3)%7}) learn their own per-(pred, obj-type) signature
+    against a 7-entity type table with one multi-typed and one
+    untyped entity, then every triple gets max-over-types
+    support*1e6 DIV pred_total — exact BIGINT division, -1 pinned
+    for the untyped object.  The oracle replays signature, totals
+    and the max-coalesce scoring rule exactly."""
+    from neleval_spark.pipeline.plausibility import (
+        predicate_type_signature, score_triples)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        F.concat(F.lit("E"), (F.col("doc_id") % 7).cast("string"))
+         .alias("subj"),
+        F.concat(F.lit("p"), (F.col("doc_id") % 3).cast("string"))
+         .alias("pred"),
+        F.concat(F.lit("E"), ((F.col("doc_id") + 3) % 7).cast("string"))
+         .alias("obj"))
+    ty = spark.createDataFrame(_PLAUS_TYPES, "entity string, type string")
+    sig = predicate_type_signature(t, ty)
+    out = score_triples(t, sig, ty)
+    return (out.select("subj", "pred", "obj",
+                       F.col("plaus_ppm").cast("long")
+                       .alias("plaus_ppm"))
+            .orderBy("subj", "pred", "obj"))
+
+
+_PLAUS_TYPES_VALUES = ", ".join(
+    f"('{e}', '{x}')" for e, x in _PLAUS_TYPES)
+
+Q_TRIPLE_PLAUSIBILITY_SQL = ("""
+WITH t3 AS (
+  SELECT DISTINCT 'E' || CAST(doc_id % 7 AS VARCHAR) AS subj,
+         'p' || CAST(doc_id % 3 AS VARCHAR) AS pred,
+         'E' || CAST((doc_id + 3) % 7 AS VARCHAR) AS obj
+  FROM documents),
+ty(entity, type) AS (VALUES """ + _PLAUS_TYPES_VALUES + """),
+typed AS (
+  SELECT t3.pred, ty.type FROM t3 JOIN ty ON t3.obj = ty.entity),
+sig AS (
+  SELECT pred, type, CAST(COUNT(*) AS BIGINT) AS support
+  FROM typed GROUP BY pred, type),
+tot AS (
+  SELECT pred, CAST(COUNT(*) AS BIGINT) AS pred_total
+  FROM t3 JOIN (SELECT DISTINCT entity FROM ty) e
+         ON t3.obj = e.entity
+  GROUP BY pred),
+ppm AS (
+  SELECT sig.pred, sig.type,
+         support * 1000000 // pred_total AS v
+  FROM sig JOIN tot ON sig.pred = tot.pred),
+sc AS (
+  SELECT t3.subj, t3.pred, t3.obj,
+         MAX(CASE WHEN ty.type IS NOT NULL
+                  THEN COALESCE(ppm.v, 0) END) AS best
+  FROM t3
+  LEFT JOIN ty ON t3.obj = ty.entity
+  LEFT JOIN ppm ON ppm.pred = t3.pred AND ppm.type = ty.type
+  GROUP BY t3.subj, t3.pred, t3.obj)
+SELECT subj, pred, obj,
+       CAST(COALESCE(best, -1) AS BIGINT) AS plaus_ppm
+FROM sc ORDER BY subj, pred, obj
+""")
+
+
 def q_pipeline_triples_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's hot sink (``emit_triples``,
     pipeline/triples.py:32) hash-checked end-to-end: a deterministic
@@ -7325,6 +7397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # which drives the full ER path; their slots go to the
         # taxonomy and distant-supervision families)
         "ds_patterns": q_ds_patterns,
+        "triple_plausibility": q_triple_plausibility,
         "er_resolve": q_er_resolve,
         "er_increment": q_er_increment,
         "upsample": q_upsample,
@@ -7510,6 +7583,7 @@ def oracle_sql() -> dict[str, str]:
         "taxonomy_closure": Q_TAXONOMY_CLOSURE_SQL,
         "distant_label": Q_DISTANT_LABEL_SQL,
         "ds_patterns": Q_DS_PATTERNS_SQL,
+        "triple_plausibility": Q_TRIPLE_PLAUSIBILITY_SQL,
         "leakage_split": Q_LEAKAGE_SPLIT_SQL,
         "shuffle_shards": Q_SHUFFLE_SHARDS_SQL,
         "dedup_increment": Q_DEDUP_INCREMENT_SQL,

@@ -1207,6 +1207,46 @@ def cmd_align_predicates(args):
                       "min_overlap_pct": args.min_overlap_pct}))
 
 
+def cmd_score_triples(args):
+    """Type-consistency triple plausibility (pipeline/plausibility,
+    SDValidate): a parquet triple table (subj, pred, obj) plus a
+    parquet (entity, type) table → every triple scored with
+    plaus_ppm (max-over-types support·1e6 DIV pred_total, exact
+    BIGINT; -1 for untyped endpoints), written as parquet.
+    --signature learns the per-(pred, type) signature from a
+    TRUSTED triple table instead of the scored one;
+    --signature-out persists the learned signature."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.plausibility import (
+        UNTYPED_SCORE, predicate_type_signature, score_triples)
+
+    spark = _spark()
+    triples = spark.read.parquet(args.triples)
+    types = spark.read.parquet(args.types)
+    trusted = (spark.read.parquet(args.signature)
+               if args.signature else triples)
+    sig = predicate_type_signature(trusted, types, side=args.side)
+    if args.signature_out:
+        sig.write.mode("overwrite").parquet(args.signature_out)
+        sig = spark.read.parquet(args.signature_out)
+    scored = score_triples(triples, sig, types, side=args.side)
+    scored.write.mode("overwrite").parquet(args.out)
+    scored = spark.read.parquet(args.out)
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("triples"),
+        F.sum((F.col("plaus_ppm") == UNTYPED_SCORE).cast("long"))
+         .alias("untyped"),
+        F.sum(((F.col("plaus_ppm") >= 0)
+               & (F.col("plaus_ppm") < args.flag_ppm)).cast("long"))
+         .alias("flagged")).collect()[0]
+    print(json.dumps({"out_path": args.out,
+                      "triples": agg["triples"],
+                      "untyped": agg["untyped"],
+                      "flagged": agg["flagged"],
+                      "flag_ppm": args.flag_ppm}))
+
+
 def cmd_distant_label(args):
     """Distant-supervision relation labeling: a parquet mention table
     (url, sent_id, start, end, eid) plus a parquet KB triple table
@@ -1712,6 +1752,23 @@ def main(argv=None):
                         dest="min_support"),
         sp.add_argument("--min-overlap-pct", type=int, default=50,
                         dest="min_overlap_pct")))
+    add("score-triples", cmd_score_triples, lambda sp: (
+        sp.add_argument("triples",
+                        help="parquet triple table (subj, pred, obj)"),
+        sp.add_argument("--types", required=True,
+                        help="parquet (entity, type) table"),
+        sp.add_argument("-o", "--out", required=True),
+        sp.add_argument("--side", default="obj",
+                        choices=("obj", "subj")),
+        sp.add_argument("--signature",
+                        help="trusted parquet triple table to learn "
+                             "the signature from (default: the "
+                             "scored table itself)"),
+        sp.add_argument("--signature-out", dest="signature_out"),
+        sp.add_argument("--flag-ppm", type=int, default=10_000,
+                        dest="flag_ppm",
+                        help="report count of typed triples scoring "
+                             "under this threshold")))
     add("distant-label", cmd_distant_label, lambda sp: (
         sp.add_argument("mentions",
                         help="parquet mention table "

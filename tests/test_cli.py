@@ -979,3 +979,31 @@ def test_cli_distant_label_patterns_needs_sentences(spark, capsys,
         _run(capsys, "distant-label", src, "--kb", src,
              "-o", str(tmp_path / "o2"),
              "--patterns-out", str(tmp_path / "p2"))
+
+
+def test_cli_score_triples(spark, capsys, tmp_path):
+    triples = spark.createDataFrame(
+        [("a", "born_in", "paris"), ("b", "born_in", "lyon"),
+         ("c", "born_in", "acme"), ("d", "born_in", "unknown")],
+        "subj string, pred string, obj string")
+    types = spark.createDataFrame(
+        [("paris", "place"), ("lyon", "place"), ("acme", "org")],
+        "entity string, type string")
+    t_src, ty_src = str(tmp_path / "t"), str(tmp_path / "ty")
+    triples.write.parquet(t_src)
+    types.write.parquet(ty_src)
+    out_dir = str(tmp_path / "scored")
+    sig_dir = str(tmp_path / "sig")
+    out = _run(capsys, "score-triples", t_src, "--types", ty_src,
+               "-o", out_dir, "--signature-out", sig_dir,
+               "--flag-ppm", "500000")
+    info = json.loads(out.strip().splitlines()[-1])
+    assert info["triples"] == 4 and info["untyped"] == 1
+    assert info["flagged"] == 1  # acme/org: 1/3 < 0.5
+    got = {r["obj"]: r["plaus_ppm"]
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got["paris"] == 666666 and got["acme"] == 333333
+    assert got["unknown"] == -1
+    sig = {(r["pred"], r["type"]): r["support"]
+           for r in spark.read.parquet(sig_dir).collect()}
+    assert sig[("born_in", "place")] == 2
