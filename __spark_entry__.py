@@ -6124,6 +6124,96 @@ FROM sc ORDER BY subj, pred, obj
 """)
 
 
+def q_coherence_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-coherence candidate reranking (pipeline/coherence,
+    AIDA/TagMe-style collective linking): every doc carries an
+    ambiguous mention (A prior 3 vs B prior 2) plus an anchor
+    mention (C prior 5); the relatedness edge B{k}–C{k} exists only
+    for k in 0..2, so at alpha=400000 the coherence vote flips the
+    winner to B on three of five doc classes and the prior holds on
+    the rest.  Exact BIGINT blend; ties impossible by construction.
+    The oracle replays prior winners, doc-context votes and the
+    integer argmax."""
+    from neleval_spark.pipeline.coherence import rerank_by_coherence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = (F.col("doc_id") % 5).cast("string")
+    cands = (docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+         .alias("url"),
+        F.explode(F.array(
+            F.struct(F.lit(0).cast("long").alias("mention_id"),
+                     F.concat(F.lit("A"), k).alias("eid"),
+                     F.lit(3).cast("long").alias("prior")),
+            F.struct(F.lit(0).cast("long").alias("mention_id"),
+                     F.concat(F.lit("B"), k).alias("eid"),
+                     F.lit(2).cast("long").alias("prior")),
+            F.struct(F.lit(1).cast("long").alias("mention_id"),
+                     F.concat(F.lit("C"), k).alias("eid"),
+                     F.lit(5).cast("long").alias("prior")),
+        )).alias("_c"))
+        .select("url", F.col("_c.mention_id").alias("mention_id"),
+                F.col("_c.eid").alias("eid"),
+                F.col("_c.prior").alias("prior")))
+    e = [(f"B{i}", f"C{i}") for i in range(3)]
+    edges = spark.createDataFrame(
+        e + [(b, a) for a, b in e], "src string, dst string")
+    out = rerank_by_coherence(cands, edges, alpha_ppm=400_000)
+    return (out.select("url", "mention_id", "eid", "prior",
+                       "votes", "combined")
+            .orderBy("url", "mention_id"))
+
+
+Q_COHERENCE_RERANK_SQL = ("""
+WITH c AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(x.m AS BIGINT) AS mention_id,
+         x.e || CAST(doc_id % 5 AS VARCHAR) AS eid,
+         CAST(x.p AS BIGINT) AS prior
+  FROM documents
+  CROSS JOIN (VALUES (0, 'A', 3), (0, 'B', 2), (1, 'C', 5))
+       AS x(m, e, p)),
+edges AS (
+  SELECT 'B' || CAST(k AS VARCHAR) AS src,
+         'C' || CAST(k AS VARCHAR) AS dst
+  FROM (VALUES (0), (1), (2)) AS t(k)
+  UNION ALL
+  SELECT 'C' || CAST(k AS VARCHAR), 'B' || CAST(k AS VARCHAR)
+  FROM (VALUES (0), (1), (2)) AS t(k)),
+w0 AS (
+  SELECT url, mention_id, eid, prior,
+         ROW_NUMBER() OVER (PARTITION BY url, mention_id
+                            ORDER BY prior DESC, eid) AS rn
+  FROM c),
+winners AS (
+  SELECT url, mention_id, eid, prior FROM w0 WHERE rn = 1),
+ctx AS (SELECT url, mention_id AS ctx_m, eid AS ctx_eid FROM winners),
+votes AS (
+  SELECT c.url, c.mention_id, c.eid,
+         CAST(COUNT(*) AS BIGINT) AS votes
+  FROM c JOIN ctx ON c.url = ctx.url AND c.mention_id <> ctx.ctx_m
+  JOIN edges e ON c.eid = e.src AND ctx.ctx_eid = e.dst
+  GROUP BY c.url, c.mention_id, c.eid),
+scored AS (
+  SELECT c.url, c.mention_id, c.eid, c.prior,
+         COALESCE(v.votes, 0) AS votes,
+         400000 * c.prior + 600000 * COALESCE(v.votes, 0) AS combined
+  FROM c LEFT JOIN votes v
+    ON c.url = v.url AND c.mention_id = v.mention_id
+   AND c.eid = v.eid),
+s0 AS (
+  SELECT url, mention_id, eid, prior, votes, combined,
+         ROW_NUMBER() OVER (PARTITION BY url, mention_id
+                            ORDER BY combined DESC, eid) AS rn
+  FROM scored)
+SELECT url, mention_id, eid, prior,
+       CAST(votes AS BIGINT) AS votes,
+       CAST(combined AS BIGINT) AS combined
+FROM s0 WHERE rn = 1
+ORDER BY url, mention_id
+""")
+
+
 def q_pipeline_triples_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's hot sink (``emit_triples``,
     pipeline/triples.py:32) hash-checked end-to-end: a deterministic
@@ -7348,7 +7438,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_triples_sql": q_pipeline_triples_sql,
         # ---- never driver-checked: training-data / graph ops
         "dedup_increment": q_dedup_increment,
-        "dedup_lines": q_dedup_lines,
         "dedup_substrings": q_dedup_substrings,
         "cap_domain": q_cap_domain,
         "budget_sample": q_budget_sample,
@@ -7391,11 +7480,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distant_label": q_distant_label,
         "kg_conflate": q_kg_conflate,
         "taxonomy_closure": q_taxonomy_closure,
+        "coherence_rerank": q_coherence_rerank,
         # ---- position 50+: never-green entries whose operator family
         # already has a green row inside the window
         # (er_increment and er_resolve are in-window via kg_conflate,
         # which drives the full ER path; their slots go to the
-        # taxonomy and distant-supervision families)
+        # taxonomy, distant-supervision and coherence families;
+        # dedup_lines cedes its slot to coherence_rerank — the dedup
+        # family keeps dedup_increment + dedup_substrings in-window)
+        "dedup_lines": q_dedup_lines,
         "ds_patterns": q_ds_patterns,
         "triple_plausibility": q_triple_plausibility,
         "er_resolve": q_er_resolve,
@@ -7629,4 +7722,5 @@ def oracle_sql() -> dict[str, str]:
         "charset_sniff": Q_CHARSET_SNIFF_SQL,
         "containment": Q_CONTAINMENT_SQL,
         "permutation_pvalue": Q_PERMUTATION_PVALUE_SQL,
+        "coherence_rerank": Q_COHERENCE_RERANK_SQL,
     }

@@ -1354,6 +1354,41 @@ def cmd_chain_mentions(args):
                       "chained": agg["chained"]}))
 
 
+def cmd_rerank_coherence(args):
+    """Collective entity linking: a parquet candidate table
+    (url, mention_id, eid, prior) + a parquet relatedness edge table
+    (src, dst) → one winning candidate per mention after the
+    document-coherence vote (pipeline/coherence.rerank_by_coherence),
+    written as parquet plus a JSON summary.  The edge table is
+    symmetrized here so callers can pass either directed or
+    undirected pair lists."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.coherence import rerank_by_coherence
+
+    spark = _spark()
+    cands = spark.read.parquet(args.candidates)
+    e = spark.read.parquet(args.edges).select("src", "dst")
+    e = e.unionByName(
+        e.select(F.col("dst").alias("src"),
+                 F.col("src").alias("dst"))).distinct()
+    stats: dict = {}
+    out = rerank_by_coherence(
+        cands, e, alpha_ppm=args.alpha_ppm,
+        max_mentions=args.max_mentions, stats=stats)
+    out.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("mentions"),
+        F.sum((F.col("votes") > 0).cast("long")).alias("voted")
+    ).collect()[0]
+    print(json.dumps({"out_path": args.out,
+                      "mentions": agg["mentions"],
+                      "voted": agg["voted"],
+                      "passthrough_docs": stats["passthrough_docs"],
+                      "alpha_ppm": args.alpha_ppm}))
+
+
 def cmd_frontier(args):
     """Crawl dispatch: seed urls (+ optional fetched sitemaps) →
     robots.txt compliance filter → politeness schedule → fetch-plan
@@ -1818,6 +1853,21 @@ def main(argv=None):
                         help="parquet mention table "
                              "(url, start, end, surface, ...)"),
         sp.add_argument("-o", "--out", required=True)))
+    add("rerank-coherence", cmd_rerank_coherence, lambda sp: (
+        sp.add_argument("candidates",
+                        help="parquet candidate table "
+                             "(url, mention_id, eid, prior)"),
+        sp.add_argument("--edges", required=True,
+                        help="parquet entity-relatedness pairs "
+                             "(src, dst); symmetrized on read"),
+        sp.add_argument("-o", "--out", required=True),
+        sp.add_argument("--alpha-ppm", type=int, default=500_000,
+                        dest="alpha_ppm",
+                        help="prior weight in parts per million"),
+        sp.add_argument("--max-mentions", type=int, default=256,
+                        dest="max_mentions",
+                        help="docs with more mentions pass through "
+                             "unreranked")))
     add("frontier", cmd_frontier, lambda sp: (
         sp.add_argument("urls",
                         help="parquet seed frontier with a url column"),

@@ -860,6 +860,28 @@ def test_cli_chain_mentions(spark, capsys, tmp_path):
     assert got[50] == "Barack Obama" and got[90] == "Plaza"
 
 
+def test_cli_rerank_coherence(spark, capsys, tmp_path):
+    cands = spark.createDataFrame(
+        [("u1", 0, "A", 3), ("u1", 0, "B", 2), ("u1", 1, "C", 5)],
+        "url string, mention_id long, eid string, prior long")
+    # directed edge only: the CLI symmetrizes before reranking
+    edges = spark.createDataFrame([("B", "C")],
+                                  "src string, dst string")
+    src = str(tmp_path / "cands")
+    esrc = str(tmp_path / "edges")
+    cands.write.parquet(src)
+    edges.write.parquet(esrc)
+    out_dir = str(tmp_path / "reranked")
+    out = _run(capsys, "rerank-coherence", src, "--edges", esrc,
+               "-o", out_dir, "--alpha-ppm", "400000")
+    info = json.loads(out.strip().splitlines()[-1])
+    assert info["mentions"] == 2 and info["voted"] == 1
+    assert info["passthrough_docs"] == 0
+    got = {r["mention_id"]: r["eid"]
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {0: "B", 1: "C"}  # coherence flips m0 to B
+
+
 def test_cli_fuse_facts(spark, capsys, tmp_path):
     claims = spark.createDataFrame(
         [("a", "E1", "p", "x"), ("b", "E1", "p", "x"),
