@@ -6214,6 +6214,131 @@ ORDER BY url, mention_id
 """)
 
 
+def _markup_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic page table for the markup-extraction gates:
+    every doc embeds one Article JSON-LD block (nested author
+    object), every 3rd adds an @graph envelope, every 5th a
+    top-level array with a non-object member, plus a fixed <meta>
+    head.  Integer-only JSON numbers (get_json_object canonicalizes
+    floats, PLANS.md "coherence_rerank"-adjacent markup note)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit('<head><meta property="og:title" content="T'), d,
+        F.lit('"/><meta content="d &amp; '),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit('" name="description"><meta charset="utf-8">'
+              '<script type="application/ld+json">{"@id":"e'), d,
+        F.lit('","@type":"Article","name":"n'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('","words":'), (F.col("doc_id") % 100).cast("string"),
+        F.lit(',"author":{"@type":"Person","name":"a'),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit('"}}</script>'))
+    graph_block = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit('<script type="application/ld+json">'
+                       '{"@context":"https://schema.org","@graph":'
+                       '[{"@id":"g'), d,
+                 F.lit('","p":1},{"q":"v"}]}</script>'))
+    ).otherwise(F.lit(""))
+    arr_block = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.lit('<script type="application/ld+json">'
+              '[{"r":2},5]</script>')).otherwise(F.lit(""))
+    return docs.select(
+        F.concat(F.lit("u"), d).alias("url"),
+        F.concat(base, graph_block, arr_block,
+                 F.lit("</head>")).alias("html"))
+
+
+def q_jsonld_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web Data Commons-style structured-data extraction
+    (pipeline/markup.jsonld_triples): JSON-LD blocks flattened to
+    (subj, pred, obj, kind) rows — arrays, @graph envelopes, blank
+    nodes, nested-object values.  The oracle derives the expected
+    rows CLOSED-FORM from doc_id (independent of any JSON parser),
+    so the gate checks the real regex+JSON flattening against an
+    independent construction."""
+    from neleval_spark.pipeline.markup import jsonld_triples
+
+    out = jsonld_triples(_markup_pages(spark, sf_dir))
+    return (out.select("url", F.col("block").cast("long").alias("block"),
+                       F.col("node").cast("long").alias("node"),
+                       "subj", "pred", "obj", "kind")
+            .orderBy("url", "block", "node", "pred"))
+
+
+Q_JSONLD_TRIPLES_SQL = ("""
+WITH d AS (
+  SELECT doc_id AS id, 'u' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+base AS (
+  SELECT url, 0 AS block, 0 AS node,
+         'e' || CAST(id AS VARCHAR) AS subj, x.pred,
+         CASE x.pred
+           WHEN '@type' THEN 'Article'
+           WHEN 'name' THEN 'n' || CAST(id % 7 AS VARCHAR)
+           WHEN 'words' THEN CAST(id % 100 AS VARCHAR)
+           WHEN 'author' THEN '{"@type":"Person","name":"a'
+                || CAST(id % 13 AS VARCHAR) || '"}'
+         END AS obj,
+         CASE WHEN x.pred = 'author' THEN 'object'
+              ELSE 'scalar' END AS kind
+  FROM d CROSS JOIN (VALUES ('@type'), ('name'), ('words'),
+                            ('author')) AS x(pred)),
+g AS (
+  SELECT url, 1 AS block, 0 AS node,
+         'g' || CAST(id AS VARCHAR) AS subj,
+         'p' AS pred, '1' AS obj, 'scalar' AS kind
+  FROM d WHERE id % 3 = 0
+  UNION ALL
+  SELECT url, 1, 1, url || '#1.1', 'q', 'v', 'scalar'
+  FROM d WHERE id % 3 = 0),
+a AS (
+  SELECT url, b AS block, 0 AS node,
+         url || '#' || CAST(b AS VARCHAR) || '.0' AS subj,
+         'r' AS pred, '2' AS obj, 'scalar' AS kind
+  FROM (SELECT url,
+               1 + CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END AS b
+        FROM d WHERE id % 5 = 0))
+SELECT url, CAST(block AS BIGINT) AS block,
+       CAST(node AS BIGINT) AS node, subj, pred, obj, kind
+FROM (SELECT * FROM base UNION ALL SELECT * FROM g
+      UNION ALL SELECT * FROM a)
+ORDER BY url, block, node, pred
+""")
+
+
+def q_meta_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph / named <meta> extraction
+    (pipeline/markup.meta_tags): attribute-order-free key/content
+    pairs with entity decoding; the keyless charset tag drops out
+    but still consumes a tag index.  Closed-form oracle from
+    doc_id."""
+    from neleval_spark.pipeline.markup import meta_tags
+
+    out = meta_tags(_markup_pages(spark, sf_dir))
+    return (out.select("url", F.col("tag").cast("long").alias("tag"),
+                       "key", "content")
+            .orderBy("url", "tag"))
+
+
+Q_META_TAGS_SQL = ("""
+WITH d AS (
+  SELECT doc_id AS id, 'u' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents)
+SELECT url, CAST(0 AS BIGINT) AS tag, 'og:title' AS key,
+       'T' || CAST(id AS VARCHAR) AS content
+FROM d
+UNION ALL
+SELECT url, CAST(1 AS BIGINT), 'description',
+       'd & ' || CAST(id % 9 AS VARCHAR)
+FROM d
+ORDER BY url, tag
+""")
+
+
 def q_pipeline_triples_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's hot sink (``emit_triples``,
     pipeline/triples.py:32) hash-checked end-to-end: a deterministic
@@ -7442,11 +7567,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_domain": q_cap_domain,
         "budget_sample": q_budget_sample,
         "pack_sequences": q_pack_sequences,
-        "repetition": q_repetition,
         "contamination": q_contamination,
         "associations": q_associations,
-        "triangles": q_triangles,
         "communities": q_communities,
+        "jsonld_triples": q_jsonld_triples,
+        "meta_tags": q_meta_tags,
         # ---- round 5: stats path oracle-gated + curation additions
         "permutation_pvalue": q_permutation_pvalue,
         "semantic_dedup": q_semantic_dedup,
@@ -7487,7 +7612,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # which drives the full ER path; their slots go to the
         # taxonomy, distant-supervision and coherence families;
         # dedup_lines cedes its slot to coherence_rerank — the dedup
-        # family keeps dedup_increment + dedup_substrings in-window)
+        # family keeps dedup_increment + dedup_substrings in-window;
+        # triangles and repetition cede theirs to the markup pair —
+        # graph analytics keeps communities/kcore/linkpred in-window
+        # and webquality keeps contamination)
+        "triangles": q_triangles,
+        "repetition": q_repetition,
         "dedup_lines": q_dedup_lines,
         "ds_patterns": q_ds_patterns,
         "triple_plausibility": q_triple_plausibility,
@@ -7723,4 +7853,6 @@ def oracle_sql() -> dict[str, str]:
         "containment": Q_CONTAINMENT_SQL,
         "permutation_pvalue": Q_PERMUTATION_PVALUE_SQL,
         "coherence_rerank": Q_COHERENCE_RERANK_SQL,
+        "jsonld_triples": Q_JSONLD_TRIPLES_SQL,
+        "meta_tags": Q_META_TAGS_SQL,
     }

@@ -1389,6 +1389,47 @@ def cmd_rerank_coherence(args):
                       "alpha_ppm": args.alpha_ppm}))
 
 
+def cmd_extract_markup(args):
+    """Structured-data extraction (the Web Data Commons entrance
+    into the KG): a parquet page table (url, html) → flattened
+    JSON-LD rows (url, block, node, subj, pred, obj, kind) as
+    parquet; --meta-out additionally writes the OpenGraph/<meta>
+    key/content table; --triples-out writes the (subj, pred, obj)
+    projection ready for merge-kg/fuse-facts.  Prints a JSON
+    summary including the surfaced malformed-node and
+    skipped-key counts."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.markup import (
+        jsonld_triples, markup_as_triples, meta_tags)
+
+    spark = _spark()
+    pages = spark.read.parquet(args.pages)
+    stats: dict = {}
+    flat = jsonld_triples(pages, stats=stats)
+    flat.write.mode("overwrite").parquet(args.out)
+    flat = spark.read.parquet(args.out)
+    if args.triples_out:
+        markup_as_triples(flat).write.mode("overwrite") \
+            .parquet(args.triples_out)
+    n_meta = None
+    if args.meta_out:
+        meta_tags(pages).write.mode("overwrite") \
+            .parquet(args.meta_out)
+        n_meta = spark.read.parquet(args.meta_out).count()
+    agg = flat.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("url", "block", "node").alias("nodes")
+    ).collect()[0]
+    out = {"out_path": args.out, "rows": agg["rows"],
+           "nodes": agg["nodes"],
+           "bad_nodes": stats["bad_nodes"],
+           "skipped_keys": stats["skipped_keys"]}
+    if n_meta is not None:
+        out["meta_rows"] = n_meta
+    print(json.dumps(out))
+
+
 def cmd_frontier(args):
     """Crawl dispatch: seed urls (+ optional fetched sitemaps) →
     robots.txt compliance filter → politeness schedule → fetch-plan
@@ -1868,6 +1909,18 @@ def main(argv=None):
                         dest="max_mentions",
                         help="docs with more mentions pass through "
                              "unreranked")))
+    add("extract-markup", cmd_extract_markup, lambda sp: (
+        sp.add_argument("pages",
+                        help="parquet page table (url, html)"),
+        sp.add_argument("-o", "--out", required=True,
+                        help="output path for the flattened "
+                             "JSON-LD rows"),
+        sp.add_argument("--meta-out", dest="meta_out",
+                        help="also write the <meta> key/content "
+                             "table here"),
+        sp.add_argument("--triples-out", dest="triples_out",
+                        help="also write the (subj, pred, obj) "
+                             "projection here")))
     add("frontier", cmd_frontier, lambda sp: (
         sp.add_argument("urls",
                         help="parquet seed frontier with a url column"),

@@ -1,0 +1,170 @@
+"""Embedded structured-data extraction (html → KG triples).
+
+The Web Data Commons pipeline (Meusel et al. 2014; schema.org over
+Common Crawl): real-world KGs are seeded from the JSON-LD blocks and
+<meta> tags publishers embed in pages, not only from NER over prose.
+This module turns a page table into subject–predicate–object rows
+ready for the triple sink (`pipeline/triples.write_triples`) and the
+merge/fusion ops downstream — the second, markup-side entrance into
+the same KG the NER pipeline feeds.
+
+Everything is JVM-side column expressions (regexp over the html
+string, ``json_object_keys`` / ``get_json_object`` /
+``from_json(..., "array<string>")`` for the schemaless JSON-LD
+flattening) — a narrow, shuffle-free plan: at 100 TB this runs as a
+pure map over the page scan with predicate pushdown intact; no
+pandas, no collect, no exchange.
+
+Known value canonicalizations (documented, deterministic): Spark's
+``get_json_object`` re-serializes scalars and subtrees with Jackson,
+so non-integer JSON numbers are normalized (``1.50`` → ``1.5``) and
+nested objects come back minified with source key order. ``kind`` is
+derived from the returned text's first character, so a STRING value
+that itself starts with ``{``/``[`` is reported as object/array —
+harmless for sink purposes (values travel as text regardless).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# one <script type="application/ld+json">…</script> block, group 1 =
+# the JSON payload; lazy body so adjacent blocks don't merge
+_JSONLD_RE = (r'(?is)<script[^>]*type\s*=\s*["\']application/ld\+json'
+              r'["\'][^>]*>(.*?)</script')
+_META_RE = r"(?is)<meta\b[^>]*>"
+_KEY_ATTR_RE = r'(?is)(?:property|name)\s*=\s*["\']([^"\']+)["\']'
+_CONTENT_ATTR_RE = r'(?is)content\s*=\s*["\']([^"\']*)["\']'
+# get_json_object paths use $['key'] bracket form; keys outside this
+# charset (dots, quotes, brackets, spaces) would corrupt the path, so
+# they are skipped (surfaced via stats["skipped_keys"]).  schema.org
+# vocabulary and the @-keywords are all inside it.
+_SAFE_KEY_RE = "^[A-Za-z0-9_@:-]+$"
+
+
+def _html_str(pages: DataFrame, html_col: str) -> Column:
+    # binary html (the WARC reader's payload) casts to its utf-8 text
+    return F.col(html_col).cast("string")
+
+
+def jsonld_blocks(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """One row per embedded JSON-LD block: (url, block, json)."""
+    return (pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.regexp_extract_all(
+            _html_str(pages, html_col), F.lit(_JSONLD_RE), F.lit(1)))
+        .alias("block", "json"))
+        .withColumn("json", F.trim("json")))
+
+
+def jsonld_triples(pages: DataFrame, url_col: str = "url",
+                   html_col: str = "html",
+                   stats: dict | None = None) -> DataFrame:
+    """Flatten every JSON-LD node into (url, block, node, subj, pred,
+    obj, kind) rows.
+
+    Node enumeration: a top-level array contributes each element; a
+    top-level object with ``@graph`` contributes the graph members
+    (the wrapper's own ``@context``/``@id`` are envelope, not data —
+    WDC treats them the same way); otherwise the object itself is the
+    single node.  ``subj`` is the node's ``@id`` or a deterministic
+    blank-node id ``url#block.node``.  ``@context``/``@id`` keys are
+    consumed, every other key (including ``@type``) becomes one row;
+    ``kind`` marks scalar / object / array / null values, with
+    object/array payloads kept as their (minified) JSON text so a
+    second flattening pass or the sink can keep processing them.
+
+    Malformed blocks and non-object array members yield no rows;
+    path-unsafe keys are skipped — both counts are surfaced through
+    ``stats`` (``bad_nodes``, ``skipped_keys``) when a dict is
+    passed, never silently estimated.
+    """
+    blocks = jsonld_blocks(pages, url_col, html_col)
+    graph = F.get_json_object("json", "$['@graph']")
+    nodes_arr = (
+        F.when(F.startswith(F.col("json"), F.lit("[")),
+               F.from_json("json", "array<string>"))
+        .when(graph.isNotNull(), F.from_json(graph, "array<string>"))
+        .otherwise(F.array(F.col("json"))))
+    nodes = blocks.select(
+        "url", "block",
+        F.posexplode_outer(nodes_arr).alias("node", "j"))
+    if stats is not None:
+        # a block that parses to no nodes (malformed json → NULL
+        # array) or a node that is not an object (scalar array
+        # member, malformed element) has no key set
+        stats["bad_nodes"] = nodes.where(
+            F.json_object_keys("j").isNull()).count()
+        stats["skipped_keys"] = (nodes.select(
+            F.explode(F.json_object_keys("j")).alias("pred"))
+            .where(~F.col("pred").rlike(_SAFE_KEY_RE)).count())
+    subj = F.coalesce(
+        F.get_json_object("j", "$['@id']"),
+        F.concat(F.col("url"), F.lit("#"), F.col("block"),
+                 F.lit("."), F.col("node")))
+    # explode() (non-outer) drops null/empty key sets by itself — no
+    # explicit null filter, which predicate pushdown would re-inline
+    # as extra json parses (PLANS.md "Higher-order functions are
+    # interpreted" / pushdown-inlining notes)
+    keyed = (nodes.select(
+        "url", "block", "node", subj.alias("subj"), "j",
+        F.explode(F.json_object_keys("j")).alias("pred"))
+        .where(~F.col("pred").isin("@id", "@context")
+               & F.col("pred").rlike(_SAFE_KEY_RE)))
+    # the Python wrapper only accepts literal paths; the underlying
+    # expression takes a per-row path column via SQL.  obj is staged
+    # in its own projection so `kind` reads the staged column
+    # instead of re-parsing the JSON three times (CollapseProject
+    # keeps non-cheap multi-referenced projections).
+    obj = F.expr("""get_json_object(j, concat("$['", pred, "']"))""")
+    staged = keyed.select("url", "block", "node", "subj", "pred",
+                          obj.alias("obj"))
+    kind = (F.when(F.col("obj").isNull(), "null")
+            .when(F.startswith("obj", F.lit("{")), "object")
+            .when(F.startswith("obj", F.lit("[")), "array")
+            .otherwise("scalar"))
+    return staged.select("url", "block", "node", "subj", "pred",
+                         "obj", kind.alias("kind"))
+
+
+# minimal html-attribute entity decode, deterministic and mirrored
+# 1:1 by the DuckDB oracle: the five standard entities, ampersand
+# LAST so "&amp;lt;" decodes to the literal "&lt;"
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&")]
+
+
+def meta_tags(pages: DataFrame, url_col: str = "url",
+              html_col: str = "html") -> DataFrame:
+    """OpenGraph / named <meta> extraction: (url, tag, key, content).
+
+    One row per <meta> element that carries both a ``property`` or
+    ``name`` attribute and a non-empty ``content`` attribute
+    (attribute order free; ``<meta charset=…>`` and friends drop
+    out).  Keys are kept verbatim (og: / twitter: / article:
+    namespaces intact); content is attribute text with the five
+    standard entities decoded.
+    """
+    tags = (pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.regexp_extract_all(
+            _html_str(pages, html_col), F.lit(_META_RE), F.lit(0)))
+        .alias("tag", "_t")))
+    content = F.regexp_extract("_t", _CONTENT_ATTR_RE, 1)
+    for ent, ch in _ENTITIES:
+        content = F.replace(content, F.lit(ent), F.lit(ch))
+    out = tags.select(
+        "url", "tag",
+        F.regexp_extract("_t", _KEY_ATTR_RE, 1).alias("key"),
+        content.alias("content"))
+    return out.where((F.col("key") != "") & (F.col("content") != ""))
+
+
+def markup_as_triples(flat: DataFrame) -> DataFrame:
+    """Project `jsonld_triples` output onto the pipeline's triple
+    shape (subj, pred, obj) so it can feed ``write_triples`` /
+    ``merge_kg`` directly; object/array payloads stay as JSON text."""
+    return flat.where(F.col("kind") != "null") \
+        .select("subj", "pred", "obj")

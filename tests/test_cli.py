@@ -882,6 +882,33 @@ def test_cli_rerank_coherence(spark, capsys, tmp_path):
     assert got == {0: "B", 1: "C"}  # coherence flips m0 to B
 
 
+def test_cli_extract_markup(spark, capsys, tmp_path):
+    html = ('<head><meta property="og:title" content="T"/>'
+            '<script type="application/ld+json">'
+            '{"@id":"e1","@type":"Org","name":"N"}</script>'
+            '<script type="application/ld+json">{bad</script>'
+            "</head>")
+    pages = spark.createDataFrame([("u1", html)],
+                                  "url string, html string")
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+    out_dir = str(tmp_path / "flat")
+    meta_dir = str(tmp_path / "meta")
+    trip_dir = str(tmp_path / "trip")
+    out = _run(capsys, "extract-markup", src, "-o", out_dir,
+               "--meta-out", meta_dir, "--triples-out", trip_dir)
+    info = json.loads(out.strip().splitlines()[-1])
+    assert info == {"out_path": out_dir, "rows": 2, "nodes": 1,
+                    "bad_nodes": 1, "skipped_keys": 0,
+                    "meta_rows": 1}
+    trips = {(r["subj"], r["pred"], r["obj"])
+             for r in spark.read.parquet(trip_dir).collect()}
+    assert trips == {("e1", "@type", "Org"), ("e1", "name", "N")}
+    meta = spark.read.parquet(meta_dir).collect()
+    assert [(r["key"], r["content"]) for r in meta] == [("og:title",
+                                                         "T")]
+
+
 def test_cli_fuse_facts(spark, capsys, tmp_path):
     claims = spark.createDataFrame(
         [("a", "E1", "p", "x"), ("b", "E1", "p", "x"),

@@ -1,0 +1,161 @@
+"""Structured-data markup extraction: hand-built pages covering
+blocks/arrays/@graph/blank nodes/malformed JSON/unsafe keys, the
+meta-tag attribute-order and entity cases, and a differential vs a
+pure-Python re+json replica on the JSON-LD flattening."""
+
+import json as _json
+
+from pyspark.sql import functions as F
+
+from neleval_spark.pipeline.markup import (
+    jsonld_blocks, jsonld_triples, markup_as_triples, meta_tags)
+
+PAGES_SCHEMA = "url string, html string"
+
+
+def _wrap(*blocks):
+    scripts = "".join(
+        f'<script type="application/ld+json">{b}</script>'
+        for b in blocks)
+    return f"<html><head>{scripts}</head><body>x</body></html>"
+
+
+def test_jsonld_blocks_and_basic_triples(spark):
+    html = _wrap('{"@id":"e1","@type":"Article","name":"N",'
+                 '"wordCount":7}')
+    df = spark.createDataFrame([("u1", html)], PAGES_SCHEMA)
+    assert jsonld_blocks(df).count() == 1
+    got = {(r["pred"]): (r["subj"], r["obj"], r["kind"])
+           for r in jsonld_triples(df).collect()}
+    assert got == {
+        "@type": ("e1", "Article", "scalar"),
+        "name": ("e1", "N", "scalar"),
+        "wordCount": ("e1", "7", "scalar"),
+    }
+
+
+def test_jsonld_array_graph_and_blank_nodes(spark):
+    html = _wrap(
+        '[{"a":1},{"@id":"x","b":"v"}]',
+        '{"@context":"https://schema.org","@graph":'
+        '[{"@id":"g1","p":{"k":2}},{"q":[1,2]}]}')
+    df = spark.createDataFrame([("u1", html)], PAGES_SCHEMA)
+    rows = jsonld_triples(df).collect()
+    got = {(r["block"], r["node"], r["pred"]):
+           (r["subj"], r["obj"], r["kind"]) for r in rows}
+    assert got[(0, 0, "a")] == ("u1#0.0", "1", "scalar")
+    assert got[(0, 1, "b")] == ("x", "v", "scalar")
+    assert got[(1, 0, "p")] == ("g1", '{"k":2}', "object")
+    assert got[(1, 1, "q")] == ("u1#1.1", "[1,2]", "array")
+    assert len(got) == len(rows) == 4
+
+
+def test_jsonld_bad_nodes_and_unsafe_keys_surfaced(spark):
+    html = _wrap(
+        "{not json",                       # malformed block
+        '[3, {"@id":"ok","fine":1,"c d":2,"a.b":3}]',
+    )  # scalar array member + 2 path-unsafe keys
+    df = spark.createDataFrame([("u1", html)], PAGES_SCHEMA)
+    stats = {}
+    rows = jsonld_triples(df, stats=stats).collect()
+    assert stats["bad_nodes"] == 2      # "{not json" + the bare 3
+    assert stats["skipped_keys"] == 2   # "c d", "a.b"
+    assert [(r["subj"], r["pred"], r["obj"]) for r in rows] \
+        == [("ok", "fine", "1")]
+
+
+def test_jsonld_null_value_and_as_triples(spark):
+    html = _wrap('{"@id":"e","keep":"y","gone":null}')
+    df = spark.createDataFrame([("u1", html)], PAGES_SCHEMA)
+    flat = jsonld_triples(df)
+    kinds = {r["pred"]: r["kind"] for r in flat.collect()}
+    assert kinds == {"keep": "scalar", "gone": "null"}
+    t = markup_as_triples(flat).collect()
+    assert [(r["subj"], r["pred"], r["obj"]) for r in t] \
+        == [("e", "keep", "y")]
+
+
+def test_meta_tags_attribute_order_and_entities(spark):
+    html = ('<head><meta property="og:title" content="A &amp; B"/>'
+            '<meta content="desc &amp;lt; x" name="description">'
+            '<meta charset="utf-8">'
+            '<META NAME="robots" CONTENT="noindex">'
+            '<meta property="og:image" content="">'
+            "</head>")
+    df = spark.createDataFrame([("u1", html)], PAGES_SCHEMA)
+    got = {r["key"]: r["content"] for r in meta_tags(df).collect()}
+    assert got == {"og:title": "A & B",
+                   "description": "desc &lt; x",
+                   "robots": "noindex"}
+
+
+def _python_jsonld(url, html):
+    """Independent replica: re for block split, json for parsing."""
+    import re
+
+    out = []
+    blocks = re.findall(
+        r'(?is)<script[^>]*type\s*=\s*["\']application/ld\+json'
+        r'["\'][^>]*>(.*?)</script', html)
+    for b, txt in enumerate(blocks):
+        txt = txt.strip()
+        try:
+            top = _json.loads(txt)
+        except ValueError:
+            continue
+        if isinstance(top, list):
+            nodes = top
+        elif isinstance(top, dict) and "@graph" in top:
+            nodes = top["@graph"]
+            if not isinstance(nodes, list):
+                continue
+        else:
+            nodes = [top]
+        for n, node in enumerate(nodes):
+            if not isinstance(node, dict):
+                continue
+            subj = node.get("@id") or f"{url}#{b}.{n}"
+            for k, v in node.items():
+                if k in ("@id", "@context"):
+                    continue
+                if not __import__("re").match(
+                        "^[A-Za-z0-9_@:-]+$", k):
+                    continue
+                if v is None:
+                    obj, kind = None, "null"
+                elif isinstance(v, dict):
+                    obj = _json.dumps(v, separators=(",", ":"))
+                    kind = "object"
+                elif isinstance(v, list):
+                    obj = _json.dumps(v, separators=(",", ":"))
+                    kind = "array"
+                elif isinstance(v, bool):
+                    obj, kind = ("true" if v else "false"), "scalar"
+                else:
+                    obj, kind = str(v), "scalar"
+                out.append((url, b, n, subj, k, obj, kind))
+    return sorted(out, key=lambda r: (r[1], r[2], r[4]))
+
+
+def test_differential_vs_python_replica(spark):
+    # integer-only numbers: get_json_object canonicalizes floats
+    pages = [
+        ("u1", _wrap('{"@id":"e1","@type":"Org","n":3,'
+                     '"addr":{"@type":"Postal","city":"X"},'
+                     '"tags":["a","b"],"ok":true,"miss":null}')),
+        ("u2", _wrap('[{"x":1},{"@id":"i2","y":"s"},7]',
+                     '{"@graph":[{"z":2}],"@id":"env"}')),
+        ("u3", "<html>no markup</html>"),
+        ("u4", _wrap("][broken")),
+    ]
+    df = spark.createDataFrame(pages, PAGES_SCHEMA)
+    got = sorted(
+        ((r["url"], r["block"], r["node"], r["subj"], r["pred"],
+          r["obj"], r["kind"])
+         for r in jsonld_triples(df).collect()),
+        key=lambda r: (r[0], r[1], r[2], r[4]))
+    want = []
+    for url, html in pages:
+        want += _python_jsonld(url, html)
+    want.sort(key=lambda r: (r[0], r[1], r[2], r[4]))
+    assert got == want
