@@ -6246,10 +6246,21 @@ def _markup_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 5 == 0,
         F.lit('<script type="application/ld+json">'
               '[{"r":2},5]</script>')).otherwise(F.lit(""))
+    table = F.concat(
+        F.lit("<table><tr><th>name</th><th> qty </th></tr>"
+              "<tr><td>x"), (F.col("doc_id") % 4).cast("string"),
+        F.lit("</td><td>"), (F.col("doc_id") % 10).cast("string"),
+        F.lit("</td></tr><tr><td> y &amp; z </td><td>"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("</td></tr></table>"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("<table><tr><th>k</th></tr>"
+                     "<tr><td><b>v</b></td></tr></table>"))
+        .otherwise(F.lit("")))
     return docs.select(
         F.concat(F.lit("u"), d).alias("url"),
-        F.concat(base, graph_block, arr_block,
-                 F.lit("</head>")).alias("html"))
+        F.concat(base, graph_block, arr_block, F.lit("</head>"),
+                 table).alias("html"))
 
 
 def q_jsonld_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6336,6 +6347,54 @@ SELECT url, CAST(1 AS BIGINT), 'description',
        'd & ' || CAST(id % 9 AS VARCHAR)
 FROM d
 ORDER BY url, tag
+""")
+
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WDC WebTables extraction (pipeline/markup.html_tables):
+    first-row headers, positional cells, tag-strip + entity decode
+    + whitespace collapse.  Every doc carries one 2×2 table (header
+    th pair, whitespace-padded header and cell, entity in a cell),
+    every 4th doc a second one-column table with a nested <b> tag.
+    Closed-form oracle from doc_id — no HTML parser on the DuckDB
+    side."""
+    from neleval_spark.pipeline.markup import html_tables
+
+    out = html_tables(_markup_pages(spark, sf_dir))
+    return (out.select("url",
+                       F.col("table").cast("long").alias("tbl"),
+                       F.col("row").cast("long").alias("row"),
+                       F.col("col").cast("long").alias("col"),
+                       "header", "value")
+            .orderBy("url", "tbl", "row", "col"))
+
+
+Q_HTML_TABLES_SQL = ("""
+WITH d AS (
+  SELECT doc_id AS id, 'u' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+t0 AS (
+  SELECT url, 0 AS tbl, r.row, c.col,
+         CASE c.col WHEN 0 THEN 'name' ELSE 'qty' END AS header,
+         CASE
+           WHEN r.row = 1 AND c.col = 0
+             THEN 'x' || CAST(id % 4 AS VARCHAR)
+           WHEN r.row = 1 AND c.col = 1
+             THEN CAST(id % 10 AS VARCHAR)
+           WHEN r.row = 2 AND c.col = 0 THEN 'y & z'
+           ELSE CAST(id % 3 AS VARCHAR)
+         END AS value
+  FROM d CROSS JOIN (VALUES (1), (2)) AS r(row)
+  CROSS JOIN (VALUES (0), (1)) AS c(col)),
+t1 AS (
+  SELECT url, 1 AS tbl, 1 AS row, 0 AS col,
+         'k' AS header, 'v' AS value
+  FROM d WHERE id % 4 = 0)
+SELECT url, CAST(tbl AS BIGINT) AS tbl,
+       CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col,
+       header, value
+FROM (SELECT * FROM t0 UNION ALL SELECT * FROM t1)
+ORDER BY url, tbl, row, col
 """)
 
 
@@ -7615,7 +7674,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family keeps dedup_increment + dedup_substrings in-window;
         # triangles and repetition cede theirs to the markup pair —
         # graph analytics keeps communities/kcore/linkpred in-window
-        # and webquality keeps contamination)
+        # and webquality keeps contamination; html_tables rides just
+        # outside: the markup family is in-window via jsonld_triples
+        # + meta_tags)
+        "html_tables": q_html_tables,
         "triangles": q_triangles,
         "repetition": q_repetition,
         "dedup_lines": q_dedup_lines,
@@ -7855,4 +7917,5 @@ def oracle_sql() -> dict[str, str]:
         "coherence_rerank": Q_COHERENCE_RERANK_SQL,
         "jsonld_triples": Q_JSONLD_TRIPLES_SQL,
         "meta_tags": Q_META_TAGS_SQL,
+        "html_tables": Q_HTML_TABLES_SQL,
     }

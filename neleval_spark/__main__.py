@@ -1401,7 +1401,7 @@ def cmd_extract_markup(args):
     from pyspark.sql import functions as F
 
     from .pipeline.markup import (
-        jsonld_triples, markup_as_triples, meta_tags)
+        html_tables, jsonld_triples, markup_as_triples, meta_tags)
 
     spark = _spark()
     pages = spark.read.parquet(args.pages)
@@ -1412,11 +1412,15 @@ def cmd_extract_markup(args):
     if args.triples_out:
         markup_as_triples(flat).write.mode("overwrite") \
             .parquet(args.triples_out)
-    n_meta = None
+    n_meta = n_table = None
     if args.meta_out:
         meta_tags(pages).write.mode("overwrite") \
             .parquet(args.meta_out)
         n_meta = spark.read.parquet(args.meta_out).count()
+    if args.tables_out:
+        html_tables(pages).write.mode("overwrite") \
+            .parquet(args.tables_out)
+        n_table = spark.read.parquet(args.tables_out).count()
     agg = flat.agg(
         F.count(F.lit(1)).alias("rows"),
         F.countDistinct("url", "block", "node").alias("nodes")
@@ -1427,6 +1431,8 @@ def cmd_extract_markup(args):
            "skipped_keys": stats["skipped_keys"]}
     if n_meta is not None:
         out["meta_rows"] = n_meta
+    if n_table is not None:
+        out["table_cells"] = n_table
     print(json.dumps(out))
 
 
@@ -1920,7 +1926,11 @@ def main(argv=None):
                              "table here"),
         sp.add_argument("--triples-out", dest="triples_out",
                         help="also write the (subj, pred, obj) "
-                             "projection here")))
+                             "projection here"),
+        sp.add_argument("--tables-out", dest="tables_out",
+                        help="also write the WebTables-style "
+                             "(table, row, col, header, value) "
+                             "cells here")))
     add("frontier", cmd_frontier, lambda sp: (
         sp.add_argument("urls",
                         help="parquet seed frontier with a url column"),

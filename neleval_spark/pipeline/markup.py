@@ -162,6 +162,66 @@ def meta_tags(pages: DataFrame, url_col: str = "url",
     return out.where((F.col("key") != "") & (F.col("content") != ""))
 
 
+_TABLE_RE = r"(?is)<table\b[^>]*>(.*?)</table"
+_TR_RE = r"(?is)<tr\b[^>]*>(.*?)</tr"
+_CELL_RE = r"(?is)<t[dh]\b[^>]*>(.*?)</t[dh]"
+_INNER_TAG_RE = r"(?s)<[^>]+>"
+
+
+def _clean_cell(c: Column) -> Column:
+    """Cell/header html → text: strip inner tags, decode the five
+    standard entities, collapse whitespace."""
+    c = F.regexp_replace(c, _INNER_TAG_RE, " ")
+    for ent, ch in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_tables(pages: DataFrame, url_col: str = "url",
+                html_col: str = "html") -> DataFrame:
+    """WDC WebTables-style relational extraction: every <table> on a
+    page becomes (url, table, row, col, header, value) rows — the
+    first <tr> is the header (WDC's layout heuristic), every later
+    <tr> a data row, cells positional.
+
+    Built entirely from regexp column expressions, so well-formed
+    close tags are required (an unclosed <tr>/<td> drops that
+    element) and a NESTED table terminates its parent at the inner
+    </table> — the WDC extractors skip nested layout tables for the
+    same reason.  Cell text is tag-stripped, entity-decoded and
+    whitespace-collapsed; a data cell beyond the header width gets a
+    NULL header (ragged row), a header column with no cell in some
+    row simply has no row there.
+
+    The header array is extracted from the table html BEFORE the row
+    explode and carried alongside, so per-table header lookup costs
+    no join and no shuffle — like the rest of the module this is a
+    pure narrow map over the page scan.
+    """
+    tbls = (pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.regexp_extract_all(
+            _html_str(pages, html_col), F.lit(_TABLE_RE), F.lit(1)))
+        .alias("table", "_t"))
+        .withColumn("_hdr", F.regexp_extract_all(
+            F.regexp_extract("_t", _TR_RE, 1),
+            F.lit(_CELL_RE), F.lit(1))))
+    rows = (tbls.select(
+        "url", "table", "_hdr",
+        F.posexplode(F.regexp_extract_all(
+            "_t", F.lit(_TR_RE), F.lit(1))).alias("row", "_r"))
+        .where(F.col("row") >= 1))
+    cells = rows.select(
+        "url", "table", "row", "_hdr",
+        F.posexplode(F.regexp_extract_all(
+            "_r", F.lit(_CELL_RE), F.lit(1))).alias("col", "_c"))
+    return cells.select(
+        "url", "table", "row", "col",
+        _clean_cell(F.try_element_at(
+            "_hdr", F.col("col") + 1)).alias("header"),
+        _clean_cell(F.col("_c")).alias("value"))
+
+
 def markup_as_triples(flat: DataFrame) -> DataFrame:
     """Project `jsonld_triples` output onto the pipeline's triple
     shape (subj, pred, obj) so it can feed ``write_triples`` /

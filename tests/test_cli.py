@@ -887,7 +887,8 @@ def test_cli_extract_markup(spark, capsys, tmp_path):
             '<script type="application/ld+json">'
             '{"@id":"e1","@type":"Org","name":"N"}</script>'
             '<script type="application/ld+json">{bad</script>'
-            "</head>")
+            "</head><table><tr><th>h</th></tr>"
+            "<tr><td>a</td></tr><tr><td>b</td></tr></table>")
     pages = spark.createDataFrame([("u1", html)],
                                   "url string, html string")
     src = str(tmp_path / "pages")
@@ -895,12 +896,17 @@ def test_cli_extract_markup(spark, capsys, tmp_path):
     out_dir = str(tmp_path / "flat")
     meta_dir = str(tmp_path / "meta")
     trip_dir = str(tmp_path / "trip")
+    tbl_dir = str(tmp_path / "cells")
     out = _run(capsys, "extract-markup", src, "-o", out_dir,
-               "--meta-out", meta_dir, "--triples-out", trip_dir)
+               "--meta-out", meta_dir, "--triples-out", trip_dir,
+               "--tables-out", tbl_dir)
     info = json.loads(out.strip().splitlines()[-1])
     assert info == {"out_path": out_dir, "rows": 2, "nodes": 1,
                     "bad_nodes": 1, "skipped_keys": 0,
-                    "meta_rows": 1}
+                    "meta_rows": 1, "table_cells": 2}
+    cells = {(r["row"], r["header"], r["value"])
+             for r in spark.read.parquet(tbl_dir).collect()}
+    assert cells == {(1, "h", "a"), (2, "h", "b")}
     trips = {(r["subj"], r["pred"], r["obj"])
              for r in spark.read.parquet(trip_dir).collect()}
     assert trips == {("e1", "@type", "Org"), ("e1", "name", "N")}

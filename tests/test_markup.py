@@ -159,3 +159,38 @@ def test_differential_vs_python_replica(spark):
         want += _python_jsonld(url, html)
     want.sort(key=lambda r: (r[0], r[1], r[2], r[4]))
     assert got == want
+
+
+def test_html_tables_header_ragged_nested_tags(spark):
+    html = ("<body><table class=x>"
+            "<tr><th>Name</th><th> Qty </th></tr>"
+            "<tr><td><b>ab</b></td><td>3</td></tr>"
+            "<tr><td>c &amp; d</td><td>4</td><td>extra</td></tr>"
+            "</table>"
+            "<table><tr><td>only-header</td></tr></table>"
+            "<table><tr><th>k</th></tr><tr><td>v</td></tr></table>"
+            "</body>")
+    df = spark.createDataFrame([("u1", html)],
+                               "url string, html string")
+    from neleval_spark.pipeline.markup import html_tables
+    got = {(r["table"], r["row"], r["col"]): (r["header"], r["value"])
+           for r in html_tables(df).collect()}
+    assert got == {
+        (0, 1, 0): ("Name", "ab"),
+        (0, 1, 1): ("Qty", "3"),
+        (0, 2, 0): ("Name", "c & d"),
+        (0, 2, 1): ("Qty", "4"),
+        (0, 2, 2): (None, "extra"),   # ragged: beyond header width
+        (2, 1, 0): ("k", "v"),        # table 1 header-only: no rows
+    }
+
+
+def test_html_tables_unclosed_row_dropped(spark):
+    html = ("<table><tr><th>h</th></tr>"
+            "<tr><td>kept</td></tr><tr><td>lost"  # no </tr>, no </td>
+            "</table>")
+    df = spark.createDataFrame([("u1", html)],
+                               "url string, html string")
+    from neleval_spark.pipeline.markup import html_tables
+    got = [(r["row"], r["value"]) for r in html_tables(df).collect()]
+    assert got == [(1, "kept")]
