@@ -1396,8 +1396,7 @@ def cmd_extract_markup(args):
     parquet; --meta-out additionally writes the OpenGraph/<meta>
     key/content table; --triples-out writes the (subj, pred, obj)
     projection ready for merge-kg/fuse-facts.  Prints a JSON
-    summary including the surfaced malformed-node and
-    skipped-key counts."""
+    summary including the surfaced malformed-node count."""
     from pyspark.sql import functions as F
 
     from .pipeline.markup import (
@@ -1427,8 +1426,7 @@ def cmd_extract_markup(args):
     ).collect()[0]
     out = {"out_path": args.out, "rows": agg["rows"],
            "nodes": agg["nodes"],
-           "bad_nodes": stats["bad_nodes"],
-           "skipped_keys": stats["skipped_keys"]}
+           "bad_nodes": stats["bad_nodes"]}
     if n_meta is not None:
         out["meta_rows"] = n_meta
     if n_table is not None:

@@ -9,11 +9,10 @@ merge/fusion ops downstream — the second, markup-side entrance into
 the same KG the NER pipeline feeds.
 
 Everything is JVM-side column expressions (regexp over the html
-string, ``json_object_keys`` / ``get_json_object`` /
-``from_json(..., "array<string>")`` for the schemaless JSON-LD
-flattening) — a narrow, shuffle-free plan: at 100 TB this runs as a
-pure map over the page scan with predicate pushdown intact; no
-pandas, no collect, no exchange.
+string, one ``from_json`` map/array parse per JSON-LD node for the
+schemaless flattening) — a narrow, shuffle-free plan: at 100 TB this
+runs as a pure map over the page scan with predicate pushdown
+intact; no pandas, no collect, no exchange.
 
 Known value canonicalizations (documented, deterministic): Spark's
 ``get_json_object`` re-serializes scalars and subtrees with Jackson,
@@ -36,11 +35,6 @@ _JSONLD_RE = (r'(?is)<script[^>]*type\s*=\s*["\']application/ld\+json'
 _META_RE = r"(?is)<meta\b[^>]*>"
 _KEY_ATTR_RE = r'(?is)(?:property|name)\s*=\s*["\']([^"\']+)["\']'
 _CONTENT_ATTR_RE = r'(?is)content\s*=\s*["\']([^"\']*)["\']'
-# get_json_object paths use $['key'] bracket form; keys outside this
-# charset (dots, quotes, brackets, spaces) would corrupt the path, so
-# they are skipped (surfaced via stats["skipped_keys"]).  schema.org
-# vocabulary and the @-keywords are all inside it.
-_SAFE_KEY_RE = "^[A-Za-z0-9_@:-]+$"
 
 
 def _html_str(pages: DataFrame, html_col: str) -> Column:
@@ -77,9 +71,9 @@ def jsonld_triples(pages: DataFrame, url_col: str = "url",
     second flattening pass or the sink can keep processing them.
 
     Malformed blocks and non-object array members yield no rows;
-    path-unsafe keys are skipped — both counts are surfaced through
-    ``stats`` (``bad_nodes``, ``skipped_keys``) when a dict is
-    passed, never silently estimated.
+    the count is surfaced through ``stats`` (``bad_nodes``) when a
+    dict is passed, never silently estimated.  Duplicate keys within
+    one node keep the last occurrence (JSON-object map semantics).
     """
     blocks = jsonld_blocks(pages, url_col, html_col)
     graph = F.get_json_object("json", "$['@graph']")
@@ -91,42 +85,41 @@ def jsonld_triples(pages: DataFrame, url_col: str = "url",
     nodes = blocks.select(
         "url", "block",
         F.posexplode_outer(nodes_arr).alias("node", "j"))
+    # ONE Jackson parse per node: the whole object becomes a
+    # string→string map (scalars as their text, nested object/array
+    # subtrees as minified JSON, json nulls as NULL values) that the
+    # key explode and the @id lookup both read.  The earlier
+    # json_object_keys + per-key get_json_object shape re-parsed the
+    # node once per key WITH a per-row JSON-path parse (non-literal
+    # paths are never compiled) — measured 8× slower at 120k pages
+    # (PLANS.md "markup extraction").
+    staged = nodes.select(
+        "url", "block", "node",
+        F.from_json("j", "map<string,string>").alias("_m"))
     if stats is not None:
         # a block that parses to no nodes (malformed json → NULL
         # array) or a node that is not an object (scalar array
-        # member, malformed element) has no key set
-        stats["bad_nodes"] = nodes.where(
-            F.json_object_keys("j").isNull()).count()
-        stats["skipped_keys"] = (nodes.select(
-            F.explode(F.json_object_keys("j")).alias("pred"))
-            .where(~F.col("pred").rlike(_SAFE_KEY_RE)).count())
+        # member, malformed element) yields a NULL map
+        stats["bad_nodes"] = staged.where(
+            F.col("_m").isNull()).count()
     subj = F.coalesce(
-        F.get_json_object("j", "$['@id']"),
+        F.try_element_at("_m", F.lit("@id")),
         F.concat(F.col("url"), F.lit("#"), F.col("block"),
                  F.lit("."), F.col("node")))
-    # explode() (non-outer) drops null/empty key sets by itself — no
+    # explode() (non-outer) drops null/empty maps by itself — no
     # explicit null filter, which predicate pushdown would re-inline
     # as extra json parses (PLANS.md "Higher-order functions are
     # interpreted" / pushdown-inlining notes)
-    keyed = (nodes.select(
-        "url", "block", "node", subj.alias("subj"), "j",
-        F.explode(F.json_object_keys("j")).alias("pred"))
-        .where(~F.col("pred").isin("@id", "@context")
-               & F.col("pred").rlike(_SAFE_KEY_RE)))
-    # the Python wrapper only accepts literal paths; the underlying
-    # expression takes a per-row path column via SQL.  obj is staged
-    # in its own projection so `kind` reads the staged column
-    # instead of re-parsing the JSON three times (CollapseProject
-    # keeps non-cheap multi-referenced projections).
-    obj = F.expr("""get_json_object(j, concat("$['", pred, "']"))""")
-    staged = keyed.select("url", "block", "node", "subj", "pred",
-                          obj.alias("obj"))
+    keyed = (staged.select(
+        "url", "block", "node", subj.alias("subj"),
+        F.explode("_m").alias("pred", "obj"))
+        .where(~F.col("pred").isin("@id", "@context")))
     kind = (F.when(F.col("obj").isNull(), "null")
             .when(F.startswith("obj", F.lit("{")), "object")
             .when(F.startswith("obj", F.lit("[")), "array")
             .otherwise("scalar"))
-    return staged.select("url", "block", "node", "subj", "pred",
-                         "obj", kind.alias("kind"))
+    return keyed.select("url", "block", "node", "subj", "pred",
+                        "obj", kind.alias("kind"))
 
 
 # minimal html-attribute entity decode, deterministic and mirrored

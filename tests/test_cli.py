@@ -902,8 +902,7 @@ def test_cli_extract_markup(spark, capsys, tmp_path):
                "--tables-out", tbl_dir)
     info = json.loads(out.strip().splitlines()[-1])
     assert info == {"out_path": out_dir, "rows": 2, "nodes": 1,
-                    "bad_nodes": 1, "skipped_keys": 0,
-                    "meta_rows": 1, "table_cells": 2}
+                    "bad_nodes": 1, "meta_rows": 1, "table_cells": 2}
     cells = {(r["row"], r["header"], r["value"])
              for r in spark.read.parquet(tbl_dir).collect()}
     assert cells == {(1, "h", "a"), (2, "h", "b")}

@@ -50,18 +50,18 @@ def test_jsonld_array_graph_and_blank_nodes(spark):
     assert len(got) == len(rows) == 4
 
 
-def test_jsonld_bad_nodes_and_unsafe_keys_surfaced(spark):
+def test_jsonld_bad_nodes_surfaced_and_odd_keys_kept(spark):
     html = _wrap(
         "{not json",                       # malformed block
         '[3, {"@id":"ok","fine":1,"c d":2,"a.b":3}]',
-    )  # scalar array member + 2 path-unsafe keys
+    )  # scalar array member; dotted/spaced keys are ordinary keys
     df = spark.createDataFrame([("u1", html)], PAGES_SCHEMA)
     stats = {}
     rows = jsonld_triples(df, stats=stats).collect()
-    assert stats["bad_nodes"] == 2      # "{not json" + the bare 3
-    assert stats["skipped_keys"] == 2   # "c d", "a.b"
-    assert [(r["subj"], r["pred"], r["obj"]) for r in rows] \
-        == [("ok", "fine", "1")]
+    assert stats == {"bad_nodes": 2}    # "{not json" + the bare 3
+    assert sorted((r["subj"], r["pred"], r["obj"]) for r in rows) \
+        == [("ok", "a.b", "3"), ("ok", "c d", "2"),
+            ("ok", "fine", "1")]
 
 
 def test_jsonld_null_value_and_as_triples(spark):
@@ -115,11 +115,11 @@ def _python_jsonld(url, html):
             if not isinstance(node, dict):
                 continue
             subj = node.get("@id") or f"{url}#{b}.{n}"
+            seen = {}
             for k, v in node.items():
+                seen[k] = v  # json dup keys: last wins (map parse)
+            for k, v in seen.items():
                 if k in ("@id", "@context"):
-                    continue
-                if not __import__("re").match(
-                        "^[A-Za-z0-9_@:-]+$", k):
                     continue
                 if v is None:
                     obj, kind = None, "null"
