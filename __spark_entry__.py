@@ -6246,6 +6246,17 @@ def _markup_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 5 == 0,
         F.lit('<script type="application/ld+json">'
               '[{"r":2},5]</script>')).otherwise(F.lit(""))
+    canonical_link = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<link rel="canonical" href="https://ex.com/c'),
+                 (F.col("doc_id") % 50).cast("string"),
+                 F.lit('">'))).otherwise(F.lit(""))
+    alt_link = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit('<link href="https://ex.com/alt'),
+                 (F.col("doc_id") % 4).cast("string"),
+                 F.lit('" rel="alternate" hreflang="de">'))
+    ).otherwise(F.lit(""))
     table = F.concat(
         F.lit("<table><tr><th>name</th><th> qty </th></tr>"
               "<tr><td>x"), (F.col("doc_id") % 4).cast("string"),
@@ -6259,8 +6270,8 @@ def _markup_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")))
     return docs.select(
         F.concat(F.lit("u"), d).alias("url"),
-        F.concat(base, graph_block, arr_block, F.lit("</head>"),
-                 table).alias("html"))
+        F.concat(base, canonical_link, alt_link, graph_block,
+                 arr_block, F.lit("</head>"), table).alias("html"))
 
 
 def q_jsonld_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6395,6 +6406,66 @@ SELECT url, CAST(tbl AS BIGINT) AS tbl,
        header, value
 FROM (SELECT * FROM t0 UNION ALL SELECT * FROM t1)
 ORDER BY url, tbl, row, col
+""")
+
+
+def q_link_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<link> relation extraction (functions/discovery.link_rels):
+    even docs carry a rel-first canonical tag, every 3rd an
+    href-first alternate with hreflang — both attribute orders and
+    the tag-position accounting exercised.  Closed-form oracle from
+    doc_id."""
+    from neleval_spark.functions.discovery import link_rels
+
+    out = link_rels(_markup_pages(spark, sf_dir))
+    return (out.select("url", F.col("tag").cast("long").alias("tag"),
+                       "rel", "href", "href_abs", "hreflang")
+            .orderBy("url", "tag"))
+
+
+Q_LINK_RELS_SQL = ("""
+WITH d AS (
+  SELECT doc_id AS id, 'u' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+can AS (
+  SELECT url, 0 AS tag, 'canonical' AS rel,
+         'https://ex.com/c' || CAST(id % 50 AS VARCHAR) AS href,
+         'https://ex.com/c' || CAST(id % 50 AS VARCHAR) AS href_abs,
+         '' AS hreflang
+  FROM d WHERE id % 2 = 0),
+alt AS (
+  SELECT url, CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END AS tag,
+         'alternate' AS rel,
+         'https://ex.com/alt' || CAST(id % 4 AS VARCHAR) AS href,
+         'https://ex.com/alt' || CAST(id % 4 AS VARCHAR) AS href_abs,
+         'de' AS hreflang
+  FROM d WHERE id % 3 = 0)
+SELECT url, CAST(tag AS BIGINT) AS tag, rel, href, href_abs,
+       hreflang
+FROM (SELECT * FROM can UNION ALL SELECT * FROM alt)
+ORDER BY url, tag
+""")
+
+
+def q_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical consolidation key
+    (functions/discovery.canonical_map): even docs declare an
+    absolute canonical (50 collapse groups), odd docs fall back to
+    themselves.  In-row extraction — one output row per page, no
+    aggregate.  Closed-form oracle from doc_id."""
+    from neleval_spark.functions.discovery import canonical_map
+
+    return (canonical_map(_markup_pages(spark, sf_dir))
+            .orderBy("url"))
+
+
+Q_CANONICAL_MAP_SQL = ("""
+SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'https://ex.com/c' || CAST(doc_id % 50 AS VARCHAR)
+            ELSE 'u' || CAST(doc_id AS VARCHAR) END AS canonical
+FROM documents
+ORDER BY url
 """)
 
 
@@ -7674,10 +7745,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family keeps dedup_increment + dedup_substrings in-window;
         # triangles and repetition cede theirs to the markup pair —
         # graph analytics keeps communities/kcore/linkpred in-window
-        # and webquality keeps contamination; html_tables rides just
-        # outside: the markup family is in-window via jsonld_triples
-        # + meta_tags)
+        # and webquality keeps contamination; html_tables,
+        # link_rels and canonical_map ride just outside: the markup
+        # family is in-window via jsonld_triples + meta_tags and the
+        # crawl-url family via url_normalize/latest_snapshot)
         "html_tables": q_html_tables,
+        "link_rels": q_link_rels,
+        "canonical_map": q_canonical_map,
         "triangles": q_triangles,
         "repetition": q_repetition,
         "dedup_lines": q_dedup_lines,
@@ -7918,4 +7992,6 @@ def oracle_sql() -> dict[str, str]:
         "jsonld_triples": Q_JSONLD_TRIPLES_SQL,
         "meta_tags": Q_META_TAGS_SQL,
         "html_tables": Q_HTML_TABLES_SQL,
+        "link_rels": Q_LINK_RELS_SQL,
+        "canonical_map": Q_CANONICAL_MAP_SQL,
     }

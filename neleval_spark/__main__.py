@@ -1420,6 +1420,14 @@ def cmd_extract_markup(args):
         html_tables(pages).write.mode("overwrite") \
             .parquet(args.tables_out)
         n_table = spark.read.parquet(args.tables_out).count()
+    if args.links_out:
+        from .functions.discovery import link_rels
+        link_rels(pages).write.mode("overwrite") \
+            .parquet(args.links_out)
+    if args.canonical_out:
+        from .functions.discovery import canonical_map
+        canonical_map(pages).write.mode("overwrite") \
+            .parquet(args.canonical_out)
     agg = flat.agg(
         F.count(F.lit(1)).alias("rows"),
         F.countDistinct("url", "block", "node").alias("nodes")
@@ -1928,7 +1936,13 @@ def main(argv=None):
         sp.add_argument("--tables-out", dest="tables_out",
                         help="also write the WebTables-style "
                              "(table, row, col, header, value) "
-                             "cells here")))
+                             "cells here"),
+        sp.add_argument("--links-out", dest="links_out",
+                        help="also write the <link> relation table "
+                             "(rel/canonical/hreflang) here"),
+        sp.add_argument("--canonical-out", dest="canonical_out",
+                        help="also write the per-page (url, "
+                             "canonical) consolidation map here")))
     add("frontier", cmd_frontier, lambda sp: (
         sp.add_argument("urls",
                         help="parquet seed frontier with a url column"),

@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_sitemap_urls", "detect_charset"]
+__all__ = ["extract_sitemap_urls", "detect_charset", "link_rels",
+           "canonical_map"]
 
 
 def extract_sitemap_urls(sitemaps: DataFrame, url: str = "url",
@@ -61,6 +62,79 @@ def extract_sitemap_urls(sitemaps: DataFrame, url: str = "url",
         unescaped.alias("loc"),
         kind.alias("kind"),
     ).where(F.col("loc") != "")
+
+
+_LINK_TAG_RE = r"(?is)<link\b[^>]*>"
+_REL_RE = r'(?is)\brel\s*=\s*["\']([^"\']+)["\']'
+_HREF_RE = r'(?is)\bhref\s*=\s*["\']([^"\']*)["\']'
+_HREFLANG_RE = r'(?is)\bhreflang\s*=\s*["\']([^"\']+)["\']'
+
+
+def link_rels(pages: DataFrame, url: str = "url",
+              html: str = "html") -> DataFrame:
+    """<link> relation extraction: one row per <link> element that
+    carries both a quoted ``rel`` and ``href`` attribute —
+    (url, tag, rel, href, href_abs, hreflang).  ``href`` is the raw
+    attribute; ``href_abs`` resolves it against the page url
+    (linkgraph's RFC-3986 common cases; NULL when unresolvable,
+    e.g. other schemes).  Covers the crawl-relevant relations —
+    canonical, alternate+hreflang, prev/next, amphtml — without
+    filtering: the caller selects.
+
+    Same narrow contract as extract_links: one regexp_extract_all +
+    posexplode, attribute order free, zero shuffles.
+    """
+    from .linkgraph import _resolve
+
+    tags = pages.select(
+        F.col(url).alias("url"),
+        F.posexplode(F.regexp_extract_all(
+            F.col(html).cast("string"), F.lit(_LINK_TAG_RE),
+            F.lit(0))).alias("tag", "_t"))
+    out = tags.select(
+        "url", "tag",
+        F.lower(F.regexp_extract("_t", _REL_RE, 1)).alias("rel"),
+        F.regexp_extract("_t", _HREF_RE, 1).alias("href"),
+        F.lower(F.regexp_extract("_t", _HREFLANG_RE, 1))
+         .alias("hreflang"))
+    return (out.where((F.col("rel") != "") & (F.col("href") != ""))
+            .withColumn("href_abs",
+                        _resolve(F.col("href"), F.col("url")))
+            .select("url", "tag", "rel", "href", "href_abs",
+                    "hreflang"))
+
+
+def canonical_map(pages: DataFrame, url: str = "url",
+                  html: str = "html") -> DataFrame:
+    """(url, canonical): the page's ``rel=canonical`` target resolved
+    against the page url, falling back to the page url itself when
+    absent or unresolvable — the join/group key for canonical
+    consolidation (the crawl-side dedup the exact/near-dup family
+    composes with: ``groupBy("canonical")`` collapses print views,
+    tracking-parameter variants and mirrored paths the moment the
+    publisher declares them).
+
+    IN-ROW extraction, not an aggregate: the first match of each of
+    the two attribute orders (rel-before-href, href-before-rel) is
+    taken with rel-first preferred — one page yields one row with no
+    exchange at any scale.  A page with several canonical tags in
+    CONFLICTING attribute orders resolves by that preference rather
+    than document order (pathological; deterministic either way).
+    """
+    from .linkgraph import _resolve
+
+    h = F.col(html).cast("string")
+    pat1 = (r'(?is)<link\b[^>]*\brel\s*=\s*["\']canonical["\']'
+            r'[^>]*\bhref\s*=\s*["\']([^"\']*)["\']')
+    pat2 = (r'(?is)<link\b[^>]*\bhref\s*=\s*["\']([^"\']*)["\']'
+            r'[^>]*\brel\s*=\s*["\']canonical["\']')
+    href = F.coalesce(F.nullif(F.regexp_extract(h, pat1, 1), F.lit("")),
+                      F.nullif(F.regexp_extract(h, pat2, 1), F.lit("")))
+    staged = pages.select(F.col(url).alias("url"), href.alias("_href"))
+    return staged.select(
+        "url",
+        F.coalesce(_resolve(F.col("_href"), F.col("url")),
+                   F.col("url")).alias("canonical"))
 
 
 def detect_charset(html: Column, default: str = "utf-8") -> Column:

@@ -897,15 +897,19 @@ def test_cli_extract_markup(spark, capsys, tmp_path):
     meta_dir = str(tmp_path / "meta")
     trip_dir = str(tmp_path / "trip")
     tbl_dir = str(tmp_path / "cells")
+    can_dir = str(tmp_path / "canon")
     out = _run(capsys, "extract-markup", src, "-o", out_dir,
                "--meta-out", meta_dir, "--triples-out", trip_dir,
-               "--tables-out", tbl_dir)
+               "--tables-out", tbl_dir, "--canonical-out", can_dir)
     info = json.loads(out.strip().splitlines()[-1])
     assert info == {"out_path": out_dir, "rows": 2, "nodes": 1,
                     "bad_nodes": 1, "meta_rows": 1, "table_cells": 2}
     cells = {(r["row"], r["header"], r["value"])
              for r in spark.read.parquet(tbl_dir).collect()}
     assert cells == {(1, "h", "a"), (2, "h", "b")}
+    canon = spark.read.parquet(can_dir).collect()
+    assert [(r["url"], r["canonical"]) for r in canon] \
+        == [("u1", "u1")]  # no canonical tag: self-fallback
     trips = {(r["subj"], r["pred"], r["obj"])
              for r in spark.read.parquet(trip_dir).collect()}
     assert trips == {("e1", "@type", "Org"), ("e1", "name", "N")}

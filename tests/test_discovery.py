@@ -97,3 +97,66 @@ def test_charset_custom_default(spark):
     got = df.select(detect_charset(
         F.col("html"), default="Latin-1").alias("c")).collect()
     assert got[0].c == "latin-1"
+
+
+def test_link_rels_extraction_and_resolution(spark):
+    html = ('<head>'
+            '<link rel="canonical" href="/clean">'
+            '<LINK HREF="https://m.ex.com/p" REL="alternate" '
+            'HREFLANG="de-AT">'
+            '<link rel="next" href="p2">'
+            '<link rel="stylesheet" href="mailto:x@y">'
+            '<link rel="icon">'            # no href: dropped
+            '<link href="/bare">'          # no rel: dropped
+            '</head>')
+    pages = spark.createDataFrame(
+        [("http://ex.com/dir/page", html)], "url string, html string")
+    from neleval_spark.functions.discovery import link_rels
+    got = {r["rel"]: (r["href"], r["href_abs"], r["hreflang"])
+           for r in link_rels(pages).collect()}
+    assert got == {
+        "canonical": ("/clean", "http://ex.com/clean", ""),
+        "alternate": ("https://m.ex.com/p", "https://m.ex.com/p",
+                      "de-at"),
+        "next": ("p2", "http://ex.com/dir/p2", ""),
+        "stylesheet": ("mailto:x@y", None, ""),  # scheme dropped
+    }
+
+
+def test_canonical_map_orders_fallback_and_schemes(spark):
+    from neleval_spark.functions.discovery import canonical_map
+    pages = spark.createDataFrame([
+        ("http://a.com/x?utm=1",
+         '<link rel="canonical" href="http://a.com/x">'),
+        ("http://b.com/p",
+         '<link href="/main" rel="canonical">'),   # href-first order
+        ("http://c.com/p", "<p>no canonical</p>"),  # fallback self
+        ("http://d.com/p",
+         '<link rel="canonical" href="javascript:void(0)">'),
+    ], "url string, html string")
+    got = {r["url"]: r["canonical"]
+           for r in canonical_map(pages).collect()}
+    assert got == {
+        "http://a.com/x?utm=1": "http://a.com/x",
+        "http://b.com/p": "http://b.com/main",
+        "http://c.com/p": "http://c.com/p",
+        "http://d.com/p": "http://d.com/p",  # unresolvable scheme
+    }
+
+
+def test_canonical_map_feeds_exact_dedup(spark):
+    # the composition the op exists for: collapse variants by the
+    # publisher-declared canonical
+    from pyspark.sql import functions as F
+
+    from neleval_spark.functions.discovery import canonical_map
+    rows = [(f"http://s.com/art?ref={i}",
+             '<link rel="canonical" href="http://s.com/art">')
+            for i in range(3)]
+    rows.append(("http://s.com/other", "<p>x</p>"))
+    pages = spark.createDataFrame(rows, "url string, html string")
+    groups = (canonical_map(pages).groupBy("canonical")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .collect())
+    got = {r["canonical"]: r["n"] for r in groups}
+    assert got == {"http://s.com/art": 3, "http://s.com/other": 1}
