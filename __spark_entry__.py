@@ -6469,6 +6469,50 @@ ORDER BY url
 """)
 
 
+def q_ntriples_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples interop BOTH ways (pipeline/triples.to_ntriples →
+    from_ntriples): ids with every percent-encoded character class
+    (spaces, angle brackets, quotes, plus) and a url-object
+    predicate are serialized and parsed back; the oracle is the
+    CLOSED-FORM original derived from doc_id, so the gate pins the
+    encode/decode inverse property itself."""
+    from neleval_spark.pipeline.triples import (
+        from_ntriples, to_ntriples)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    base = docs.select(
+        F.concat(F.lit("e "), ds).alias("subj"),
+        F.concat(F.lit("p+"), (d % 5).cast("string")).alias("pred"),
+        F.concat(F.lit("v<"), (d % 7).cast("string"), F.lit(">"))
+        .alias("obj"))
+    urls = (docs.where(d % 3 == 0)
+            .select(F.concat(F.lit("e "), ds).alias("subj"),
+                    F.lit("mentioned_in").alias("pred"),
+                    F.concat(F.lit("http://x.org/a b?id="), ds)
+                    .alias("obj")))
+    t = base.unionByName(urls)
+    back = from_ntriples(to_ntriples(t))
+    return back.orderBy("subj", "pred", "obj")
+
+
+Q_NTRIPLES_ROUNDTRIP_SQL = ("""
+WITH d AS (SELECT doc_id AS id FROM documents),
+t AS (
+  SELECT 'e ' || CAST(id AS VARCHAR) AS subj,
+         'p+' || CAST(id % 5 AS VARCHAR) AS pred,
+         'v<' || CAST(id % 7 AS VARCHAR) || '>' AS obj
+  FROM d
+  UNION ALL
+  SELECT 'e ' || CAST(id AS VARCHAR), 'mentioned_in',
+         'http://x.org/a b?id=' || CAST(id AS VARCHAR)
+  FROM d WHERE id % 3 = 0)
+SELECT subj, pred, obj, 'iri' AS kind, '' AS lang, '' AS datatype
+FROM t ORDER BY subj, pred, obj
+""")
+
+
 def q_pipeline_triples_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's hot sink (``emit_triples``,
     pipeline/triples.py:32) hash-checked end-to-end: a deterministic
@@ -7752,6 +7796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables": q_html_tables,
         "link_rels": q_link_rels,
         "canonical_map": q_canonical_map,
+        "ntriples_roundtrip": q_ntriples_roundtrip,
         "triangles": q_triangles,
         "repetition": q_repetition,
         "dedup_lines": q_dedup_lines,
@@ -7994,4 +8039,5 @@ def oracle_sql() -> dict[str, str]:
         "html_tables": Q_HTML_TABLES_SQL,
         "link_rels": Q_LINK_RELS_SQL,
         "canonical_map": Q_CANONICAL_MAP_SQL,
+        "ntriples_roundtrip": Q_NTRIPLES_ROUNDTRIP_SQL,
     }

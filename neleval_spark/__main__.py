@@ -1442,6 +1442,49 @@ def cmd_extract_markup(args):
     print(json.dumps(out))
 
 
+def cmd_export_nt(args):
+    """KG interop exit: a parquet triple table (subj, pred, obj) →
+    W3C N-Triples text files (pipeline/triples.to_ntriples)."""
+    from .pipeline.triples import to_ntriples
+
+    spark = _spark()
+    t = spark.read.parquet(args.triples)
+    to_ntriples(t, subj_base=args.subj_base,
+                pred_base=args.pred_base, obj_base=args.obj_base) \
+        .write.mode("overwrite").text(args.out)
+    n = spark.read.text(args.out).count()
+    print(json.dumps({"out_path": args.out, "lines": n}))
+
+
+def cmd_import_nt(args):
+    """KG interop entrance: N-Triples text files → a parquet triple
+    table (subj, pred, obj, kind, lang, datatype), base-stripped and
+    percent-decoded (pipeline/triples.from_ntriples); malformed
+    line count surfaced in the JSON summary."""
+    from .pipeline.triples import from_ntriples
+
+    spark = _spark()
+    lines = spark.read.text(args.lines)
+    stats: dict = {}
+    out = from_ntriples(lines, col="value",
+                        subj_base=args.subj_base,
+                        pred_base=args.pred_base,
+                        obj_base=args.obj_base, stats=stats)
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"out_path": args.out, "triples": n,
+                      "bad_lines": stats["bad_lines"]}))
+
+
+def _nt_base_args(sp):
+    sp.add_argument("--subj-base", dest="subj_base",
+                    default="http://kg.local/e/")
+    sp.add_argument("--pred-base", dest="pred_base",
+                    default="http://kg.local/p/")
+    sp.add_argument("--obj-base", dest="obj_base",
+                    default="http://kg.local/e/")
+
+
 def cmd_frontier(args):
     """Crawl dispatch: seed urls (+ optional fetched sitemaps) →
     robots.txt compliance filter → politeness schedule → fetch-plan
@@ -1943,6 +1986,16 @@ def main(argv=None):
         sp.add_argument("--canonical-out", dest="canonical_out",
                         help="also write the per-page (url, "
                              "canonical) consolidation map here")))
+    add("export-nt", cmd_export_nt, lambda sp: (
+        sp.add_argument("triples",
+                        help="parquet triple table (subj, pred, obj)"),
+        sp.add_argument("-o", "--out", required=True),
+        _nt_base_args(sp)))
+    add("import-nt", cmd_import_nt, lambda sp: (
+        sp.add_argument("lines",
+                        help="N-Triples text file(s)/directory"),
+        sp.add_argument("-o", "--out", required=True),
+        _nt_base_args(sp)))
     add("frontier", cmd_frontier, lambda sp: (
         sp.add_argument("urls",
                         help="parquet seed frontier with a url column"),

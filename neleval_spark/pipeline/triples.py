@@ -591,3 +591,85 @@ def to_ntriples(triples: DataFrame,
         F.lit("> <"), F.lit(pred_base), esc(F.col("pred")),
         F.lit("> <"), obj_iri, F.lit("> ."))
     return triples.select(line.alias("line"))
+
+
+# one whole N-Triples statement: subject (IRI or blank node),
+# predicate IRI, object (IRI | blank node | literal with optional
+# @lang / ^^<datatype>), terminating dot.  Backreference-free on
+# purpose: the DuckDB oracle replays it under RE2.
+_NT_LINE_RE = (
+    r'^\s*(<[^>]*>|_:\S+)\s+<([^>]*)>\s+'
+    r'(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"'
+    r'(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)\s*\.\s*$')
+
+
+def from_ntriples(lines: DataFrame, col: str = "line",
+                  subj_base: str = "http://kg.local/e/",
+                  pred_base: str = "http://kg.local/p/",
+                  obj_base: str = "http://kg.local/e/",
+                  stats: dict | None = None) -> DataFrame:
+    """Parse W3C N-Triples lines back into rows — the interop
+    ENTRANCE matching ``to_ntriples``' exit, so external KG dumps
+    (and our own round-trip) load as ordinary triple tables.
+
+    Output: (subj, pred, obj, kind, lang, datatype) with ``kind``
+    in iri / bnode / literal.  IRIs are percent-DECODED (inverting
+    the exporter's RFC-3987 minimal encoding) and stripped of the
+    given base prefixes, so ``from_ntriples(to_ntriples(t))``
+    restores ``t``'s ids exactly; IRIs under foreign bases stay
+    absolute.  Literals keep their lexical form with the quote
+    escape undone (``\\"`` → ``"``; other backslash escapes pass
+    through raw — percent-free structural parsing, documented v1
+    interop scope); ``lang``/``datatype`` are '' when absent.
+
+    Comment (#…) and blank lines are dropped silently per the spec;
+    MALFORMED statement lines are dropped with the count surfaced
+    via ``stats["bad_lines"]`` — never silently estimated.  Pure
+    column expressions over ``spark.read.text`` rows: narrow,
+    shuffle-free, parallel by input split at any dump size.
+    """
+    def dec(c):
+        # url_decode is form-decoding: '+' means space — protect
+        # literal plus signs before inverting the %-encoding, and
+        # keep the raw text when a stray '%' makes decoding fail
+        protected = F.replace(c, F.lit("+"), F.lit("%2B"))
+        return F.coalesce(F.try_url_decode(protected), c)
+
+    def strip_base(c, base):
+        return F.when(c.startswith(base),
+                      F.substring(c, len(base) + 1, 2 ** 30)
+                      ).otherwise(c)
+
+    src = lines.select(F.col(col).alias("_l"))
+    body = src.where(~F.col("_l").rlike(r"^\s*(#|$)"))
+    parts = body.select(
+        F.regexp_extract("_l", _NT_LINE_RE, 1).alias("_s"),
+        F.regexp_extract("_l", _NT_LINE_RE, 2).alias("_p"),
+        F.regexp_extract("_l", _NT_LINE_RE, 3).alias("_o"))
+    if stats is not None:
+        stats["bad_lines"] = parts.where(F.col("_s") == "").count()
+    ok = parts.where(F.col("_s") != "")
+    subj = F.when(
+        F.col("_s").startswith("_:"), F.col("_s")
+    ).otherwise(strip_base(
+        dec(F.regexp_extract("_s", r"^<(.*)>$", 1)), subj_base))
+    pred = strip_base(dec(F.col("_p")), pred_base)
+    is_lit = F.col("_o").startswith('"')
+    is_bnode = F.col("_o").startswith("_:")
+    lit_value = F.replace(
+        F.regexp_extract("_o", r'^"((?:[^"\\]|\\.)*)"', 1),
+        F.lit('\\"'), F.lit('"'))
+    obj = (F.when(is_lit, lit_value)
+           .when(is_bnode, F.col("_o"))
+           .otherwise(strip_base(
+               dec(F.regexp_extract("_o", r"^<(.*)>$", 1)),
+               obj_base)))
+    kind = (F.when(is_lit, "literal").when(is_bnode, "bnode")
+            .otherwise(F.lit("iri")))
+    return ok.select(
+        subj.alias("subj"), pred.alias("pred"), obj.alias("obj"),
+        kind.alias("kind"),
+        F.regexp_extract("_o", r'"@([A-Za-z0-9-]+)$', 1)
+         .alias("lang"),
+        F.regexp_extract("_o", r"\^\^<([^>]*)>$", 1)
+         .alias("datatype"))

@@ -918,6 +918,26 @@ def test_cli_extract_markup(spark, capsys, tmp_path):
                                                          "T")]
 
 
+def test_cli_nt_roundtrip(spark, capsys, tmp_path):
+    t = spark.createDataFrame(
+        [("e 1", "knows", "e2"), ("e3", "p", 'v"x')],
+        "subj string, pred string, obj string")
+    src = str(tmp_path / "triples")
+    t.write.parquet(src)
+    nt_dir = str(tmp_path / "nt")
+    out = _run(capsys, "export-nt", src, "-o", nt_dir)
+    info = json.loads(out.strip().splitlines()[-1])
+    assert info["lines"] == 2
+    back_dir = str(tmp_path / "back")
+    out = _run(capsys, "import-nt", nt_dir, "-o", back_dir)
+    info = json.loads(out.strip().splitlines()[-1])
+    assert info == {"out_path": back_dir, "triples": 2,
+                    "bad_lines": 0}
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in spark.read.parquet(back_dir).collect()}
+    assert got == {("e 1", "knows", "e2"), ("e3", "p", 'v"x')}
+
+
 def test_cli_fuse_facts(spark, capsys, tmp_path):
     claims = spark.createDataFrame(
         [("a", "E1", "p", "x"), ("b", "E1", "p", "x"),
