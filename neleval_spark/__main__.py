@@ -601,7 +601,8 @@ def cmd_run_pipeline(args):
         return
     pages = spark.read.parquet(args.corpus)
     res = run_pipeline(pages, kb_table(spark), out_dir=args.out,
-                       n_buckets=args.buckets, resume=not args.no_resume)
+                       n_buckets=args.buckets,
+                       resume=not args.no_resume, markup=args.markup)
     n = res["triples"].count()
     print(json.dumps({"triples": n, "out": args.out}))
 
@@ -1708,6 +1709,10 @@ def main(argv=None):
         sp.add_argument("-o", "--out", required=True),
         sp.add_argument("--buckets", type=int, default=64),
         sp.add_argument("--no-resume", action="store_true"),
+        sp.add_argument("--markup", action="store_true",
+                        help="also flatten publisher JSON-LD into "
+                             "the triple sink (the second entrance "
+                             "into the same KG)"),
         sp.add_argument("--stream", action="store_true",
                         help="incremental ingest: drain new corpus "
                              "files via Structured Streaming "

@@ -193,8 +193,19 @@ def run_pipeline(
     out_dir: str | None = None,
     n_buckets: int = 64,
     resume: bool = True,
+    markup: bool = False,
 ) -> dict:
     """Run construction end-to-end; optionally materialize triples.
+
+    ``markup=True`` opens the SECOND entrance into the same KG:
+    publisher-embedded JSON-LD (pipeline/markup.jsonld_triples →
+    markup_as_triples) is flattened and unioned into the triple sink
+    alongside the NER-derived rows, sharing the url-hashed part_id
+    scheme so both streams land in the same partition layout.  The
+    markup pass runs over ALL pages (structured data is
+    language-independent; the lang filter only gates the NER path)
+    and is a narrow map plus one distinct on its own slice — it adds
+    no exchange to the NER stream.
 
     Returns {'mentions': DF, 'triples': DF, 'manifest': DF|None}.
     """
@@ -207,6 +218,19 @@ def run_pipeline(
     for h in getattr(built, "_materialized_deps", ()):
         release_materialized(h)
     triples = emit_triples(mentions, n_buckets=n_buckets)
+    if markup:
+        from .markup import jsonld_triples
+
+        # markup_as_triples' projection with the url kept for the
+        # shared part_id scheme
+        mk = (jsonld_triples(pages)
+              .where(F.col("kind") != "null")
+              .select("subj", "pred", "obj", "url")
+              .distinct()
+              .withColumn("part_id",
+                          F.pmod(F.xxhash64("url"),
+                                 F.lit(n_buckets))))
+        triples = triples.unionByName(mk)
     manifest = None
     if out_dir is not None:
         from .triples import read_triples, write_triples

@@ -194,3 +194,35 @@ def test_html_tables_unclosed_row_dropped(spark):
     from neleval_spark.pipeline.markup import html_tables
     got = [(r["row"], r["value"]) for r in html_tables(df).collect()]
     assert got == [(1, "kept")]
+
+
+def test_run_pipeline_markup_second_entrance(spark, tmp_path):
+    """markup=True unions publisher JSON-LD triples into the same
+    sink/partition scheme as the NER stream."""
+    from pyspark.sql import functions as F
+
+    from neleval_spark.pipeline import kb_table, synth_corpus
+    from neleval_spark.pipeline.run import run_pipeline
+
+    corpus = synth_corpus(spark, 30)
+    block = ('<script type="application/ld+json">'
+             '{"@id":"m1","@type":"Org","homepage":"h"}</script>')
+    pages = corpus.withColumn(
+        "html",
+        F.when(F.col("url").endswith("0"),
+               F.concat(F.col("html").cast("string"), F.lit(block))
+               .cast("binary"))
+        .otherwise(F.col("html")))
+    out = run_pipeline(pages, kb_table(spark), markup=True)
+    trips = out["triples"]
+    mk = trips.where(F.col("subj") == "m1").collect()
+    n_marked = pages.where(F.col("url").endswith("0")).count()
+    got = {(r["pred"], r["obj"]) for r in mk}
+    assert got == {("@type", "Org"), ("homepage", "h")}
+    # one row per (url, triple): distinct within the markup slice
+    assert len(mk) == 2 * n_marked
+    # part_id follows the shared url-hash scheme
+    for r in mk:
+        assert r["part_id"] is not None and 0 <= r["part_id"] < 64
+    # NER stream still present
+    assert trips.where(F.col("pred") == "mentioned_in").count() > 0
