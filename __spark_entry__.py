@@ -6513,6 +6513,70 @@ FROM t ORDER BY subj, pred, obj
 """)
 
 
+def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed-entry extraction
+    (functions/discovery.extract_feed_entries): even docs serve a
+    2-item RSS feed (CDATA title, entity in title 2), odd docs a
+    1-entry Atom feed (href-form link) — both dialects, the CDATA
+    unwrap and entity decode exercised.  Closed-form oracle from
+    doc_id."""
+    from neleval_spark.functions.discovery import extract_feed_entries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    rss = F.concat(
+        F.lit("<rss><channel><item><title><![CDATA[T"),
+        (d % 7).cast("string"),
+        F.lit("]]></title><link>http://s.org/"), ds,
+        F.lit("/1</link><pubDate>D"), (d % 5).cast("string"),
+        F.lit("</pubDate></item><item><title>A &amp; "),
+        (d % 3).cast("string"),
+        F.lit("</title><link>http://s.org/"), ds,
+        F.lit("/2</link></item></channel></rss>"))
+    atom = F.concat(
+        F.lit('<feed><entry><title>E'), (d % 4).cast("string"),
+        F.lit('</title><link href="http://t.org/'), ds,
+        F.lit('"/><updated>U'), (d % 6).cast("string"),
+        F.lit("</updated></entry></feed>"))
+    feeds = docs.select(
+        F.concat(F.lit("f"), ds).alias("url"),
+        F.when(d % 2 == 0, rss).otherwise(atom).alias("body"))
+    out = extract_feed_entries(feeds)
+    return (out.select("feed_url",
+                       F.col("entry").cast("long").alias("entry"),
+                       "kind", "title", "link", "published")
+            .orderBy("feed_url", "entry"))
+
+
+Q_FEED_ENTRIES_SQL = ("""
+WITH d AS (
+  SELECT doc_id AS id, 'f' || CAST(doc_id AS VARCHAR) AS feed_url
+  FROM documents),
+rss AS (
+  SELECT feed_url, 0 AS entry, 'rss' AS kind,
+         'T' || CAST(id % 7 AS VARCHAR) AS title,
+         'http://s.org/' || CAST(id AS VARCHAR) || '/1' AS link,
+         'D' || CAST(id % 5 AS VARCHAR) AS published
+  FROM d WHERE id % 2 = 0
+  UNION ALL
+  SELECT feed_url, 1, 'rss',
+         'A & ' || CAST(id % 3 AS VARCHAR),
+         'http://s.org/' || CAST(id AS VARCHAR) || '/2', ''
+  FROM d WHERE id % 2 = 0),
+atom AS (
+  SELECT feed_url, 0 AS entry, 'atom' AS kind,
+         'E' || CAST(id % 4 AS VARCHAR) AS title,
+         'http://t.org/' || CAST(id AS VARCHAR) AS link,
+         'U' || CAST(id % 6 AS VARCHAR) AS published
+  FROM d WHERE id % 2 = 1)
+SELECT feed_url, CAST(entry AS BIGINT) AS entry, kind, title, link,
+       published
+FROM (SELECT * FROM rss UNION ALL SELECT * FROM atom)
+ORDER BY feed_url, entry
+""")
+
+
 def q_pipeline_triples_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's hot sink (``emit_triples``,
     pipeline/triples.py:32) hash-checked end-to-end: a deterministic
@@ -7797,6 +7861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_rels": q_link_rels,
         "canonical_map": q_canonical_map,
         "ntriples_roundtrip": q_ntriples_roundtrip,
+        "feed_entries": q_feed_entries,
         "triangles": q_triangles,
         "repetition": q_repetition,
         "dedup_lines": q_dedup_lines,
@@ -8040,4 +8105,5 @@ def oracle_sql() -> dict[str, str]:
         "link_rels": Q_LINK_RELS_SQL,
         "canonical_map": Q_CANONICAL_MAP_SQL,
         "ntriples_roundtrip": Q_NTRIPLES_ROUNDTRIP_SQL,
+        "feed_entries": Q_FEED_ENTRIES_SQL,
     }

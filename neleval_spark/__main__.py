@@ -1508,6 +1508,13 @@ def cmd_frontier(args):
                       .select(F.col("loc").alias("url")))
         frontier = frontier.unionByName(discovered)
         stats["discovered"] = discovered.count()
+    if args.feeds:
+        from .functions.discovery import extract_feed_entries
+
+        fe = (extract_feed_entries(spark.read.parquet(args.feeds))
+              .select(F.col("link").alias("url")))
+        frontier = frontier.unionByName(fe)
+        stats["feed_urls"] = fe.count()
     frontier = frontier.distinct()
     stats["distinct"] = frontier.count()
     if args.robots:
@@ -2008,6 +2015,10 @@ def main(argv=None):
         sp.add_argument("--sitemaps",
                         help="parquet (url, body) fetched sitemap "
                              "files to expand the frontier with"),
+        sp.add_argument("--feeds",
+                        help="parquet (url, body) fetched RSS/Atom "
+                             "feeds whose entry links join the "
+                             "frontier (the freshness signal)"),
         sp.add_argument("--robots",
                         help="parquet (host, body) fetched robots.txt "
                              "files for the compliance filter"),

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["extract_sitemap_urls", "detect_charset", "link_rels",
-           "canonical_map"]
+           "canonical_map", "extract_feed_entries"]
 
 
 def extract_sitemap_urls(sitemaps: DataFrame, url: str = "url",
@@ -62,6 +62,59 @@ def extract_sitemap_urls(sitemaps: DataFrame, url: str = "url",
         unescaped.alias("loc"),
         kind.alias("kind"),
     ).where(F.col("loc") != "")
+
+
+_FEED_ENTRY_RE = r"(?s)<item[\s>].*?</item>|<entry[\s>].*?</entry>"
+_CDATA_RE = r"(?s)^<!\[CDATA\[(.*)\]\]>$"
+# &amp; LAST so "&amp;lt;" decodes to the literal "&lt;"
+_ENTITIES_XML = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&apos;", "'"), ("&amp;", "&")]
+
+
+def extract_feed_entries(feeds: DataFrame, url: str = "url",
+                         body: str = "body") -> DataFrame:
+    """RSS/Atom feed rows (url, body) → one row per entry:
+    (feed_url, entry, kind, title, link, published) — the third
+    discovery source next to sitemaps and <link> relations, and the
+    freshness signal: a feed names exactly the urls that changed, so
+    its links re-enter the crawl frontier without a full re-sweep.
+
+    ``kind`` is rss (<item>) or atom (<entry>); ``link`` is the RSS
+    <link> text or the Atom <link href>; ``published`` is the RAW
+    <pubDate>/<published>/<updated> text (RFC-822 vs ISO-8601 parsing
+    is the caller's policy — ``F.try_to_timestamp`` both, keep the
+    one that lands).  Titles are CDATA-unwrapped and entity-decoded.
+    Same one-regexp+posexplode narrow contract as
+    ``extract_sitemap_urls``: anchored to ONE complete element so a
+    link-less entry can never absorb its neighbor's fields.
+    """
+    entries = feeds.select(
+        F.col(url).alias("feed_url"),
+        F.posexplode(F.regexp_extract_all(
+            F.col(body).cast("string"), F.lit(_FEED_ENTRY_RE),
+            F.lit(0))).alias("entry", "_e"))
+    kind = F.when(F.regexp_extract("_e", r"^<(\w+)", 1) == "item",
+                  F.lit("rss")).otherwise(F.lit("atom"))
+    title = F.regexp_replace(
+        F.trim(F.regexp_extract(
+            "_e", r"(?s)<title[^>]*>\s*(.*?)\s*</title>", 1)),
+        _CDATA_RE, "$1")
+    for ent, ch in _ENTITIES_XML:
+        title = F.replace(title, F.lit(ent), F.lit(ch))
+    link = F.coalesce(
+        F.nullif(F.regexp_extract(
+            "_e", r"(?s)<link\s*>\s*(.*?)\s*</link>", 1), F.lit("")),
+        F.nullif(F.regexp_extract(
+            "_e", r'(?is)<link\b[^>]*\bhref\s*=\s*["\']([^"\']*)'
+                  r'["\']', 1), F.lit("")))
+    published = F.trim(F.regexp_extract(
+        "_e",
+        r"(?s)<(?:pubDate|published|updated)[^>]*>\s*(.*?)\s*</", 1))
+    return (entries.select(
+        "feed_url", "entry", kind.alias("kind"),
+        title.alias("title"), link.alias("link"),
+        published.alias("published"))
+        .where(F.col("link").isNotNull()))
 
 
 _LINK_TAG_RE = r"(?is)<link\b[^>]*>"

@@ -576,22 +576,31 @@ def test_cli_frontier(spark, capsys, tmp_path):
         [("b.example", "User-agent: *\nDisallow: /blocked")],
         "host string, body string",
     ).write.parquet(str(tmp_path / "robots"))
+    spark.createDataFrame(
+        [("http://a.example/feed",
+          "<rss><channel><item><title>t</title>"
+          "<link>http://a.example/fresh</link></item>"
+          "</channel></rss>")],
+        "url string, body string",
+    ).write.parquet(str(tmp_path / "feeds"))
 
     out = _run(capsys, "frontier", str(tmp_path / "seeds"),
                "-o", str(tmp_path / "plan"),
                "--sitemaps", str(tmp_path / "sitemaps"),
+               "--feeds", str(tmp_path / "feeds"),
                "--robots", str(tmp_path / "robots"),
                "--delay", "10", "--start-ts", "50")
     stats = json.loads(out.strip().split("\n")[-1])
     assert stats["seed_urls"] == 5 and stats["discovered"] == 2
-    assert stats["allowed"] == 5  # both /blocked urls dropped
+    assert stats["feed_urls"] == 1
+    assert stats["allowed"] == 6  # both /blocked urls dropped
     assert stats["hosts"] == 1
     plan = spark.read.parquet(str(tmp_path / "plan"))
     rows = plan.collect()
     assert {r["url"] for r in rows} == {
         f"http://a.example/p{i}" for i in range(4)
-    } | {"http://a.example/s0"}
-    assert sorted(r["slot"] for r in rows) == [0, 1, 2, 3, 4]
+    } | {"http://a.example/s0", "http://a.example/fresh"}
+    assert sorted(r["slot"] for r in rows) == [0, 1, 2, 3, 4, 5]
     assert all(r["fetch_ts"] == 50 + r["slot"] * 10 for r in rows)
 
 

@@ -160,3 +160,40 @@ def test_canonical_map_feeds_exact_dedup(spark):
               .collect())
     got = {r["canonical"]: r["n"] for r in groups}
     assert got == {"http://s.com/art": 3, "http://s.com/other": 1}
+
+
+def test_extract_feed_entries_rss_atom_cdata(spark):
+    rss = ("<rss><channel><title>chan</title>"
+           "<item><title><![CDATA[A & B]]></title>"
+           "<link> http://s.com/a1 </link>"
+           "<pubDate>Tue, 19 Aug 2025 10:00:00 GMT</pubDate></item>"
+           "<item><title>T &amp; U</title>"
+           "<link>http://s.com/a2</link></item>"
+           "<item><title>linkless</title></item>"
+           "</channel></rss>")
+    atom = ('<feed><title>f</title>'
+            '<entry><title>E1</title>'
+            '<link rel="alternate" href="http://t.org/e1"/>'
+            '<updated>2025-08-19T10:00:00Z</updated></entry>'
+            '<entry><title>E2</title>'
+            '<link href="http://t.org/e2"/>'
+            '<published>2025-08-18T00:00:00Z</published></entry>'
+            "</feed>")
+    feeds = spark.createDataFrame(
+        [("http://s.com/feed", rss), ("http://t.org/atom", atom)],
+        "url string, body string")
+    from neleval_spark.functions.discovery import extract_feed_entries
+    got = {(r["feed_url"], r["entry"]):
+           (r["kind"], r["title"], r["link"], r["published"])
+           for r in extract_feed_entries(feeds).collect()}
+    assert got == {
+        ("http://s.com/feed", 0):
+            ("rss", "A & B", "http://s.com/a1",
+             "Tue, 19 Aug 2025 10:00:00 GMT"),
+        ("http://s.com/feed", 1):
+            ("rss", "T & U", "http://s.com/a2", ""),
+        ("http://t.org/atom", 0):
+            ("atom", "E1", "http://t.org/e1", "2025-08-19T10:00:00Z"),
+        ("http://t.org/atom", 1):
+            ("atom", "E2", "http://t.org/e2", "2025-08-18T00:00:00Z"),
+    }  # the linkless item (entry 2) is dropped
