@@ -22,6 +22,8 @@ os.environ["PYTHONPATH"] = os.pathsep.join(
 from pyspark.sql import functions as F
 
 from neleval_spark import get_spark
+from neleval_spark.functions.discovery import (
+    canonical_map, extract_feed_entries, link_rels)
 from neleval_spark.pipeline.markup import (
     html_tables, jsonld_triples, meta_tags)
 
@@ -56,7 +58,11 @@ meta = F.concat(
     F.lit('"/><meta name="description" content="d &amp; '),
     (d % 9).cast("string"),
     F.lit('"><meta charset="utf-8">'
-          '<meta property="og:type" content="article">'))
+          '<meta property="og:type" content="article">'
+          '<link rel="canonical" href="https://c.org/p'),
+    (d % 1000).cast("string"),
+    F.lit('"><link href="https://c.org/de" rel="alternate" '
+          'hreflang="de">'))
 rows6 = F.concat(*[
     F.concat(F.lit(f"<tr><td>r{r}c0-"), (d % 11).cast("string"),
              F.lit(f"</td><td><b>r{r}c1</b></td><td>"),
@@ -75,13 +81,38 @@ pages = spark.read.parquet("/tmp/markup_probe_pages")
 sz = pages.agg(F.avg(F.length("html"))).collect()[0][0]
 print(f"pages: {n_pages}, avg html {sz:.0f} B")
 
+# a 10-item feed per "site" (n_pages/10 feeds)
+feeds = (spark.range(max(n_pages // 10, 1)).repartition(2 * CPUS)
+         .select(
+             F.concat(F.lit("https://h"), F.col("id").cast("string"),
+                      F.lit(".org/feed")).alias("url"),
+             F.concat(
+                 F.lit("<rss><channel>"),
+                 F.concat(*[F.concat(
+                     F.lit("<item><title><![CDATA[t"),
+                     ((F.col("id") + i) % 31).cast("string"),
+                     F.lit(" &amp; x]]></title><link>https://h"),
+                     F.col("id").cast("string"), F.lit(".org/a"),
+                     F.lit(str(i)),
+                     F.lit("</link><pubDate>Tue, 19 Aug 2025 10:0"),
+                     F.lit(str(i)),
+                     F.lit(":00 GMT</pubDate></item>"))
+                     for i in range(10)]),
+                 F.lit("</channel></rss>")).alias("body")))
+feeds.write.mode("overwrite").parquet("/tmp/markup_probe_feeds")
+feeds = spark.read.parquet("/tmp/markup_probe_feeds")
+
 # count() would let Catalyst PRUNE the value projections (only the
 # explode chain would run); hash-aggregate over every output column
 # to force full evaluation.  3 reps, fresh lineage each (salt), JIT
 # warmup rep dropped, best reported (CLAUDE.md noise model).
 for name, fn in (("jsonld_triples", jsonld_triples),
                  ("meta_tags", meta_tags),
-                 ("html_tables", html_tables)):
+                 ("html_tables", html_tables),
+                 ("link_rels", link_rels),
+                 ("canonical_map", canonical_map),
+                 ("feed_entries",
+                  lambda p: extract_feed_entries(feeds))):
     out = fn(pages)
     cols = out.columns
     times, n = [], None
