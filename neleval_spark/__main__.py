@@ -593,7 +593,7 @@ def cmd_run_pipeline(args):
         ckpt = args.checkpoint or f"{args.out}/_checkpoint"
         q = stream_construct(
             stream_pages(spark, args.corpus), kb_table(spark),
-            args.out, ckpt, available_now=True)
+            args.out, ckpt, available_now=True, markup=args.markup)
         q.awaitTermination()
         n = read_triples(spark, args.out).count()
         print(json.dumps({"triples": n, "out": args.out,

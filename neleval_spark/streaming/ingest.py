@@ -61,11 +61,16 @@ def stream_pages(spark: SparkSession, pages_dir: str,
 
 def stream_construct(pages_stream: DataFrame, kb: DataFrame,
                      out_dir: str, checkpoint_dir: str,
-                     available_now: bool = True):
+                     available_now: bool = True,
+                     markup: bool = False):
     """Run the KG-construction pipeline incrementally; returns the
     started StreamingQuery.  ``available_now=True`` drains the current
     backlog and stops (the batch-parity mode used by tests);
-    ``False`` runs continuously."""
+    ``False`` runs continuously.  ``markup=True`` mirrors
+    ``run_pipeline(markup=True)``: each micro-batch's publisher
+    JSON-LD is flattened and unioned into the same run_id partition
+    as the batch's NER triples, so replay idempotence covers both
+    streams at once."""
     from ..pipeline.run import build_mentions
     from ..pipeline.triples import emit_triples, write_triples
 
@@ -98,6 +103,17 @@ def stream_construct(pages_stream: DataFrame, kb: DataFrame,
         mentions = build_mentions(batch_df, kb)
         try:
             triples = emit_triples(mentions)
+            if markup:
+                from ..pipeline.markup import jsonld_triples
+
+                mk = (jsonld_triples(batch_df)
+                      .where(F.col("kind") != "null")
+                      .select("subj", "pred", "obj", "url")
+                      .distinct()
+                      .withColumn("part_id",
+                                  F.pmod(F.xxhash64("url"),
+                                         F.lit(64))))
+                triples = triples.unionByName(mk)
             # overwrite_run: a replayed batch REPLACES its own run_id
             # partitions (data + manifest) — idempotent without reading
             # the sink, correct even if the previous attempt died
