@@ -93,14 +93,20 @@ def extract_feed_entries(feeds: DataFrame, url: str = "url",
         F.posexplode(F.regexp_extract_all(
             F.col(body).cast("string"), F.lit(_FEED_ENTRY_RE),
             F.lit(0))).alias("entry", "_e"))
+    # stage the raw title: branched below (CollapseProject keeps the
+    # multi-referenced extract)
+    entries = entries.withColumn("_traw", F.trim(F.regexp_extract(
+        "_e", r"(?s)<title[^>]*>\s*(.*?)\s*</title>", 1)))
     kind = F.when(F.regexp_extract("_e", r"^<(\w+)", 1) == "item",
                   F.lit("rss")).otherwise(F.lit("atom"))
-    title = F.regexp_replace(
-        F.trim(F.regexp_extract(
-            "_e", r"(?s)<title[^>]*>\s*(.*?)\s*</title>", 1)),
-        _CDATA_RE, "$1")
+    # CDATA content is LITERAL text per XML — unwrap only; entity
+    # decoding applies to the ordinary (parsed-text) branch alone
+    decoded = F.col("_traw")
     for ent, ch in _ENTITIES_XML:
-        title = F.replace(title, F.lit(ent), F.lit(ch))
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    title = F.when(F.col("_traw").rlike(r"^<!\[CDATA\["),
+                   F.regexp_replace("_traw", _CDATA_RE, "$1")
+                   ).otherwise(decoded)
     link = F.coalesce(
         F.nullif(F.regexp_extract(
             "_e", r"(?s)<link\s*>\s*(.*?)\s*</link>", 1), F.lit("")),
@@ -118,9 +124,15 @@ def extract_feed_entries(feeds: DataFrame, url: str = "url",
 
 
 _LINK_TAG_RE = r"(?is)<link\b[^>]*>"
-_REL_RE = r'(?is)\brel\s*=\s*["\']([^"\']+)["\']'
-_HREF_RE = r'(?is)\bhref\s*=\s*["\']([^"\']*)["\']'
-_HREFLANG_RE = r'(?is)\bhreflang\s*=\s*["\']([^"\']+)["\']'
+# attribute names anchored to a preceding whitespace/quote — a \b
+# matches after a hyphen, so data-href=/data-rel= lookalikes would
+# otherwise win the first match.  hreflang is matched before the
+# shorter href can (distinct patterns, no overlap issue), and
+# rel/href never match inside another attribute's NAME.
+_REL_RE = r'(?is)(?:^|[\s"\'])rel\s*=\s*["\']([^"\']+)["\']'
+_HREF_RE = r'(?is)(?:^|[\s"\'])href\s*=\s*["\']([^"\']*)["\']'
+_HREFLANG_RE = (r'(?is)(?:^|[\s"\'])hreflang\s*=\s*'
+                r'["\']([^"\']+)["\']')
 
 
 def link_rels(pages: DataFrame, url: str = "url",
@@ -177,10 +189,12 @@ def canonical_map(pages: DataFrame, url: str = "url",
     from .linkgraph import _resolve
 
     h = F.col(html).cast("string")
-    pat1 = (r'(?is)<link\b[^>]*\brel\s*=\s*["\']canonical["\']'
-            r'[^>]*\bhref\s*=\s*["\']([^"\']*)["\']')
-    pat2 = (r'(?is)<link\b[^>]*\bhref\s*=\s*["\']([^"\']*)["\']'
-            r'[^>]*\brel\s*=\s*["\']canonical["\']')
+    # [\s"'] anchors before rel/href, not \b: '-' is a word
+    # boundary, so \b would let data-rel=/data-href= match
+    pat1 = (r'(?is)<link\b[^>]*[\s"\']rel\s*=\s*["\']canonical["\']'
+            r'[^>]*[\s"\']href\s*=\s*["\']([^"\']*)["\']')
+    pat2 = (r'(?is)<link\b[^>]*[\s"\']href\s*=\s*["\']([^"\']*)'
+            r'["\'][^>]*[\s"\']rel\s*=\s*["\']canonical["\']')
     href = F.coalesce(F.nullif(F.regexp_extract(h, pat1, 1), F.lit("")),
                       F.nullif(F.regexp_extract(h, pat2, 1), F.lit("")))
     staged = pages.select(F.col(url).alias("url"), href.alias("_href"))
@@ -200,12 +214,30 @@ def detect_charset(html: Column, default: str = "utf-8") -> Column:
     The byte prefix is decoded as latin-1 for the regex scan —
     every byte maps to a codepoint, so declarations survive whatever
     the true encoding is (ASCII-compatible encodings, which is what
-    meta declarations are for)."""
+    meta declarations are for).
+
+    A ``charset=`` inside an unrelated attribute VALUE (e.g. a
+    description mentioning one) must not win: candidate <meta> tags
+    are quote-stripped first, and only a tag where ``charset=``
+    survives outside every quoted span — i.e. a genuine charset
+    attribute or an http-equiv content value (whose ``charset=`` is
+    what the prescan honors) — is consulted.  The per-tag filter is
+    a higher-order function over ≤ a handful of tags in the 1 KB
+    window, so the interpreted-per-element cost is bounded."""
     prefix = F.substring(html, 1, 1024)
     head = F.lower(F.decode(prefix, "ISO-8859-1"))
+    def _is_decl(t):
+        stripped = F.regexp_replace(t, """\"[^\"]*\"|'[^']*'""", "")
+        return (stripped.rlike(r"""[\s"']charset\s*=""")
+                | (stripped.rlike("http-equiv")
+                   & t.rlike(r"charset\s*=")))
+
+    decl = F.filter(
+        F.regexp_extract_all(head, F.lit(r"<meta[^>]*>"), F.lit(0)),
+        _is_decl)
     meta = F.regexp_extract(
-        head, r"""<meta[^>]*charset\s*=\s*["']?\s*([a-z0-9_.:-]+)""",
-        1)
+        F.coalesce(F.try_element_at(decl, F.lit(1)), F.lit("")),
+        r"""charset\s*=\s*["']?\s*([a-z0-9_.:-]+)""", 1)
     bom8 = F.lit(bytes([0xEF, 0xBB, 0xBF]))
     bom16le = F.lit(bytes([0xFF, 0xFE]))
     bom16be = F.lit(bytes([0xFE, 0xFF]))

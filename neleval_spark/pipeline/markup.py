@@ -33,8 +33,13 @@ from pyspark.sql import functions as F
 _JSONLD_RE = (r'(?is)<script[^>]*type\s*=\s*["\']application/ld\+json'
               r'["\'][^>]*>(.*?)</script')
 _META_RE = r"(?is)<meta\b[^>]*>"
-_KEY_ATTR_RE = r'(?is)(?:property|name)\s*=\s*["\']([^"\']+)["\']'
-_CONTENT_ATTR_RE = r'(?is)content\s*=\s*["\']([^"\']*)["\']'
+# the attribute NAME must start after whitespace or a quote, or a
+# lookalike like data-content=/data-name= matches first and wins (a
+# \b would not help: '-' is a word boundary).  RE2-safe (no
+# lookbehind) so oracles could replay it.
+_KEY_ATTR_RE = (r'(?is)(?:^|[\s"\'])(?:property|name)\s*=\s*'
+                r'["\']([^"\']+)["\']')
+_CONTENT_ATTR_RE = r'(?is)(?:^|[\s"\'])content\s*=\s*["\']([^"\']*)["\']'
 
 
 def _html_str(pages: DataFrame, html_col: str) -> Column:
@@ -76,11 +81,18 @@ def jsonld_triples(pages: DataFrame, url_col: str = "url",
     one node keep the last occurrence (JSON-object map semantics).
     """
     blocks = jsonld_blocks(pages, url_col, html_col)
-    graph = F.get_json_object("json", "$['@graph']")
+    # stage the @graph lookup: the CASE references it twice
+    # (condition + from_json argument) and Spark's subexpression
+    # elimination skips non-first WHEN branches, so inlined it would
+    # parse the block twice; CollapseProject keeps the
+    # multi-referenced non-cheap projection staged
+    blocks = blocks.withColumn(
+        "_graph", F.get_json_object("json", "$['@graph']"))
     nodes_arr = (
         F.when(F.startswith(F.col("json"), F.lit("[")),
                F.from_json("json", "array<string>"))
-        .when(graph.isNotNull(), F.from_json(graph, "array<string>"))
+        .when(F.col("_graph").isNotNull(),
+              F.from_json("_graph", "array<string>"))
         .otherwise(F.array(F.col("json"))))
     nodes = blocks.select(
         "url", "block",

@@ -197,3 +197,57 @@ def test_extract_feed_entries_rss_atom_cdata(spark):
         ("http://t.org/atom", 1):
             ("atom", "E2", "http://t.org/e2", "2025-08-18T00:00:00Z"),
     }  # the linkless item (entry 2) is dropped
+
+
+def test_attr_lookalikes_do_not_win(spark):
+    # data-href= / data-rel= must not be read as href/rel (a \b
+    # matches after '-'), and data-content= must not shadow content=
+    from neleval_spark.functions.discovery import (
+        canonical_map, link_rels)
+    from neleval_spark.pipeline.markup import meta_tags
+    pages = spark.createDataFrame([
+        ("http://a.com/p",
+         '<link rel="alternate" data-href="WRONG" href="/right">'
+         '<link data-rel="canonical" href="/notcanon">'
+         '<meta name="og:t" data-content="WRONG" content="RIGHT">'),
+    ], "url string, html string")
+    lr = {r["rel"]: r["href"] for r in link_rels(pages).collect()}
+    assert lr == {"alternate": "/right"}  # data-rel tag dropped
+    cm = canonical_map(pages).collect()[0]
+    assert cm["canonical"] == "http://a.com/p"  # no real canonical
+    mt = {r["key"]: r["content"] for r in meta_tags(pages).collect()}
+    assert mt == {"og:t": "RIGHT"}
+
+
+def test_detect_charset_ignores_charset_in_content_values(spark):
+    from neleval_spark.functions.discovery import detect_charset
+    from pyspark.sql import functions as F
+    rows = [
+        # decoy in a description BEFORE the real declaration
+        ('<meta name="d" content="set charset=koi8-r here">'
+         '<meta charset="utf-16le">', "utf-16le"),
+        # http-equiv refresh before the real http-equiv content-type
+        ('<meta http-equiv="refresh" content="0;url=x">'
+         '<meta http-equiv="Content-Type" '
+         'content="text/html; charset=windows-1252">',
+         "windows-1252"),
+        # decoy only: fall back to default
+        ('<meta name="d" content="charset=koi8-r">', "utf-8"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "h string")
+    got = [r["c"] for r in df.select(
+        detect_charset(F.encode("h", "ISO-8859-1")).alias("c")
+    ).collect()]
+    assert got == [w for _, w in rows]
+
+
+def test_feed_cdata_content_stays_literal(spark):
+    # CDATA text is literal per XML: entities inside must NOT decode
+    from neleval_spark.functions.discovery import extract_feed_entries
+    feeds = spark.createDataFrame([
+        ("f", "<rss><channel><item>"
+              "<title><![CDATA[Tom &amp; Jerry &lt;3]]></title>"
+              "<link>http://x/1</link></item></channel></rss>"),
+    ], "url string, body string")
+    r = extract_feed_entries(feeds).collect()[0]
+    assert r["title"] == "Tom &amp; Jerry &lt;3"
