@@ -6268,10 +6268,20 @@ def _markup_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.lit("<table><tr><th>k</th></tr>"
                      "<tr><td><b>v</b></td></tr></table>"))
         .otherwise(F.lit("")))
+    imgs = F.concat(
+        F.lit('<img src="http://img.ex/i'),
+        (F.col("doc_id") % 8).cast("string"),
+        F.lit('.jpg" alt="cap &amp; '),
+        (F.col("doc_id") % 6).cast("string"),
+        F.lit('"><img data-src="lazy.jpg" alt="decoy">'),
+        F.when(F.col("doc_id") % 4 == 1,
+               F.lit('<img src="http://img.ex/bare.png" alt="">'))
+        .otherwise(F.lit("")))
     return docs.select(
         F.concat(F.lit("u"), d).alias("url"),
         F.concat(base, canonical_link, alt_link, graph_block,
-                 arr_block, F.lit("</head>"), table).alias("html"))
+                 arr_block, F.lit("</head>"), table,
+                 imgs).alias("html"))
 
 
 def q_jsonld_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6574,6 +6584,34 @@ SELECT feed_url, CAST(entry AS BIGINT) AS entry, kind, title, link,
        published
 FROM (SELECT * FROM rss UNION ALL SELECT * FROM atom)
 ORDER BY feed_url, entry
+""")
+
+
+def q_image_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image–alt pair extraction
+    (pipeline/markup.image_captions): every doc carries one real
+    captioned image, a data-src lazy-loading decoy (must not match),
+    and every 4th an empty-alt image (dropped by the default caption
+    filter).  Closed-form oracle from doc_id."""
+    from neleval_spark.pipeline.markup import image_captions
+
+    out = image_captions(_markup_pages(spark, sf_dir))
+    return (out.select("url", F.col("img").cast("long").alias("img"),
+                       "src", "src_abs", "alt", "title")
+            .orderBy("url", "img"))
+
+
+Q_IMAGE_CAPTIONS_SQL = ("""
+SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(0 AS BIGINT) AS img,
+       'http://img.ex/i' || CAST(doc_id % 8 AS VARCHAR) || '.jpg'
+         AS src,
+       'http://img.ex/i' || CAST(doc_id % 8 AS VARCHAR) || '.jpg'
+         AS src_abs,
+       'cap & ' || CAST(doc_id % 6 AS VARCHAR) AS alt,
+       '' AS title
+FROM documents
+ORDER BY url, img
 """)
 
 
@@ -7862,6 +7900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_map": q_canonical_map,
         "ntriples_roundtrip": q_ntriples_roundtrip,
         "feed_entries": q_feed_entries,
+        "image_captions": q_image_captions,
         "triangles": q_triangles,
         "repetition": q_repetition,
         "dedup_lines": q_dedup_lines,
@@ -8106,4 +8145,5 @@ def oracle_sql() -> dict[str, str]:
         "canonical_map": Q_CANONICAL_MAP_SQL,
         "ntriples_roundtrip": Q_NTRIPLES_ROUNDTRIP_SQL,
         "feed_entries": Q_FEED_ENTRIES_SQL,
+        "image_captions": Q_IMAGE_CAPTIONS_SQL,
     }

@@ -1429,6 +1429,12 @@ def cmd_extract_markup(args):
         from .functions.discovery import canonical_map
         canonical_map(pages).write.mode("overwrite") \
             .parquet(args.canonical_out)
+    n_cap = None
+    if args.captions_out:
+        from .pipeline.markup import image_captions
+        image_captions(pages).write.mode("overwrite") \
+            .parquet(args.captions_out)
+        n_cap = spark.read.parquet(args.captions_out).count()
     agg = flat.agg(
         F.count(F.lit(1)).alias("rows"),
         F.countDistinct("url", "block", "node").alias("nodes")
@@ -1440,6 +1446,8 @@ def cmd_extract_markup(args):
         out["meta_rows"] = n_meta
     if n_table is not None:
         out["table_cells"] = n_table
+    if n_cap is not None:
+        out["caption_pairs"] = n_cap
     print(json.dumps(out))
 
 
@@ -1997,7 +2005,10 @@ def main(argv=None):
                              "(rel/canonical/hreflang) here"),
         sp.add_argument("--canonical-out", dest="canonical_out",
                         help="also write the per-page (url, "
-                             "canonical) consolidation map here")))
+                             "canonical) consolidation map here"),
+        sp.add_argument("--captions-out", dest="captions_out",
+                        help="also write the image–alt-text caption "
+                             "pairs here (multimodal seed set)")))
     add("export-nt", cmd_export_nt, lambda sp: (
         sp.add_argument("triples",
                         help="parquet triple table (subj, pred, obj)"),

@@ -227,6 +227,58 @@ def html_tables(pages: DataFrame, url_col: str = "url",
         _clean_cell(F.col("_c")).alias("value"))
 
 
+_IMG_TAG_RE = r"(?is)<img\b[^>]*>"
+_SRC_ATTR_RE = r'(?is)(?:^|[\s"\'])src\s*=\s*["\']([^"\']+)["\']'
+_ALT_ATTR_RE = r'(?is)(?:^|[\s"\'])alt\s*=\s*["\']([^"\']*)["\']'
+_TITLE_ATTR_RE = r'(?is)(?:^|[\s"\'])title\s*=\s*["\']([^"\']*)["\']'
+
+
+def image_captions(pages: DataFrame, url_col: str = "url",
+                   html_col: str = "html",
+                   require_alt: bool = True) -> DataFrame:
+    """LAION-style image–text pair extraction: one row per <img>
+    that carries a quoted ``src`` — (url, img, src, src_abs, alt,
+    title).  This is how web-scale multimodal training sets are
+    seeded: the alt text is the page author's own caption, and the
+    (src_abs, alt) pair joins the fetch loop (download by src_abs)
+    and the multimodal feature family (functions/multimodal) on the
+    fetched bytes.
+
+    ``src_abs`` resolves relative srcs against the page url
+    (linkgraph's RFC-3986 common cases; NULL for data:/other
+    schemes — kept, the raw ``src`` still identifies inline
+    images).  ``require_alt=True`` (default) keeps only rows with
+    non-empty alt text — the caption-pair use case; pass False for
+    a plain image inventory.  Attribute-name anchoring as elsewhere
+    in this module (data-src= lookalikes cannot win).  Same narrow
+    one-regexp+posexplode contract as meta_tags: zero shuffles at
+    any corpus size.
+    """
+    from ..functions.linkgraph import _resolve
+
+    tags = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.regexp_extract_all(
+            _html_str(pages, html_col), F.lit(_IMG_TAG_RE),
+            F.lit(0))).alias("img", "_t"))
+    alt = F.regexp_extract("_t", _ALT_ATTR_RE, 1)
+    for ent, ch in _ENTITIES:
+        alt = F.replace(alt, F.lit(ent), F.lit(ch))
+    title = F.regexp_extract("_t", _TITLE_ATTR_RE, 1)
+    for ent, ch in _ENTITIES:
+        title = F.replace(title, F.lit(ent), F.lit(ch))
+    out = (tags.select(
+        "url", "img",
+        F.regexp_extract("_t", _SRC_ATTR_RE, 1).alias("src"),
+        alt.alias("alt"), title.alias("title"))
+        .where(F.col("src") != "")
+        .withColumn("src_abs", _resolve(F.col("src"), F.col("url")))
+        .select("url", "img", "src", "src_abs", "alt", "title"))
+    if require_alt:
+        out = out.where(F.col("alt") != "")
+    return out
+
+
 def markup_as_triples(flat: DataFrame) -> DataFrame:
     """Project `jsonld_triples` output onto the pipeline's triple
     shape (subj, pred, obj) so it can feed ``write_triples`` /

@@ -897,7 +897,8 @@ def test_cli_extract_markup(spark, capsys, tmp_path):
             '{"@id":"e1","@type":"Org","name":"N"}</script>'
             '<script type="application/ld+json">{bad</script>'
             "</head><table><tr><th>h</th></tr>"
-            "<tr><td>a</td></tr><tr><td>b</td></tr></table>")
+            "<tr><td>a</td></tr><tr><td>b</td></tr></table>"
+            '<img src="/i.png" alt="pic">')
     pages = spark.createDataFrame([("u1", html)],
                                   "url string, html string")
     src = str(tmp_path / "pages")
@@ -907,12 +908,17 @@ def test_cli_extract_markup(spark, capsys, tmp_path):
     trip_dir = str(tmp_path / "trip")
     tbl_dir = str(tmp_path / "cells")
     can_dir = str(tmp_path / "canon")
+    cap_dir = str(tmp_path / "caps")
     out = _run(capsys, "extract-markup", src, "-o", out_dir,
                "--meta-out", meta_dir, "--triples-out", trip_dir,
-               "--tables-out", tbl_dir, "--canonical-out", can_dir)
+               "--tables-out", tbl_dir, "--canonical-out", can_dir,
+               "--captions-out", cap_dir)
     info = json.loads(out.strip().splitlines()[-1])
     assert info == {"out_path": out_dir, "rows": 2, "nodes": 1,
-                    "bad_nodes": 1, "meta_rows": 1, "table_cells": 2}
+                    "bad_nodes": 1, "meta_rows": 1, "table_cells": 2,
+                    "caption_pairs": 1}
+    caps = spark.read.parquet(cap_dir).collect()
+    assert [(r["src"], r["alt"]) for r in caps] == [("/i.png", "pic")]
     cells = {(r["row"], r["header"], r["value"])
              for r in spark.read.parquet(tbl_dir).collect()}
     assert cells == {(1, "h", "a"), (2, "h", "b")}

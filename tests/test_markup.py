@@ -226,3 +226,24 @@ def test_run_pipeline_markup_second_entrance(spark, tmp_path):
         assert r["part_id"] is not None and 0 <= r["part_id"] < 64
     # NER stream still present
     assert trips.where(F.col("pred") == "mentioned_in").count() > 0
+
+
+def test_image_captions_pairs_resolution_and_filter(spark):
+    from neleval_spark.pipeline.markup import image_captions
+    html = ('<img src="/a.jpg" alt="A &amp; B" title="t1">'
+            '<IMG ALT="up" SRC="b.png"/>'
+            '<img src="http://cdn.x/c.gif" alt="">'   # empty alt
+            '<img data-src="lazy.jpg" alt="lazy">'    # no real src
+            '<img src="data:image/png;base64,xx" alt="inline">')
+    pages = spark.createDataFrame(
+        [("http://s.com/dir/p", html)], "url string, html string")
+    got = {r["src"]: (r["src_abs"], r["alt"], r["title"])
+           for r in image_captions(pages).collect()}
+    assert got == {
+        "/a.jpg": ("http://s.com/a.jpg", "A & B", "t1"),
+        "b.png": ("http://s.com/dir/b.png", "up", ""),
+        # data: scheme unresolvable but kept (alt non-empty)
+        "data:image/png;base64,xx": (None, "inline", ""),
+    }
+    inv = image_captions(pages, require_alt=False)
+    assert inv.count() == 4  # + the empty-alt cdn image
