@@ -6277,11 +6277,23 @@ def _markup_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 4 == 1,
                F.lit('<img src="http://img.ex/bare.png" alt="">'))
         .otherwise(F.lit("")))
+    micro = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/Product">'
+              '<span itemprop="name">P'),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit('</span><meta itemprop="sku" content="S'),
+        (F.col("doc_id") % 11).cast("string"),
+        F.lit('"></div>'),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit('<section itemscope><b itemprop="k">v'),
+                        (F.col("doc_id") % 4).cast("string"),
+                        F.lit("</b></section>")))
+        .otherwise(F.lit("")))
     return docs.select(
         F.concat(F.lit("u"), d).alias("url"),
         F.concat(base, canonical_link, alt_link, graph_block,
-                 arr_block, F.lit("</head>"), table,
-                 imgs).alias("html"))
+                 arr_block, F.lit("</head>"), table, imgs,
+                 micro).alias("html"))
 
 
 def q_jsonld_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6612,6 +6624,44 @@ SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
        '' AS title
 FROM documents
 ORDER BY url, img
+""")
+
+
+def q_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat microdata extraction (pipeline/markup.microdata_triples):
+    every doc carries a typed Product scope (text, content-attr
+    values), every 3rd an untyped second scope — scope indexing,
+    the value rules and the untyped path exercised.  Closed-form
+    oracle from doc_id."""
+    from neleval_spark.pipeline.markup import microdata_triples
+
+    out = microdata_triples(_markup_pages(spark, sf_dir))
+    return (out.select("url",
+                       F.col("scope").cast("long").alias("scope"),
+                       "subj", "itemtype", "pred", "obj")
+            .orderBy("url", "scope", "pred"))
+
+
+Q_MICRODATA_SQL = ("""
+WITH d AS (
+  SELECT doc_id AS id, 'u' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+p AS (
+  SELECT url, 1 AS scope, url || '#md1' AS subj,
+         'https://schema.org/Product' AS itemtype, x.pred,
+         CASE x.pred
+           WHEN 'name' THEN 'P' || CAST(id % 9 AS VARCHAR)
+           ELSE 'S' || CAST(id % 11 AS VARCHAR)
+         END AS obj
+  FROM d CROSS JOIN (VALUES ('name'), ('sku')) AS x(pred)),
+s AS (
+  SELECT url, 2 AS scope, url || '#md2' AS subj, '' AS itemtype,
+         'k' AS pred, 'v' || CAST(id % 4 AS VARCHAR) AS obj
+  FROM d WHERE id % 3 = 0)
+SELECT url, CAST(scope AS BIGINT) AS scope, subj, itemtype, pred,
+       obj
+FROM (SELECT * FROM p UNION ALL SELECT * FROM s)
+ORDER BY url, scope, pred
 """)
 
 
@@ -7901,6 +7951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples_roundtrip": q_ntriples_roundtrip,
         "feed_entries": q_feed_entries,
         "image_captions": q_image_captions,
+        "microdata": q_microdata,
         "triangles": q_triangles,
         "repetition": q_repetition,
         "dedup_lines": q_dedup_lines,
@@ -8146,4 +8197,5 @@ def oracle_sql() -> dict[str, str]:
         "ntriples_roundtrip": Q_NTRIPLES_ROUNDTRIP_SQL,
         "feed_entries": Q_FEED_ENTRIES_SQL,
         "image_captions": Q_IMAGE_CAPTIONS_SQL,
+        "microdata": Q_MICRODATA_SQL,
     }

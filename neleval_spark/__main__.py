@@ -1435,6 +1435,12 @@ def cmd_extract_markup(args):
         image_captions(pages).write.mode("overwrite") \
             .parquet(args.captions_out)
         n_cap = spark.read.parquet(args.captions_out).count()
+    n_micro = None
+    if args.microdata_out:
+        from .pipeline.markup import microdata_triples
+        microdata_triples(pages).write.mode("overwrite") \
+            .parquet(args.microdata_out)
+        n_micro = spark.read.parquet(args.microdata_out).count()
     agg = flat.agg(
         F.count(F.lit(1)).alias("rows"),
         F.countDistinct("url", "block", "node").alias("nodes")
@@ -1448,6 +1454,8 @@ def cmd_extract_markup(args):
         out["table_cells"] = n_table
     if n_cap is not None:
         out["caption_pairs"] = n_cap
+    if n_micro is not None:
+        out["microdata_rows"] = n_micro
     print(json.dumps(out))
 
 
@@ -2008,7 +2016,10 @@ def main(argv=None):
                              "canonical) consolidation map here"),
         sp.add_argument("--captions-out", dest="captions_out",
                         help="also write the image–alt-text caption "
-                             "pairs here (multimodal seed set)")))
+                             "pairs here (multimodal seed set)"),
+        sp.add_argument("--microdata-out", dest="microdata_out",
+                        help="also write the flat itemscope/"
+                             "itemprop rows here")))
     add("export-nt", cmd_export_nt, lambda sp: (
         sp.add_argument("triples",
                         help="parquet triple table (subj, pred, obj)"),

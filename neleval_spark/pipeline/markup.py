@@ -279,6 +279,91 @@ def image_captions(pages: DataFrame, url_col: str = "url",
     return out
 
 
+# split BEFORE every itemscope-bearing tag (Java-regex lookahead is
+# fine: the gate's oracle is closed-form, nothing replays this
+# pattern under RE2)
+_ITEMSCOPE_SPLIT_RE = r'(?i)(?=<[^>]+[\s"\']itemscope[\s"\'>=])'
+_ITEMTYPE_ATTR_RE = (r'(?is)(?:^|[\s"\'])itemtype\s*=\s*'
+                     r'["\']([^"\']+)["\']')
+_ITEMPROP_ATTR_RE = (r'(?is)(?:^|[\s"\'])itemprop\s*=\s*'
+                     r'["\']([^"\']+)["\']')
+# one itemprop-bearing tag plus its immediately-following text run
+_PROP_HIT_RE = (r'(?is)<[^>]*[\s"\']itemprop\s*=\s*["\'][^"\']+'
+                r'["\'][^>]*>[^<]*')
+
+
+def microdata_triples(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """Flat microdata (itemscope/itemprop) extraction — the other
+    half of the Web Data Commons corpus next to JSON-LD:
+    (url, scope, subj, itemtype, pred, obj) rows, one subject per
+    itemscope with a deterministic ``url#md<scope>`` id.
+
+    FLAT-SCOPE semantics (documented simplification): the page is
+    split immediately BEFORE every itemscope-bearing tag, so each
+    property attaches to the nearest preceding scope start — which
+    for well-formed microdata is its own scope, including nested
+    scopes (whose properties correctly attach to the inner scope).
+    What flattening drops is only the parent→child edge of a nested
+    scope (WDC links them via blank nodes); a tag carrying BOTH
+    itemprop and itemscope starts its own scope and its property
+    name is kept on that scope's row as ``itemtype`` context.
+
+    Property values follow the microdata value rules for the common
+    shapes: ``content`` / ``href`` / ``src`` / ``datetime``
+    attributes first, else the tag's immediately-following text run
+    (tag-stripped shapes like <span itemprop=…><b>x</b></span>
+    yield the text up to the first nested tag — '' if the value is
+    wrapped, kept so the row is still countable).  Attribute names
+    use the module's anchored form (data-itemprop= cannot match).
+
+    One split + two explodes, all column expressions — the same
+    zero-shuffle contract as the rest of the module.  ``scope`` is
+    the segment index of the page split: deterministic per page,
+    but its origin depends on whether content precedes the first
+    scope (Java's split never emits a leading empty segment for a
+    zero-width match at index 0), so treat it as an opaque
+    within-page id, not a count.
+    """
+    segs = (pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.split(_html_str(pages, html_col),
+                             _ITEMSCOPE_SPLIT_RE))
+        .alias("scope", "_s"))
+        .where(F.col("_s").rlike(
+            r'(?is)^<[^>]*[\s"\']itemscope[\s"\'>=]')))
+    segs = segs.withColumn(
+        "_first", F.regexp_extract("_s", r"(?s)^<[^>]*>", 0))
+    segs = segs.select(
+        "url", "scope", "_s", "_first",
+        F.concat(F.col("url"), F.lit("#md"),
+                 F.col("scope").cast("string")).alias("subj"),
+        F.regexp_extract("_first", _ITEMTYPE_ATTR_RE, 1)
+        .alias("itemtype"))
+    hits = segs.select(
+        "url", "scope", "subj", "itemtype",
+        F.explode(F.regexp_extract_all(
+            # drop the scope's own first tag so a combined
+            # itemprop+itemscope tag doesn't list itself as its
+            # own property
+            F.expr("substring(_s, length(_first) + 1)"),
+            F.lit(_PROP_HIT_RE), F.lit(0))).alias("_h"))
+    value = F.coalesce(
+        F.nullif(F.regexp_extract("_h", _CONTENT_ATTR_RE, 1),
+                 F.lit("")),
+        F.nullif(F.regexp_extract(
+            "_h", r'(?is)(?:^|[\s"\'])(?:href|src|datetime)\s*=\s*'
+                  r'["\']([^"\']*)["\']', 1), F.lit("")),
+        F.trim(F.regexp_extract("_h", r">([^<]*)$", 1)))
+    obj = value
+    for ent, ch in _ENTITIES:
+        obj = F.replace(obj, F.lit(ent), F.lit(ch))
+    return hits.select(
+        "url", "scope", "subj", "itemtype",
+        F.regexp_extract("_h", _ITEMPROP_ATTR_RE, 1).alias("pred"),
+        obj.alias("obj"))
+
+
 def markup_as_triples(flat: DataFrame) -> DataFrame:
     """Project `jsonld_triples` output onto the pipeline's triple
     shape (subj, pred, obj) so it can feed ``write_triples`` /

@@ -898,7 +898,8 @@ def test_cli_extract_markup(spark, capsys, tmp_path):
             '<script type="application/ld+json">{bad</script>'
             "</head><table><tr><th>h</th></tr>"
             "<tr><td>a</td></tr><tr><td>b</td></tr></table>"
-            '<img src="/i.png" alt="pic">')
+            '<img src="/i.png" alt="pic">'
+            '<div itemscope><i itemprop="m">w</i></div>')
     pages = spark.createDataFrame([("u1", html)],
                                   "url string, html string")
     src = str(tmp_path / "pages")
@@ -909,14 +910,17 @@ def test_cli_extract_markup(spark, capsys, tmp_path):
     tbl_dir = str(tmp_path / "cells")
     can_dir = str(tmp_path / "canon")
     cap_dir = str(tmp_path / "caps")
+    md_dir = str(tmp_path / "micro")
     out = _run(capsys, "extract-markup", src, "-o", out_dir,
                "--meta-out", meta_dir, "--triples-out", trip_dir,
                "--tables-out", tbl_dir, "--canonical-out", can_dir,
-               "--captions-out", cap_dir)
+               "--captions-out", cap_dir, "--microdata-out", md_dir)
     info = json.loads(out.strip().splitlines()[-1])
     assert info == {"out_path": out_dir, "rows": 2, "nodes": 1,
                     "bad_nodes": 1, "meta_rows": 1, "table_cells": 2,
-                    "caption_pairs": 1}
+                    "caption_pairs": 1, "microdata_rows": 1}
+    md = spark.read.parquet(md_dir).collect()
+    assert [(r["pred"], r["obj"]) for r in md] == [("m", "w")]
     caps = spark.read.parquet(cap_dir).collect()
     assert [(r["src"], r["alt"]) for r in caps] == [("/i.png", "pic")]
     cells = {(r["row"], r["header"], r["value"])

@@ -247,3 +247,39 @@ def test_image_captions_pairs_resolution_and_filter(spark):
     }
     inv = image_captions(pages, require_alt=False)
     assert inv.count() == 4  # + the empty-alt cdn image
+
+
+def test_microdata_flat_scopes_and_value_rules(spark):
+    from neleval_spark.pipeline.markup import microdata_triples
+    html = ('<body><div itemscope '
+            'itemtype="https://schema.org/Product">'
+            '<span itemprop="name">Widget &amp; Co</span>'
+            '<meta itemprop="sku" content="S1">'
+            '<a itemprop="url" href="/w">see</a>'
+            '<time itemprop="released" datetime="2024-01-02">'
+            'Jan 2</time>'
+            '<div itemprop="brand" itemscope '
+            'itemtype="https://schema.org/Brand">'
+            '<span itemprop="name">Acme</span></div>'
+            '</div>'
+            '<p data-itemscope="x">not a scope</p>'
+            '<section itemscope><b itemprop="k">v</b></section>'
+            "</body>")
+    df = spark.createDataFrame([("u1", html)],
+                               "url string, html string")
+    rows = microdata_triples(df).collect()
+    got = {(r["scope"], r["pred"]): (r["subj"], r["itemtype"],
+                                     r["obj"]) for r in rows}
+    assert got == {
+        (1, "name"): ("u1#md1", "https://schema.org/Product",
+                      "Widget & Co"),
+        (1, "sku"): ("u1#md1", "https://schema.org/Product", "S1"),
+        (1, "url"): ("u1#md1", "https://schema.org/Product", "/w"),
+        (1, "released"): ("u1#md1", "https://schema.org/Product",
+                          "2024-01-02"),
+        # nested scope: its OWN props attach to it, not the parent
+        (2, "name"): ("u1#md2", "https://schema.org/Brand", "Acme"),
+        # untyped scope still yields rows
+        (3, "k"): ("u1#md3", "", "v"),
+    }
+    assert len(rows) == len(got)
