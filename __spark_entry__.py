@@ -6665,6 +6665,49 @@ ORDER BY url, scope, pred
 """)
 
 
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt
+    (functions/robots.sitemap_directives): every doc's robots body
+    names one sitemap (case-varied directive), every 4th a second
+    one with an inline comment.  Closed-form oracle from doc_id."""
+    from neleval_spark.functions.robots import sitemap_directives
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /x\nSitemap: "
+              "https://s.org/m"), (d % 13).cast("string"),
+        F.lit(".xml\n"),
+        F.when(d % 4 == 0,
+               F.concat(F.lit("sitemap:https://s.org/extra"),
+                        (d % 5).cast("string"),
+                        F.lit(".xml  # nightly\n")))
+        .otherwise(F.lit("")))
+    robots = docs.select(
+        F.concat(F.lit("h"), ds).alias("host"), body.alias("body"))
+    out = sitemap_directives(robots)
+    return (out.select("host", F.col("pos").cast("long").alias("pos"),
+                       "sitemap")
+            .orderBy("host", "pos"))
+
+
+Q_ROBOTS_SITEMAPS_SQL = ("""
+WITH d AS (
+  SELECT doc_id AS id, 'h' || CAST(doc_id AS VARCHAR) AS host
+  FROM documents)
+SELECT host, CAST(2 AS BIGINT) AS pos,
+       'https://s.org/m' || CAST(id % 13 AS VARCHAR) || '.xml'
+         AS sitemap
+FROM d
+UNION ALL
+SELECT host, CAST(3 AS BIGINT),
+       'https://s.org/extra' || CAST(id % 5 AS VARCHAR) || '.xml'
+FROM d WHERE id % 4 = 0
+ORDER BY host, pos
+""")
+
+
 def q_pipeline_triples_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's hot sink (``emit_triples``,
     pipeline/triples.py:32) hash-checked end-to-end: a deterministic
@@ -7952,6 +7995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_entries": q_feed_entries,
         "image_captions": q_image_captions,
         "microdata": q_microdata,
+        "robots_sitemaps": q_robots_sitemaps,
         "triangles": q_triangles,
         "repetition": q_repetition,
         "dedup_lines": q_dedup_lines,
@@ -8198,4 +8242,5 @@ def oracle_sql() -> dict[str, str]:
         "feed_entries": Q_FEED_ENTRIES_SQL,
         "image_captions": Q_IMAGE_CAPTIONS_SQL,
         "microdata": Q_MICRODATA_SQL,
+        "robots_sitemaps": Q_ROBOTS_SITEMAPS_SQL,
     }

@@ -1534,9 +1534,18 @@ def cmd_frontier(args):
     frontier = frontier.distinct()
     stats["distinct"] = frontier.count()
     if args.robots:
-        rules = parse_robots(spark.read.parquet(args.robots))
+        rb = spark.read.parquet(args.robots)
+        rules = parse_robots(rb)
         frontier = robots_filter(frontier, rules, agent=args.agent)
         stats["allowed"] = frontier.count()
+        if args.sitemap_urls_out:
+            from .functions.robots import sitemap_directives
+
+            sm_urls = sitemap_directives(rb)
+            sm_urls.write.mode("overwrite") \
+                .parquet(args.sitemap_urls_out)
+            stats["sitemap_urls"] = (
+                spark.read.parquet(args.sitemap_urls_out).count())
     plan = schedule_frontier(
         frontier, delay_s=args.delay,
         max_per_host=args.max_per_host or None,
@@ -2044,6 +2053,9 @@ def main(argv=None):
         sp.add_argument("--robots",
                         help="parquet (host, body) fetched robots.txt "
                              "files for the compliance filter"),
+        sp.add_argument("--sitemap-urls-out", dest="sitemap_urls_out",
+                        help="write robots-declared Sitemap: urls "
+                             "here for the next fetch loop"),
         sp.add_argument("--agent", default="*",
                         help="crawler product token for robots "
                              "group resolution"),

@@ -38,7 +38,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_robots", "robots_filter", "schedule_frontier"]
+__all__ = ["parse_robots", "robots_filter", "schedule_frontier",
+           "sitemap_directives"]
+
+
+def sitemap_directives(robots: DataFrame, host: str = "host",
+                       body: str = "body") -> DataFrame:
+    """(host, body) robots.txt rows → one (host, pos, sitemap) row
+    per ``Sitemap:`` directive — the primary sitemap DISCOVERY
+    channel (sitemaps.org: a robots.txt names its sitemaps;
+    crawlers fetch those urls and feed the bodies through
+    ``discovery.extract_sitemap_urls``).  Sitemap lines are
+    GLOBAL per RFC 9309 / the sitemaps protocol — independent of
+    any User-agent group — so this is a plain line filter, not part
+    of ``parse_robots``' group recovery.  Inline comments are
+    stripped; ``pos`` is the line number (deterministic id).  One
+    split + explode, zero shuffles.
+    """
+    lines = robots.select(
+        F.col(host).alias("host"),
+        F.posexplode(F.split(F.col(body), "\n"))
+        .alias("pos", "line"))
+    url = F.trim(F.regexp_replace(
+        F.regexp_extract("line", r"(?i)^\s*sitemap\s*:\s*(.*)$", 1),
+        "#.*", ""))
+    return (lines.select("host", "pos", url.alias("sitemap"))
+            .where(F.col("sitemap") != ""))
 
 
 def parse_robots(robots: DataFrame, host: str = "host",

@@ -573,7 +573,8 @@ def test_cli_frontier(spark, capsys, tmp_path):
         "url string, body string",
     ).write.parquet(str(tmp_path / "sitemaps"))
     spark.createDataFrame(
-        [("b.example", "User-agent: *\nDisallow: /blocked")],
+        [("b.example", "User-agent: *\nDisallow: /blocked\n"
+          "Sitemap: http://b.example/sm.xml")],
         "host string, body string",
     ).write.parquet(str(tmp_path / "robots"))
     spark.createDataFrame(
@@ -589,10 +590,15 @@ def test_cli_frontier(spark, capsys, tmp_path):
                "--sitemaps", str(tmp_path / "sitemaps"),
                "--feeds", str(tmp_path / "feeds"),
                "--robots", str(tmp_path / "robots"),
+               "--sitemap-urls-out", str(tmp_path / "smurls"),
                "--delay", "10", "--start-ts", "50")
     stats = json.loads(out.strip().split("\n")[-1])
     assert stats["seed_urls"] == 5 and stats["discovered"] == 2
     assert stats["feed_urls"] == 1
+    assert stats["sitemap_urls"] == 1
+    sm = spark.read.parquet(str(tmp_path / "smurls")).collect()
+    assert [(r["host"], r["sitemap"]) for r in sm] \
+        == [("b.example", "http://b.example/sm.xml")]
     assert stats["allowed"] == 6  # both /blocked urls dropped
     assert stats["hosts"] == 1
     plan = spark.read.parquet(str(tmp_path / "plan"))

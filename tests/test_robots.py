@@ -143,3 +143,22 @@ def test_robots_filter_plan_never_windows_frontier(spark):
                         keep_disallowed=True)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_sitemap_directives_global_and_comments(spark):
+    from neleval_spark.functions.robots import sitemap_directives
+    body = ("User-agent: *\n"
+            "Disallow: /private\n"
+            "Sitemap: https://a.com/sitemap.xml\n"
+            "User-agent: bot\n"
+            "SITEMAP:https://a.com/news.xml  # daily\n"
+            "# Sitemap: https://a.com/commented.xml\n"
+            "NotADirective: x\n")
+    df = spark.createDataFrame([("a.com", body), ("b.com", "none")],
+                               "host string, body string")
+    got = [(r["host"], r["sitemap"])
+           for r in sitemap_directives(df).orderBy("pos").collect()]
+    # global: both directives surface regardless of their group; the
+    # fully-commented line does not
+    assert got == [("a.com", "https://a.com/sitemap.xml"),
+                   ("a.com", "https://a.com/news.xml")]
