@@ -6708,6 +6708,52 @@ ORDER BY host, pos
 """)
 
 
+def q_hreflang_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang cluster validation
+    (functions/discovery.hreflang_reciprocity over link_rels): even
+    docs declare the next page as their de alternate; the odd page
+    declares back only when its even partner's id is divisible by
+    4 — so exactly the d%4==0 pairs are reciprocal, replayed
+    closed-form by the oracle (with an upper-bound guard for the
+    table's last page)."""
+    from neleval_spark.functions.discovery import (
+        hreflang_reciprocity, link_rels)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    p = lambda col: F.concat(F.lit("http://x.org/p"),
+                             col.cast("string"))
+    fwd = F.when(
+        d % 2 == 0,
+        F.concat(F.lit('<link rel="alternate" href="'), p(d + 1),
+                 F.lit('" hreflang="de">'))).otherwise(F.lit(""))
+    back = F.when(
+        (d % 2 == 1) & ((d - 1) % 4 == 0),
+        F.concat(F.lit('<link href="'), p(d - 1),
+                 F.lit('" rel="alternate" hreflang="en">'))
+    ).otherwise(F.lit(""))
+    pages = docs.select(p(d).alias("url"),
+                        F.concat(fwd, back).alias("html"))
+    out = hreflang_reciprocity(link_rels(pages))
+    return out.orderBy("url", "alt_url")
+
+
+Q_HREFLANG_RECIPROCITY_SQL = ("""
+WITH d AS (SELECT doc_id AS id FROM documents),
+mx AS (SELECT MAX(doc_id) AS m FROM documents)
+SELECT 'http://x.org/p' || CAST(id AS VARCHAR) AS url,
+       'http://x.org/p' || CAST(id + 1 AS VARCHAR) AS alt_url,
+       'de' AS hreflang,
+       (id % 4 = 0 AND id + 1 <= (SELECT m FROM mx)) AS reciprocal
+FROM d WHERE id % 2 = 0
+UNION ALL
+SELECT 'http://x.org/p' || CAST(id AS VARCHAR),
+       'http://x.org/p' || CAST(id - 1 AS VARCHAR), 'en', TRUE
+FROM d WHERE id % 2 = 1 AND (id - 1) % 4 = 0
+ORDER BY url, alt_url
+""")
+
+
 def q_pipeline_triples_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's hot sink (``emit_triples``,
     pipeline/triples.py:32) hash-checked end-to-end: a deterministic
@@ -7996,6 +8042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_captions": q_image_captions,
         "microdata": q_microdata,
         "robots_sitemaps": q_robots_sitemaps,
+        "hreflang_reciprocity": q_hreflang_reciprocity,
         "triangles": q_triangles,
         "repetition": q_repetition,
         "dedup_lines": q_dedup_lines,
@@ -8243,4 +8290,5 @@ def oracle_sql() -> dict[str, str]:
         "image_captions": Q_IMAGE_CAPTIONS_SQL,
         "microdata": Q_MICRODATA_SQL,
         "robots_sitemaps": Q_ROBOTS_SITEMAPS_SQL,
+        "hreflang_reciprocity": Q_HREFLANG_RECIPROCITY_SQL,
     }

@@ -13,7 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["extract_sitemap_urls", "detect_charset", "link_rels",
-           "canonical_map", "extract_feed_entries"]
+           "canonical_map", "extract_feed_entries",
+           "hreflang_reciprocity"]
 
 
 def extract_sitemap_urls(sitemaps: DataFrame, url: str = "url",
@@ -202,6 +203,39 @@ def canonical_map(pages: DataFrame, url: str = "url",
         "url",
         F.coalesce(_resolve(F.col("_href"), F.col("url")),
                    F.col("url")).alias("canonical"))
+
+
+def hreflang_reciprocity(links: DataFrame) -> DataFrame:
+    """Validate hreflang clusters over `link_rels` output: one row
+    per alternate annotation — (url, alt_url, hreflang, reciprocal).
+
+    The hreflang contract (Google's documented requirement) is
+    RECIPROCITY: if A names B as its de alternate, B must name A
+    back (any language), or the annotation is ignored — a
+    non-reciprocal row is the standard crawl-quality signal for
+    broken language clusters, and the `reciprocal=false` slice is
+    the fix-list.
+
+    Scale shape: the check is ONE equi-join of the alternate edge
+    set against its own reversal on the composite (url, alt_url)
+    pair key — both sides are the same size, neither broadcast, and
+    the pair key has no hub side (a hub PAGE fans out over distinct
+    pairs).  Self-references are dropped (trivially reciprocal,
+    pure noise).
+    """
+    alts = (links.where(
+        (F.col("rel") == "alternate") & (F.col("hreflang") != "")
+        & F.col("href_abs").isNotNull()
+        & (F.col("href_abs") != F.col("url")))
+        .select("url", F.col("href_abs").alias("alt_url"),
+                "hreflang")
+        .distinct())
+    back = alts.select(F.col("alt_url").alias("url"),
+                       F.col("url").alias("alt_url")).distinct() \
+        .withColumn("_r", F.lit(1))
+    return (alts.join(back, ["url", "alt_url"], "left")
+            .select("url", "alt_url", "hreflang",
+                    F.col("_r").isNotNull().alias("reciprocal")))
 
 
 def detect_charset(html: Column, default: str = "utf-8") -> Column:

@@ -251,3 +251,30 @@ def test_feed_cdata_content_stays_literal(spark):
     ], "url string, body string")
     r = extract_feed_entries(feeds).collect()[0]
     assert r["title"] == "Tom &amp; Jerry &lt;3"
+
+
+def test_hreflang_reciprocity(spark):
+    from neleval_spark.functions.discovery import (
+        hreflang_reciprocity, link_rels)
+
+    def page(url, *alts):
+        tags = "".join(
+            f'<link rel="alternate" href="{h}" hreflang="{l}">'
+            for h, l in alts)
+        return (url, tags)
+
+    pages = spark.createDataFrame([
+        page("http://a.com/en", ("http://a.com/de", "de"),
+             ("http://a.com/fr", "fr"),
+             ("http://a.com/en", "en")),     # self-ref: dropped
+        page("http://a.com/de", ("http://a.com/en", "en")),
+        # fr page exists but names nobody back
+        page("http://a.com/fr"),
+    ], "url string, html string")
+    got = {(r["url"], r["alt_url"]): r["reciprocal"]
+           for r in hreflang_reciprocity(link_rels(pages)).collect()}
+    assert got == {
+        ("http://a.com/en", "http://a.com/de"): True,
+        ("http://a.com/en", "http://a.com/fr"): False,
+        ("http://a.com/de", "http://a.com/en"): True,
+    }
