@@ -430,16 +430,24 @@ GROUP BY label ORDER BY count DESC, label
 # ---------------------------------------------------------------------------
 
 def q_is_first(spark, sf_dir):
-    """P2/§2.9: first mention of each eid per document (window)."""
-    from pyspark.sql import Window
+    """P2/§2.9: first mention of each eid per document.
 
+    row_number()-over-(docid, eid) + rn=1 is algebraically a per-group
+    argmin: ``min_by(type, (start, -end, evt))`` picks the same row
+    (start asc, end desc, evt asc; evt is the unique tiebreaker, and
+    end ≤ start+7 here so the negation cannot overflow).  The agg form
+    replaces the window's full shuffle+sort of every mention with a
+    map-side-combined hash aggregate — one tiny exchange of ≤
+    |docid×eid| partial rows instead of a 1M-row sort (r6, guide §2.3
+    "aggregate before you shuffle"; bitwise-identical output counts)."""
     m = _mentions(spark, sf_dir, "gold")
-    w = Window.partitionBy("docid", "eid").orderBy(
-        F.col("start").asc(), F.col("end").desc(), F.col("evt").asc())
-    out = m.withColumn("rn", F.row_number().over(w))
+    first = m.groupBy("docid", "eid").agg(
+        F.min_by(
+            "type",
+            F.struct(F.col("start"), (-F.col("end")).alias("_ne"),
+                     F.col("evt"))).alias("type"))
     return (
-        out.where(F.col("rn") == 1)
-        .groupBy("type")
+        first.groupBy("type")
         .agg(F.count(F.lit(1)).alias("n_first"))
         .orderBy("type")
     )
@@ -1974,24 +1982,32 @@ FROM documents GROUP BY lang ORDER BY lang
 
 
 def q_cosine_topk(spark, sf_dir):
-    """Similarity search: brute-force cosine top-3 per query vector."""
+    """Similarity search: brute-force cosine top-3 per query vector.
+
+    Norms are staged as per-ROW columns on each side BELOW the pair
+    join (the round-5 "norms staged below the join" pattern,
+    docs/PLANS.md): the interpreted higher-order folds run N+Q times
+    instead of 3·pairs.  Same fold expressions in the same order →
+    bitwise-identical cos."""
     from pyspark.sql import Window
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb = F.col("embedding").cast("array<double>")
-    q = e.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), emb.alias("qv"))
-    c = e.select(F.col("vec_id").alias("cid"), emb.alias("cv"))
-    dot = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: a * b),
-        F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(col, lambda x: x * x), F.lit(0.0),
         lambda acc, x: acc + x))
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), emb.alias("qv")) \
+        .withColumn("_qn", norm(F.col("qv")))
+    c = e.select(F.col("vec_id").alias("cid"), emb.alias("cv")) \
+        .withColumn("_cn", norm(F.col("cv")))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
     pairs = q.crossJoin(c).where(F.col("qid") != F.col("cid"))
     sim = pairs.select(
         "qid", "cid",
-        F.round(dot / (norm(F.col("qv")) * norm(F.col("cv"))), 6)
+        F.round(dot / (F.col("_qn") * F.col("_cn")), 6)
         .alias("cos"))
     w = Window.partitionBy("qid").orderBy(
         F.col("cos").desc(), F.col("cid").asc())

@@ -313,26 +313,32 @@ def _assignment_totals(sim: DataFrame, gcols: list[str]) -> DataFrame:
     Small problems (≤ DRIVER_SOLVE_MAX_EDGES similarity edges) skip the
     iterative distributed CC and solve on the driver.
     """
-    sim = sim.persist()
-    try:
-        n_edges = sim.limit(DRIVER_SOLVE_MAX_EDGES + 1).count()
-    except Exception:
-        n_edges = DRIVER_SOLVE_MAX_EDGES + 1
     spark = sim.sparkSession
     schema = ", ".join(
         [f"`{c}` string" for c in gcols] + ["num double"])
-    if n_edges <= DRIVER_SOLVE_MAX_EDGES:
-        pdf = sim.toPandas()
-        sim.unpersist()
-        res = _solve_components_pandas(pdf, gcols)
+    # ONE action decides the path AND delivers the edges: a limited
+    # toPandas collects up to the driver-solve cap + 1 rows.  If the
+    # cap is not hit, those rows ARE the whole problem — no persist,
+    # no separate count job, no second execution of the intersection
+    # pipeline (r6: the old persist+count+toPandas shape ran three
+    # driver round-trips for the common small case).
+    try:
+        head = sim.limit(DRIVER_SOLVE_MAX_EDGES + 1).toPandas()
+    except Exception:
+        head = None
+    if head is not None and len(head) <= DRIVER_SOLVE_MAX_EDGES:
+        res = _solve_components_pandas(head, gcols)
         if res.empty:
             return spark.createDataFrame([], schema)
         return spark.createDataFrame(res, schema=schema)
-    # materialize the (one-row-per-group, tiny) totals BEFORE
-    # unpersisting so the cached intersection table is not leaked for
-    # the rest of the session (it fed CC + stats + triv + solve)
-    res = _assignment_totals_distributed(sim, gcols).toPandas()
-    sim.unpersist()
+    # big problem: persist the full edge set (it feeds CC + stats +
+    # trivial-split + solve), compute the tiny per-group totals, then
+    # free the cache before returning
+    sim = sim.persist()
+    try:
+        res = _assignment_totals_distributed(sim, gcols).toPandas()
+    finally:
+        sim.unpersist()
     if res.empty:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(res, schema=schema)

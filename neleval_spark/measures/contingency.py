@@ -112,15 +112,22 @@ def contingency_df(
             fn = CLUSTERING_FNS[spec.agg]
         except KeyError:
             raise ValueError(f"Invalid aggregation: {spec.agg!r}")
+        from pyspark.sql import functions as F
+
         key = [k for k in expand_key(spec.key) if k not in gcols]
         # clusters = distinct (eid, key) pairs after filter
-        # (neleval/annotation.py:317-331)
+        # (neleval/annotation.py:317-331).  Per-side dropDuplicates is
+        # kept deliberately: a shared union+flags dedup (the
+        # sets_contingency shape) was A/B'd in r6 and LOST — the
+        # clustering fns read gold/pred from 3-4 consumer subtrees, so
+        # the single bigger union aggregate re-executes per consumer
+        # past the reused exchange and costs more than the two smaller
+        # per-side dedups (bench: b_cubed 5.4→6.9 s, reverted).
         gold = project_measure(gold_df, spec, gcols,
                                extra=["eid"]).dropDuplicates()
         pred = project_measure(sys_df, spec, gcols,
                                extra=["eid"]).dropDuplicates()
         out = fn(gold, pred, key, gcols)
-        from pyspark.sql import functions as F
 
         return out.select(
             *gcols,

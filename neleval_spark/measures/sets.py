@@ -5,14 +5,20 @@ build key-tuple hash indexes on both sides (which dedupes), intersect:
 
     tp = |keys(gold) ∩ keys(pred)|; fn = |gold| − tp; fp = |pred| − tp
 
-Spark form: project the measure key, filter, de-duplicate, then ONE
-full-outer join on the key with a single aggregate pass — each side is
-unique on the key after dedup, so the join is 1:1 and
+Spark form: project the measure key, filter, tag each side, UNION, and
+aggregate once — ``groupBy(key).agg(max(side==gold), max(side==sys))``
+dedupes both sides and aligns them in the same pass (group-by treats
+NULL key values as ordinary groups, so the null-safety the old
+full-outer eqNullSafe join provided comes for free), then
 
     ptp = count(both), fp = count(pred only), fn = count(gold only).
 
-The dedup shuffle already partitions both sides by the key columns, so
-Catalyst reuses the exchange for the join — one shuffle per side total.
+ONE full-data exchange total (with map-side partial aggregation), no
+sort, no join.  The previous shape — per-side dropDuplicates + a
+full-outer eqNullSafe join — cost FOUR full-data exchanges plus two
+sorts, because eqNullSafe join keys are rewritten to
+(coalesce(k), isnull(k)) pairs, which can never reuse the dedup
+exchanges' partitioning (r6 plan audit, plans/r06/).
 
 Weighted variant (neleval/annotation.py:344-377): join on the
 non-weighted key, broadcast-join the (gold_type, sys_type, weight)
@@ -78,18 +84,21 @@ def sets_contingency(
     if spec.weighting:
         return _weighted_sets_contingency(sys_df, gold_df, spec, gcols)
 
-    key = [k for k in expand_key(spec.key) if k not in gcols]
-    g = project_measure(gold_df, spec, gcols).dropDuplicates() \
-        .withColumn("_g", F.lit(1))
-    s = project_measure(sys_df, spec, gcols).dropDuplicates() \
-        .withColumn("_s", F.lit(1))
-    joined = ns_join(g, s, gcols + key, "full_outer")
+    g = project_measure(gold_df, spec, gcols).withColumn(
+        "_side", F.lit(1))
+    s = project_measure(sys_df, spec, gcols).withColumn(
+        "_side", F.lit(2))
+    allcols = [c for c in g.columns if c != "_side"]
+    flags = g.unionByName(s).groupBy(*allcols).agg(
+        F.max(F.col("_side") == 1).alias("_g"),
+        F.max(F.col("_side") == 2).alias("_s"),
+    )
     aggs = [
-        F.sum(F.col("_g") * F.col("_s")).alias("tp"),
-        F.sum(F.when(F.col("_g").isNull(), 1).otherwise(0)).alias("fp"),
-        F.sum(F.when(F.col("_s").isNull(), 1).otherwise(0)).alias("fn"),
+        F.count_if(F.col("_g") & F.col("_s")).alias("tp"),
+        F.count_if(~F.col("_g")).alias("fp"),
+        F.count_if(~F.col("_s")).alias("fn"),
     ]
-    out = joined.groupBy(*gcols).agg(*aggs) if gcols else joined.agg(*aggs)
+    out = flags.groupBy(*gcols).agg(*aggs) if gcols else flags.agg(*aggs)
     return out.select(
         *gcols,
         F.coalesce(F.col("tp"), F.lit(0)).cast("double").alias("ptp"),
