@@ -76,23 +76,28 @@ def emit_triples(mentions: DataFrame, n_buckets: int = 64) -> DataFrame:
         .alias("pairs"),
     )
 
-    mentioned_in = per_url.select(
-        F.explode("ents").alias("subj"),
-        F.lit("mentioned_in").alias("pred"),
-        F.col("url").alias("obj"),
+    # ONE consumer of per_url: explode the concatenation of both
+    # encoded arrays (entities are bare eids, pairs are
+    # "a\x01b") and decode by token count after the explode.  The
+    # former two-branch union re-ran the sentence-aggregate merge and
+    # the per-url partial aggregate once per branch and shipped a
+    # second per-url exchange (r6 stage metrics: two ~2.5 s stages
+    # reading the same 126 MB sentence exchange, writing 99+80 MB);
+    # a single exploded branch does that work once.  Decoding is
+    # plain codegen (split staged once, try_element_at — no
+    # interpreted higher-order lambda per element).
+    exploded = per_url.select(
+        F.explode(F.concat("ents", "pairs")).alias("enc"), "url")
+    toks = exploded.select(
+        F.split(F.col("enc"), "\x01").alias("t"), "url")
+    out = toks.select(
+        F.try_element_at(F.col("t"), F.lit(1)).alias("subj"),
+        F.when(F.size("t") == 1, F.lit("mentioned_in"))
+        .otherwise(F.lit("cooccurs_with")).alias("pred"),
+        F.coalesce(F.try_element_at(F.col("t"), F.lit(2)),
+                   F.col("url")).alias("obj"),
         F.col("url"),
     )
-    pair = F.split(F.col("p"), "\x01")
-    cooccurs = per_url.select(
-        F.explode("pairs").alias("p"), "url"
-    ).select(
-        pair.getItem(0).alias("subj"),
-        F.lit("cooccurs_with").alias("pred"),
-        pair.getItem(1).alias("obj"),
-        F.col("url"),
-    )
-
-    out = mentioned_in.unionByName(cooccurs)
     return out.withColumn(
         "part_id", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
 
