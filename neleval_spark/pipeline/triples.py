@@ -53,6 +53,15 @@ def emit_triples(mentions: DataFrame, n_buckets: int = 64) -> DataFrame:
     bounds (sentences per url, entities per sentence), so no skew."""
     m = mentions.select("url", "sent_uid", "eid").where(
         F.col("eid").isNotNull())
+    # ONE exchange for the whole sink: hash the narrow (url, sent_uid,
+    # eid) projection by url up front; the sentence and per-url
+    # aggregations below are then both satisfied by this partitioning
+    # (subset-key distribution) and run as complete in-partition
+    # aggregates — no partial collect_list buffers serialized through
+    # a second exchange (r6 stage metrics: the former shape shipped
+    # 126 MB of sentence aggregates plus 182 MB of per-url partial
+    # list buffers; this ships ~250 MB of raw narrow rows once).
+    m = m.repartition(F.col("url"))
 
     sent = m.groupBy("url", "sent_uid").agg(
         F.array_sort(F.collect_set("eid")).alias("eids"))
