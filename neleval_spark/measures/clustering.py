@@ -28,10 +28,13 @@ scipy CSR sparse-matrix multiply (neleval/coref_metrics.py:310-338,
   (:434-438). ``mention_ceaf`` uses overlap similarity (φ3),
   ``entity_ceaf`` dice (φ4).
 
-Every function takes gold/pred as DataFrames of distinct
-``(gcols..., eid, key...)`` membership pairs and returns a DataFrame
-``(gcols..., p_num, p_den, r_num, r_den)`` — additive per group, so
-micro/macro/significance reuse the same plans.
+Every function takes gold/pred as DataFrames of ``(gcols..., eid,
+key...)`` membership pairs — duplicates tolerated; each side is
+deduplicated internally by ``_dedup_pairs`` (one repartition on the
+packed key struct, in-partition dedup, exchange-free intersection
+join) — and returns a DataFrame ``(gcols..., p_num, p_den, r_num,
+r_den)`` — additive per group, so micro/macro/significance reuse the
+same plans.
 """
 
 from __future__ import annotations
@@ -74,7 +77,10 @@ def _fill_zero(df: DataFrame) -> DataFrame:
 
 def intersections(gold: DataFrame, pred: DataFrame, key: list[str],
                   gcols: list[str]) -> DataFrame:
-    """I(gcols, eid_g, eid_s) = intersection sizes of cluster pairs."""
+    """I(gcols, eid_g, eid_s) = intersection sizes of cluster pairs
+    (standalone helper over pre-deduped membership frames; the
+    clustering fns below use the shared ``_dedup_pairs`` frames
+    instead)."""
     g = gold.withColumnRenamed("eid", "eid_g")
     s = pred.withColumnRenamed("eid", "eid_s")
     return (
@@ -89,15 +95,66 @@ def cluster_sizes(side: DataFrame, gcols: list[str]) -> DataFrame:
         F.count(F.lit(1)).alias("n"))
 
 
+def _dedup_pairs(side: DataFrame, key: list[str],
+                 gcols: list[str]) -> DataFrame:
+    """Membership rows (gcols..., key..., eid), duplicates allowed →
+    distinct pairs as (_k, gcols..., eid), where ``_k`` packs
+    (gcols + key) into ONE struct column.
+
+    The shape is what makes the clustering measures cheap (r6):
+
+    * one hash repartition on ``_k`` is the ONLY full-data exchange —
+      the dedup aggregate's required clustering (_k, gcols…, eid) is
+      satisfied by it (subset-key distribution), so dedup runs
+      in-partition with no second exchange;
+    * the intersection join then keys on the single ``_k`` column and
+      both sides are already co-partitioned by it — no join exchange,
+      and struct equality is null-safe per FIELD (probed: struct(NULL)
+      = struct(NULL) is TRUE), so the old per-column eqNullSafe join —
+      whose (coalesce, isnull) key rewrite forced two extra full
+      exchanges and 10-expression sorts — is not needed.
+
+    The former shape (per-side dropDuplicates + eqNullSafe join) cost
+    4 full-data exchanges; this costs 2 (plans/r06/b_cubed_*.txt)."""
+    kcols = list(dict.fromkeys(list(gcols) + list(key)))
+    packed = side.select(
+        F.struct(*kcols).alias("_k"), *gcols, F.col("eid"))
+    return packed.repartition(F.col("_k")).dropDuplicates()
+
+
+def _intersections_dp(gdp: DataFrame, sdp: DataFrame,
+                      gcols: list[str]) -> DataFrame:
+    """Intersection sizes from two ``_dedup_pairs`` frames — an equi
+    join on ``_k`` alone (gcols are packed inside it), reusing the
+    frames' partitioning."""
+    g = gdp.withColumnRenamed("eid", "eid_g")
+    s = sdp.withColumnRenamed("eid", "eid_s")
+    if gcols:
+        s = s.drop(*gcols)
+    return (
+        g.join(s, "_k")
+        .groupBy(*(gcols + ["eid_g", "eid_s"]))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+
+
+def _sizes_dp(dp: DataFrame, gcols: list[str]) -> DataFrame:
+    """cluster_sizes over a ``_dedup_pairs`` frame."""
+    return dp.groupBy(*(gcols + ["eid"])).agg(
+        F.count(F.lit(1)).alias("n"))
+
+
 def muc(gold: DataFrame, pred: DataFrame, key: list[str],
         gcols: list[str]) -> DataFrame:
-    I = intersections(gold, pred, key, gcols)
+    gdp = _dedup_pairs(gold, key, gcols)
+    sdp = _dedup_pairs(pred, key, gcols)
+    I = _intersections_dp(gdp, sdp, gcols)
     num = _grouped(
         I, gcols,
         [(F.sum("i") - F.count(F.lit(1))).cast("double").alias("num")])
-    p_den = _grouped(cluster_sizes(pred, gcols), gcols,
+    p_den = _grouped(_sizes_dp(sdp, gcols), gcols,
                      [F.sum(F.col("n") - 1).cast("double").alias("p_den")])
-    r_den = _grouped(cluster_sizes(gold, gcols), gcols,
+    r_den = _grouped(_sizes_dp(gdp, gcols), gcols,
                      [F.sum(F.col("n") - 1).cast("double").alias("r_den")])
     if gcols:
         out = (
@@ -119,10 +176,12 @@ def muc(gold: DataFrame, pred: DataFrame, key: list[str],
 
 def b_cubed(gold: DataFrame, pred: DataFrame, key: list[str],
             gcols: list[str]) -> DataFrame:
-    I = intersections(gold, pred, key, gcols)
-    ns = cluster_sizes(pred, gcols).withColumnRenamed("eid", "eid_s") \
+    gdp = _dedup_pairs(gold, key, gcols)
+    sdp = _dedup_pairs(pred, key, gcols)
+    I = _intersections_dp(gdp, sdp, gcols)
+    ns = _sizes_dp(sdp, gcols).withColumnRenamed("eid", "eid_s") \
         .withColumnRenamed("n", "ns")
-    ng = cluster_sizes(gold, gcols).withColumnRenamed("eid", "eid_g") \
+    ng = _sizes_dp(gdp, gcols).withColumnRenamed("eid", "eid_g") \
         .withColumnRenamed("n", "ng")
     Ij = ns_join(ns_join(I, ns, gcols + ["eid_s"]), ng,
                  gcols + ["eid_g"])
@@ -152,13 +211,15 @@ def b_cubed(gold: DataFrame, pred: DataFrame, key: list[str],
 
 def pairwise(gold: DataFrame, pred: DataFrame, key: list[str],
              gcols: list[str]) -> DataFrame:
-    I = intersections(gold, pred, key, gcols)
+    gdp = _dedup_pairs(gold, key, gcols)
+    sdp = _dedup_pairs(pred, key, gcols)
+    I = _intersections_dp(gdp, sdp, gcols)
     tri = lambda c: (F.col(c) * (F.col(c) - 1) / 2)  # noqa: E731
     num = _grouped(I.withColumn("t", tri("i")), gcols,
                    [F.sum("t").alias("num")])
-    p_den = _grouped(cluster_sizes(pred, gcols).withColumn("t", tri("n")),
+    p_den = _grouped(_sizes_dp(sdp, gcols).withColumn("t", tri("n")),
                      gcols, [F.sum("t").alias("p_den")])
-    r_den = _grouped(cluster_sizes(gold, gcols).withColumn("t", tri("n")),
+    r_den = _grouped(_sizes_dp(gdp, gcols).withColumn("t", tri("n")),
                      gcols, [F.sum("t").alias("r_den")])
     if gcols:
         out = p_den.join(r_den, gcols, "full_outer").join(num, gcols, "left")
@@ -193,7 +254,9 @@ def pairwise_negative(gold: DataFrame, pred: DataFrame, key: list[str],
     (the C(M,2) − A − disagreements form of the reference, with
     disagreements = (PG − A) + (PS − A).)
     """
-    I = intersections(gold, pred, key, gcols)
+    gdp = _dedup_pairs(gold, key, gcols)
+    sdp = _dedup_pairs(pred, key, gcols)
+    I = _intersections_dp(gdp, sdp, gcols)
     tri = lambda c: (c * (c - 1) / 2)  # noqa: E731
 
     cg = I.groupBy(*(gcols + ["eid_g"])).agg(F.sum("i").alias("c"))
@@ -208,14 +271,14 @@ def pairwise_negative(gold: DataFrame, pred: DataFrame, key: list[str],
     for df, agg, label in pieces:
         parts[label] = _grouped(df, gcols, [agg.alias(label)])
 
-    def side_den(side, name):
-        sizes = cluster_sizes(side, gcols)
+    def side_den(dp, name):
+        sizes = _sizes_dp(dp, gcols)
         return _grouped(
             sizes, gcols,
             [(tri(F.sum("n")) - F.sum(tri(F.col("n")))).alias(name)])
 
-    p_den = side_den(pred, "p_den")
-    r_den = side_den(gold, "r_den")
+    p_den = side_den(sdp, "p_den")
+    r_den = side_den(gdp, "r_den")
 
     if gcols:
         out = p_den.join(r_den, gcols, "full_outer")
@@ -431,10 +494,12 @@ def _assignment_totals_distributed(sim: DataFrame,
 def ceaf(gold: DataFrame, pred: DataFrame, key: list[str],
          gcols: list[str], similarity: str = "overlap") -> DataFrame:
     """CEAF φ3 (similarity='overlap') / φ4 (similarity='dice')."""
-    I = intersections(gold, pred, key, gcols)
-    ns = cluster_sizes(pred, gcols).withColumnRenamed("eid", "eid_s") \
+    gdp = _dedup_pairs(gold, key, gcols)
+    sdp = _dedup_pairs(pred, key, gcols)
+    I = _intersections_dp(gdp, sdp, gcols)
+    ns = _sizes_dp(sdp, gcols).withColumnRenamed("eid", "eid_s") \
         .withColumnRenamed("n", "ns")
-    ng = cluster_sizes(gold, gcols).withColumnRenamed("eid", "eid_g") \
+    ng = _sizes_dp(gdp, gcols).withColumnRenamed("eid", "eid_g") \
         .withColumnRenamed("n", "ng")
 
     if similarity == "overlap":

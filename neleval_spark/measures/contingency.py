@@ -116,17 +116,18 @@ def contingency_df(
 
         key = [k for k in expand_key(spec.key) if k not in gcols]
         # clusters = distinct (eid, key) pairs after filter
-        # (neleval/annotation.py:317-331).  Per-side dropDuplicates is
-        # kept deliberately: a shared union+flags dedup (the
-        # sets_contingency shape) was A/B'd in r6 and LOST — the
-        # clustering fns read gold/pred from 3-4 consumer subtrees, so
-        # the single bigger union aggregate re-executes per consumer
-        # past the reused exchange and costs more than the two smaller
-        # per-side dedups (bench: b_cubed 5.4→6.9 s, reverted).
-        gold = project_measure(gold_df, spec, gcols,
-                               extra=["eid"]).dropDuplicates()
-        pred = project_measure(sys_df, spec, gcols,
-                               extra=["eid"]).dropDuplicates()
+        # (neleval/annotation.py:317-331).  Deduplication happens
+        # INSIDE the clustering fns (_dedup_pairs: one repartition on
+        # the packed key struct, then in-partition dedup and an
+        # exchange-free intersection join) — no dropDuplicates here,
+        # or the fns would pay an extra full exchange per side.  A
+        # shared union+flags dedup (the sets_contingency shape) was
+        # also A/B'd in r6 and LOST: the clustering fns read gold/pred
+        # from 3-4 consumer subtrees, so the single bigger union
+        # aggregate re-executes per consumer past the reused exchange
+        # (bench: b_cubed 5.4→6.9 s, reverted).
+        gold = project_measure(gold_df, spec, gcols, extra=["eid"])
+        pred = project_measure(sys_df, spec, gcols, extra=["eid"])
         out = fn(gold, pred, key, gcols)
 
         return out.select(
