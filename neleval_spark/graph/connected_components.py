@@ -108,12 +108,17 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     if stats is not None:
         stats.update(driver_path=False, rounds=0, round_edges=[])
     if driver_max_edges:
+        # probe BEFORE the localCheckpoint: the root-level limit
+        # collects incrementally (one partition wave at a time), so
+        # for small graphs this is the only job and the eager
+        # checkpoint materialization is skipped entirely (r6: one
+        # fewer job per canonicalization).  A big graph pays one
+        # cheap partial wave of the distinct before falling through.
         sample = e0.limit(driver_max_edges + 1).collect()
         if len(sample) <= driver_max_edges:
             if stats is not None:
@@ -131,6 +136,9 @@ def connected_components(
             rows = [(v, comp_min[uf.find(v)]) for v in uf.parent]
             return edges.sparkSession.createDataFrame(
                 rows, "vertex string, component string")
+    # distributed path: materialize the deduped edge list once; the
+    # iteration below re-reads it every round
+    e0 = e0.localCheckpoint(eager=True)
     vertices = (
         e0.select(F.col("a").alias("vertex"))
         .union(e0.select("b"))

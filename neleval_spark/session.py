@@ -125,20 +125,23 @@ def _warm_session(spark: SparkSession) -> None:
         w = Window.partitionBy("k").orderBy("s")
         (j.withColumn("rn", F.row_number().over(w)).where("rn = 1")
          .agg(F.count(F.lit(1)), F.sum("s")).collect())
-        # second shape: the clustering-measure skeleton (per-side
-        # dedup exchanges, inner eqNullSafe sort-merge join,
-        # broadcast + 1-row crossJoin tails, Arrow toPandas init)
-        c1 = spark.range(0, 50_000).select(
-            (F.col("id") % 777).cast("string").alias("k"),
-            (F.col("id") % 13).cast("string").alias("e")
-        ).dropDuplicates()
-        c2 = spark.range(0, 50_000).select(
-            ((F.col("id") + 3) % 777).cast("string").alias("k"),
-            (F.col("id") % 11).cast("string").alias("e2")
-        ).dropDuplicates()
-        i = (c1.join(c2, c1["k"].eqNullSafe(c2["k"]), "inner")
+        # second shape: the clustering-measure skeleton (struct-key
+        # repartition + in-partition dedup, exchange-free struct
+        # equi-join, min_by/struct ordering, broadcast + 1-row
+        # crossJoin tails, Arrow toPandas init)
+        def side(shift):
+            return spark.range(0, 50_000).select(
+                F.struct(
+                    ((F.col("id") + shift) % 777).cast("string")
+                    .alias("k")).alias("_k"),
+                (F.col("id") % 13).cast("string").alias("e")
+            ).repartition(F.col("_k")).dropDuplicates()
+        c1, c2 = side(0), side(3)
+        i = (c1.join(c2.withColumnRenamed("e", "e2"), "_k")
              .groupBy("e", "e2").agg(F.count(F.lit(1)).alias("i")))
-        sz = c1.groupBy("e").agg(F.count(F.lit(1)).alias("n"))
+        sz = (c1.groupBy("e")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.min_by("e", F.struct(F.col("e"))).alias("mb")))
         (i.join(F.broadcast(sz), "e")
          .agg(F.sum(F.col("i") * F.col("i") / F.col("n")).alias("x"))
          .crossJoin(sz.agg(F.sum("n").alias("t")))
