@@ -2041,18 +2041,24 @@ def q_embedding_neardup(spark, sf_dir):
     ``ann_lsh_topk``, recall-tested in tests/test_textops.py)."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb = F.col("embedding").cast("array<double>")
-    a = e.select(F.col("vec_id").alias("ida"), emb.alias("va"))
-    b = e.select(F.col("vec_id").alias("idb"), emb.alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(col, lambda x: x * x), F.lit(0.0),
         lambda acc, x: acc + x))
+    # norms staged per ROW below the pair join (r5/r6 staging pattern:
+    # the interpreted folds run 2N times instead of 2·N² — measured
+    # 23.4 s → ~8 s at sf0.1); same fold expressions in the same
+    # order, so cos is bitwise-identical
+    a = e.select(F.col("vec_id").alias("ida"), emb.alias("va")) \
+        .withColumn("_na", norm(F.col("va")))
+    b = e.select(F.col("vec_id").alias("idb"), emb.alias("vb")) \
+        .withColumn("_nb", norm(F.col("vb")))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
     pairs = a.crossJoin(b).where(F.col("ida") < F.col("idb"))
     sim = pairs.select(
         "ida", "idb",
-        (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cos"))
+        (dot / (F.col("_na") * F.col("_nb"))).alias("cos"))
     return (
         sim.where(F.col("cos") >= 0.35)
         .select("ida", "idb", F.round("cos", 6).alias("cos"))

@@ -33,7 +33,23 @@ from .sets import project_measure, expand_key
 
 def _pair_overlaps(sys_df: DataFrame, gold_df: DataFrame,
                    spec: MeasureSpec, gcols: list[str]) -> DataFrame:
-    """All overlapping same-key (sys, gold) span pairs."""
+    """All overlapping same-key (sys, gold) span pairs.
+
+    Banded interval join (r6): joining on the document key alone
+    pairs every sys span with every gold span of the document before
+    the range predicate filters — O(spans²) per document (measured
+    ~200M intermediate pairs on the sf0.1 mention tables, 18.5 s for
+    ``overlap_sumsum``).  Each span instead explodes to the
+    fixed-width offset bands it covers and the join adds the band to
+    the equi key; a pair is kept exactly once, at the band containing
+    the overlap's START (``max(s_start, g_start)`` lies inside both
+    spans, so both sides carry that band).  Exact — no overlapping
+    pair can be missed and none duplicates — and worst-case work per
+    (doc, band) is the local span density, not the document total.
+    Band width via ``spark.neleval.overlap.bandWidth`` (default 64
+    offsets): smaller bands = fewer candidate pairs, but a span costs
+    length/width + 1 explode rows, so very long spans favor wider
+    bands."""
     key = [f for f in spec.key if f != "span"]
     keycols = expand_key(tuple(key))
     join_key = list(dict.fromkeys(gcols + keycols + ["docid"]))
@@ -46,10 +62,18 @@ def _pair_overlaps(sys_df: DataFrame, gold_df: DataFrame,
                         extra=["docid", "start", "end"]) \
         .select(*join_key,
                 F.col("start").alias("g_start"), F.col("end").alias("g_end"))
-    return ns_join(s, g, join_key, "inner").where(
+    w = int(sys_df.sparkSession.conf.get(
+        "spark.neleval.overlap.bandWidth", "64"))
+    sb = s.withColumn("_band", F.explode(F.sequence(
+        F.floor(F.col("s_start") / w), F.floor(F.col("s_end") / w))))
+    gb = g.withColumn("_band", F.explode(F.sequence(
+        F.floor(F.col("g_start") / w), F.floor(F.col("g_end") / w))))
+    first_band = F.floor(F.greatest("s_start", "g_start") / w)
+    return ns_join(sb, gb, join_key + ["_band"], "inner").where(
         (F.col("s_start") <= F.col("g_end"))
         & (F.col("g_start") <= F.col("s_end"))
-    )
+        & (F.col("_band") == first_band)
+    ).drop("_band")
 
 
 def _union_credit(ref_start, ref_end, spans_col):
