@@ -63,17 +63,20 @@ def hits(
     ``tol`` (default 0.0 = exact fixed point, output identical to the
     full ``iters`` rounds); ``stats`` receives the executed count.
     """
+    # lazy checkpoints: the vertex count is the one action that
+    # materializes both (same block layout, two fewer setup jobs — the
+    # r6 one-job-per-round discipline, see pagerank.py)
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     vertices = (
         e.select(F.col("src").alias("vertex"))
         .union(e.select("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = vertices.count()
     if n == 0:
@@ -84,7 +87,7 @@ def hits(
         "vertex",
         F.round(F.lit(1.0 / n), round_scale).alias("hub"),
         F.round(F.lit(1.0 / n), round_scale).alias("auth"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     done = 0
     for i in range(iters):
@@ -134,12 +137,19 @@ def hits(
                 ).otherwise(F.lit(0.0)).alias("hub"),
                 "auth", "_ph", "_pa",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         done = i + 1
         if tol is not None and done % check_every == 0 \
                 and done < iters:
-            # 1-row agg over the checkpointed vertex-sized table
+            # ONE job per round (r6): this 1-row agg over the
+            # vertex-sized table IS the action that materializes the
+            # round's lazy checkpoint — the old eager-checkpoint job
+            # disappears.  Rounds without a check (check_every > 1, or
+            # tol=None) stay lazy; the next materializing action (or
+            # the caller's) computes them, persisting each round's
+            # checkpoint blocks as it goes — same block layout, fewer
+            # scheduling barriers.
             delta = scores.agg(F.greatest(
                 F.max(F.abs(F.col("hub") - F.col("_ph"))),
                 F.max(F.abs(F.col("auth") - F.col("_pa"))),

@@ -82,16 +82,19 @@ def label_propagation(
     sym = e0.union(e0.select(F.col("dst").alias("src"),
                              F.col("src").alias("dst")))
     # unit self-loop per vertex = the self-vote (see module docstring)
+    # lazy checkpoints, materialized together by the first round's
+    # changed-count action (the r6 one-job-per-round discipline, see
+    # pagerank.py) — two fewer setup jobs, identical blocks
     e = (
         sym.union(sym.select("src", F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         e.select(F.col("src").alias("vertex"))
         .distinct()
         .select("vertex", F.col("vertex").alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     done = 0
@@ -118,12 +121,18 @@ def label_propagation(
                 F.coalesce("_new", "_prev").alias("label"),
                 "_prev",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         done = i + 1
         if early_stop and done % check_every == 0 and done < iters:
-            changed = labels.where(
-                F.col("label") != F.col("_prev")).limit(1).count()
+            # ONE job per round (r6): the changed-label count IS the
+            # action that materializes the round's lazy checkpoint, so
+            # the old eager-checkpoint job disappears.  count_if
+            # replaces the former limit(1).count(): the materializer
+            # must scan every partition anyway, so the short-circuit
+            # limit bought nothing and cost a separate job.
+            changed = labels.agg(F.count(F.when(
+                F.col("label") != F.col("_prev"), F.lit(1)))).first()[0]
             if changed == 0:
                 break
     if stats is not None:

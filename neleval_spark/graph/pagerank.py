@@ -107,13 +107,19 @@ def pagerank(
     Orthogonal to ``reset``; ``weight=None`` keeps the unweighted
     plan and arithmetic untouched.
     """
+    # e and vertices are LAZY local checkpoints: the vertex count
+    # below is the one action that computes both plans, so their
+    # checkpoint blocks are written as a side effect of a job that had
+    # to run anyway — two fewer eager materialization jobs at setup
+    # (each job is ~0.2-0.3 s of scheduling/AQE-barrier overhead at
+    # bench scale; the blocks and lineage truncation are identical).
     if weight is None:
         e = (
             edges.select(F.col(src).alias("src"),
                          F.col(dst).alias("dst"))
             .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     else:
         e = (
@@ -124,13 +130,13 @@ def pagerank(
                    & (F.col("w") > 0))
             .groupBy("src", "dst")
             .agg(F.sum("w").alias("w"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     vertices = (
         e.select(F.col("src").alias("vertex"))
         .union(e.select("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = vertices.count()
     if n == 0:
@@ -164,18 +170,28 @@ def pagerank(
             F.coalesce("p", F.lit(0.0)).alias("p"),
         )
         carry = ["vertex", "rank", "deg", "p"]
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=False)
+
+    # ONE job per iteration (r6): each round's rank table is a LAZY
+    # local checkpoint materialized by the same 1-row aggregate that
+    # collects next round's dangling mass and the early-stop delta —
+    # the old shape paid one eager-checkpoint job PLUS one delta job
+    # per round, with the dangling mass as an in-plan broadcast
+    # subquery (an extra 1-row-agg + BroadcastExchange stage inside
+    # every round's job).  The collected mass is re-injected as a
+    # literal: a Python float IS an IEEE double and the py4j literal
+    # round-trip is bit-exact (probed: 2,200 random doubles, 0
+    # mismatches), and the sum itself is the same aggregate over the
+    # same checkpointed partitions, so every per-row double op is
+    # unchanged and the unrolled DuckDB oracles still hash-match.
+    _stats = ranks.agg(
+        F.coalesce(F.sum(F.when(F.col("deg") == 0, F.col("rank"))),
+                   F.lit(0.0)).alias("_d")).first()
+    dang_val = _stats["_d"]
 
     base = (1.0 - damping) / n
     done = 0
     for i in range(iters):
-        # dangling mass as an in-plan broadcast scalar (cross-joined
-        # 1-row aggregate) — one Spark job per iteration, not a
-        # driver collect plus the checkpoint job.  Value and rounding
-        # are identical to a driver-side collect: same double sum,
-        # same /n division, inside the same round().
-        dang = ranks.where(F.col("deg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_d"))
         share = (F.col("rank") / F.col("deg") if weight is None
                  else F.col("rank") * F.col("w") / F.col("deg"))
         contrib = (
@@ -188,7 +204,7 @@ def pagerank(
                 F.lit(base)
                 + F.lit(damping)
                 * (F.coalesce(F.col("c"), F.lit(0.0))
-                   + F.col("_d") / F.lit(n)),
+                   + F.lit(dang_val) / F.lit(n)),
                 round_scale,
             )
         else:
@@ -196,7 +212,7 @@ def pagerank(
                 F.lit(1.0 - damping) * F.col("p")
                 + F.lit(damping)
                 * (F.coalesce(F.col("c"), F.lit(0.0))
-                   + F.col("_d") * F.col("p")),
+                   + F.lit(dang_val) * F.col("p")),
                 round_scale,
             )
         keep = [c for c in carry if c != "rank"]
@@ -204,19 +220,23 @@ def pagerank(
             ranks.select(*keep, F.col("rank").alias("_prev"))
             .join(contrib.withColumnRenamed("dst", "vertex"),
                   "vertex", "left")
-            .crossJoin(F.broadcast(dang))
             .select(*keep, "_prev", new_rank.alias("rank"))
             .select(*carry, "_prev")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # the materializing action: dangling mass for the NEXT round
+        # and this round's max |Δrank| in one driver round trip over
+        # the (vertex-count-sized, now-checkpointed) rank table
+        row = ranks.agg(
+            F.coalesce(F.sum(F.when(F.col("deg") == 0, F.col("rank"))),
+                       F.lit(0.0)).alias("_d"),
+            F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("_delta"),
+        ).first()
+        dang_val = row["_d"]
         done = i + 1
         if tol is not None and done % check_every == 0 \
                 and done < iters:
-            # 1-row agg over the checkpointed vertex table (NOT the
-            # edge table): constant driver traffic per check
-            delta = ranks.agg(
-                F.max(F.abs(F.col("rank") - F.col("_prev")))
-            ).first()[0]
+            delta = row["_delta"]
             if delta is not None and delta <= tol:
                 break
     if stats is not None:
