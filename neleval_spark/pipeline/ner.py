@@ -214,8 +214,14 @@ def gazetteer_from_kb(kb: DataFrame) -> Gazetteer:
     (``detect_mentions`` with an empty gazetteer) — the alias dict is
     a recall booster, not a correctness requirement."""
     aliases = kb.select("alias").distinct()
-    n = aliases.count()
-    if n > MAX_GAZETTEER_ALIASES:
+    # ONE bounded job: a root-level limit collects incrementally, so
+    # the size guard and the data arrive in the same driver round trip
+    # (the former count()-then-collect() shape paid two jobs per
+    # pipeline run); limit+1 rows prove the overflow without ever
+    # collecting more than the cap.
+    rows = aliases.limit(MAX_GAZETTEER_ALIASES + 1).collect()
+    if len(rows) > MAX_GAZETTEER_ALIASES:
+        n = aliases.count()
         raise ValueError(
             f"KB has {n:,} distinct aliases > MAX_GAZETTEER_ALIASES="
             f"{MAX_GAZETTEER_ALIASES:,}; a driver-side gazetteer this "
@@ -223,4 +229,4 @@ def gazetteer_from_kb(kb: DataFrame) -> Gazetteer:
             "truncated/curated alias list, or with an empty gazetteer "
             "(casing evidence only) and let the candidate-generation "
             "join handle alias matching distributedly.")
-    return build_gazetteer([r["alias"] for r in aliases.collect()])
+    return build_gazetteer([r["alias"] for r in rows])
