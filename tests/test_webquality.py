@@ -94,6 +94,23 @@ def test_contamination_counts_and_plan(spark, docs):
     assert "BroadcastExchange" in _plan(out)
 
 
+def test_contamination_token_array_staged(spark, docs):
+    """Plan pin for the r6 staging fix: the token array feeding the
+    n-gram transform must survive as a ``_tok`` staging projection on
+    BOTH sides.  If CollapseProject ever inlines it back, the
+    interpreted lambda re-runs split+lower once per GRAM instead of
+    once per row (measured 5x on the sf0.1 entry query)."""
+    ev = spark.createDataFrame([(100, "a b a b a", "en")],
+                               "doc_id long, text string, lang string")
+    plan = (contamination(docs, ev, n=2)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert plan.count("_tok") >= 2, "token staging column was inlined"
+    # the lambda bodies must slice the staged attribute, not a split()
+    import re
+    lam = [m for m in re.findall(r"slice\(([^,]*),", plan)]
+    assert lam and all("split" not in s for s in lam), lam
+
+
 def test_vocab_stats(spark, docs):
     got = {r["token"]: (r["tf"], r["df"]) for r in
            vocab_stats(docs).collect()}
