@@ -136,20 +136,26 @@ def connected_components(
             rows = [(v, comp_min[uf.find(v)]) for v in uf.parent]
             return edges.sparkSession.createDataFrame(
                 rows, "vertex string, component string")
-    # distributed path: materialize the deduped edge list once; the
-    # iteration below re-reads it every round
-    e0 = e0.localCheckpoint(eager=True)
+    # distributed path: LAZY checkpoints throughout (the r6
+    # one-job-per-round discipline, see pagerank.py) — the first
+    # round's signature collect materializes the deduped edge list,
+    # each later round's signature materializes that round's edges,
+    # and the vertex table is computed from the e0 checkpoint blocks
+    # by the caller's final action.  Halves the job count per round;
+    # blocks, lineage truncation and the convergence contract are
+    # identical.
+    e0 = e0.localCheckpoint(eager=False)
     vertices = (
         e0.select(F.col("a").alias("vertex"))
         .union(e0.select("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     e = e0.where(F.col("a") != F.col("b"))
     prev_sig = None
     for i in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig = _signature(e)
         if stats is not None:
             stats["rounds"] = i + 1
