@@ -56,7 +56,9 @@ def kcore(edges: DataFrame, k: int, src_col: str = "src",
         F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True))
+        .localCheckpoint(eager=False))
+    # lazy checkpoint: this count (and each round's below) is the
+    # materializing action — one job per peel round instead of two
     n = e.count()
     rounds = []
     for i in range(max_iterations):
@@ -70,7 +72,7 @@ def kcore(edges: DataFrame, k: int, src_col: str = "src",
         e2 = (e.join(keep.withColumnRenamed("v", "a"), "a", "semi")
               .join(keep.withColumnRenamed("v", "b"), "b", "semi")
               .select("a", "b")
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
         n2 = e2.count()
         e = e2
         if n2 == n:

@@ -87,8 +87,11 @@ def taxonomy_closure(
             "instance-scale graphs use graph/neighborhood.py "
             "(bounded k-hop) or connected_components.")
 
+    # lazy checkpoints: the per-round state collect (count + depth
+    # sum) is the materializing action — one job per doubling round
+    # instead of two (the r6 discipline, see pagerank.py)
     r = e.withColumn("depth", F.lit(1).cast("long")).localCheckpoint(
-        eager=True)
+        eager=False)
     state = r.agg(
         F.count(F.lit(1)).alias("c"),
         F.sum("depth").alias("s")).first()
@@ -110,7 +113,7 @@ def taxonomy_closure(
             r.unionByName(comp)
             .groupBy("node", "ancestor")
             .agg(F.min("depth").alias("depth"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         state = r2.agg(
             F.count(F.lit(1)).alias("c"),
