@@ -107,22 +107,32 @@ def bpe_train(docs: DataFrame, n_merges: int = 100,
     words = word_symbol_table(docs, text_col, id_col)
     words = words.cache()
     merges: list[tuple[str, str]] = []
+    prev = None
     try:
         for _ in range(n_merges):
+            # ONE job per merge (r6): this first() is also the action
+            # that materializes the (lazily) cached current table —
+            # its parent is still cached while that happens, so the
+            # compute is one merge level, never a replay.  The parent
+            # is released only afterwards (a two-deep cache window
+            # replacing the old count()-then-unpersist job).
             best = (pair_counts(words)
                     .orderBy(F.desc("n"), F.asc("left"),
                              F.asc("right"))
                     .first())
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if best is None or best["n"] < min_count:
                 break
             merges.append((best["left"], best["right"]))
             nxt = apply_merge(words, best["left"],
                               best["right"]).cache()
-            nxt.count()  # materialize before dropping the parent
-            words.unpersist()
-            words = nxt
+            prev, words = words, nxt
     finally:
         words.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges, words
 
 
