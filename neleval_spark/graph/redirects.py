@@ -65,8 +65,11 @@ def resolve_redirect_chains(
         .groupBy("src")
         .agg(F.min("dst").alias("target"))
         .withColumn("hops", F.lit(1).cast("long"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # lazy checkpoints: each round's moved-count collect is the
+    # materializing action — one job per doubling round instead of
+    # two (the r6 discipline, see pagerank.py)
 
     done = 0
     for i in range(rounds):
@@ -82,7 +85,7 @@ def resolve_redirect_chains(
                 .alias("hops"),
                 F.col("_s").isNotNull().alias("_moved"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         moved = m2.agg(
             F.sum(F.col("_moved").cast("long"))).first()[0] or 0
@@ -95,7 +98,7 @@ def resolve_redirect_chains(
 
     # a row is resolved iff its target is NOT itself a redirect src
     keys = m.select(F.col("src").alias("_k")).localCheckpoint(
-        eager=True)
+        eager=False)
     out = (
         m.join(keys, m["target"] == keys["_k"], "left")
         .select(
